@@ -1,0 +1,151 @@
+"""Render configuration.
+
+The reference scatters configuration across three ad-hoc mechanisms (compile
+time constants in ``render.cuh:2-5``, per-harness CLI parsing, and the runtime
+ImGui ``UiSettings`` in ``canvas.hpp:7-19``).  Here everything is consolidated
+into one dataclass plus a small runtime-settings object, as planned in
+SURVEY.md §5 ("config / flag system").
+
+Static fields (shapes, tile grid, capacities) participate in jit cache keys;
+runtime fields (k_sigma, fov) are traced arguments so UI changes never force a
+recompile (reference behavior: ImGui sliders take effect on the next frame).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) configuration of the render pipeline.
+
+    Mirrors the reference's ``TilingInformation`` (``gaussians.hpp:38-60``):
+    a ``num_tile_x × num_tile_y`` grid over a ``width × height`` framebuffer
+    with ceil-div pixel strides.  Extra fields are TPU-specific capacities
+    that replace the reference's data-dependent mid-frame readbacks
+    (``render.cu:925,963``) with static shapes + masking.
+    """
+
+    height: int = 800
+    width: int = 800
+    num_tile_x: int = 0  # 0 → auto: pick TPU-friendly tile strides
+    num_tile_y: int = 0
+
+    #: Spherical-harmonics degree for view-dependent color. The reference's
+    #: live path evaluates degrees 0-2 (``render.cu:506-530``; its ``deg=3``
+    #: flag has no degree-3 branch). We support 0-3.
+    sh_degree: int = 2
+
+    #: k-sigma radius used for the screen-space AABB (reference UI slider
+    #: 0.1-8, ``canvas.cpp:311``). Runtime-traced; this is only the default.
+    k_sigma: float = 3.0
+
+    #: Static capacity for (gaussian, tile) instance pairs, as a multiple of
+    #: the gaussian count. The reference sizes this buffer per-frame from a
+    #: device readback (``render.cu:962-971``); on TPU the shape must be
+    #: static, so instances beyond the capacity are dropped (and reported via
+    #: the overflow flag in RenderStats).
+    instance_multiplier: float = 8.0
+
+    #: Hard cap on instance capacity (guards tiny-N configs from rounding).
+    min_instance_capacity: int = 4096
+
+    #: Chunk of sorted instances composited per inner step of the tile
+    #: kernel (the MXU-matmul batch size).
+    chunk_size: int = 64
+
+    #: Use the Pallas tile-compositing kernel ("pallas") or the pure-XLA
+    #: compositor ("xla").
+    compositor: str = "pallas"
+
+    #: Quantization factor for the depth sort key: ``uint32(-Z * depth_scale)``
+    #: (reference ``render.cu:850``).
+    depth_scale: float = 1.0e6
+
+    # ---------------------------------------------------------------- derived
+    @property
+    def tile_w(self) -> int:
+        """Pixel width of one tile (reference ``width_stride``).
+
+        Auto mode keeps tiles exactly 128 px wide (TPU lane width) and pads
+        the right edge; an explicit tile grid uses the reference's ceil-div
+        stride (``gaussians.hpp:47-50``), which may be unaligned — the
+        renderer then falls back to the XLA compositor.
+        """
+        if self.num_tile_x > 0:
+            return _cdiv(self.width, self.num_tile_x)
+        return 128
+
+    @property
+    def tile_h(self) -> int:
+        """Pixel height of one tile (reference ``height_stride``)."""
+        if self.num_tile_y > 0:
+            return _cdiv(self.height, self.num_tile_y)
+        return 16
+
+    @property
+    def pallas_compatible(self) -> bool:
+        """Mosaic requires (8, 128)-aligned output blocks."""
+        return self.tile_w % 128 == 0 and self.tile_h % 8 == 0
+
+    @property
+    def tiles_x(self) -> int:
+        if self.num_tile_x > 0:
+            return self.num_tile_x
+        # TPU-friendly default: tiles 128 px wide (lane dim) × 16 px tall —
+        # (P=2048, K=128) compositing arrays keep the Pallas kernel under the
+        # 16 MB per-core VMEM budget (32-px tiles OOM at ~21 MB).
+        return max(1, _cdiv(self.width, self.tile_w))
+
+    @property
+    def tiles_y(self) -> int:
+        if self.num_tile_y > 0:
+            return self.num_tile_y
+        return max(1, _cdiv(self.height, self.tile_h))
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    def instance_capacity(self, num_gaussians: int) -> int:
+        cap = int(math.ceil(num_gaussians * self.instance_multiplier))
+        cap = max(cap, self.min_instance_capacity)
+        # round to a multiple of chunk_size for clean kernel loops
+        return _cdiv(cap, self.chunk_size) * self.chunk_size
+
+    def with_resolution(self, height: int, width: int) -> "RenderConfig":
+        """Dynamic-resize support (reference ``Canvas::onResize``,
+        ``canvas.cpp:198-224``): returns a config for the new framebuffer;
+        callers keep a small jit cache keyed by (H, W) buckets."""
+        return dataclasses.replace(self, height=height, width=width)
+
+
+@dataclasses.dataclass
+class UiSettings:
+    """Runtime-adjustable viewer settings.
+
+    Parity with the reference ImGui ``UiSettings`` (``canvas.hpp:7-19``):
+    flip-Y display toggle, k-sigma splat radius, fovY, tile-grid size with
+    an X/Y lock. These are traced (k_sigma, fov) or cheap-recompile (tiles)
+    parameters in the TPU design.
+    """
+
+    flip_y: bool = True
+    k_sigma: float = 3.0
+    fov_y: float = 90.0
+    num_tile_x: int = 0
+    num_tile_y: int = 0
+    lock_tiles: bool = True
+
+    def clamp(self) -> None:
+        self.k_sigma = min(max(self.k_sigma, 0.1), 8.0)
+        self.fov_y = min(max(self.fov_y, 10.0), 160.0)
+        if self.lock_tiles and self.num_tile_x > 0:
+            self.num_tile_y = self.num_tile_x

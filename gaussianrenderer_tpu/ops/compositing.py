@@ -1,0 +1,213 @@
+"""Per-tile front-to-back alpha compositing (pure-XLA path).
+
+Functional re-design of the reference hot loop ``renderGaussians``
+(``src/core/cuda/render.cu:266-367``). The reference walks a tile's sorted
+instance range one Gaussian at a time, staging each struct into shared
+memory; on TPU we instead composite **chunks of K instances at once**:
+
+  * evaluate the K×P alpha matrix for the tile's P pixels on the VPU,
+  * turn the sequential transmittance recurrence into an exclusive
+    ``cumprod`` along the chunk axis,
+  * accumulate ``rgb += colorsᵀ @ (alpha · T_before)`` as a (3,K)·(K,P)
+    matmul — the MXU does the compositing.
+
+Blend semantics are bit-compatible with the reference:
+
+  * alpha = min(opacity · exp(−½·md²), 0.99), skipped when < 1e-3
+    (``render.cu:332-335``),
+  * pixels stop accumulating once transmittance drops below 1e-3
+    (``render.cu:328``) — expressed as a gate on the running product, which
+    is exact because T is monotonically non-increasing,
+  * the AABB containment test (``render.cu:327``) is applied as a mask, so
+    out-of-AABB pixels are untouched even where alpha would exceed 1e-3.
+
+The same chunk math is reused by the Pallas kernel
+(``ops/pallas/tile_render.py``); this module is the compiled-anywhere
+reference implementation and the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussianrenderer_tpu.ops.projection import ProjectedGaussians
+from gaussianrenderer_tpu.ops.tiling import TileAssignment
+
+#: Feature-row layout: one 16-float row per Gaussian, gathered into sorted
+#: instance order before compositing. Padded to 16 for clean TPU tiling.
+FEAT_CX = 0
+FEAT_CY = 1
+FEAT_CONIC_A = 2
+FEAT_CONIC_B = 3
+FEAT_CONIC_C = 4
+FEAT_OPACITY = 5
+FEAT_R = 6
+FEAT_G = 7
+FEAT_B = 8
+FEAT_XMIN = 9
+FEAT_YMIN = 10
+FEAT_XMAX = 11
+FEAT_YMAX = 12
+FEAT_DIM = 16
+
+ALPHA_EPS = 1e-3
+T_EPS = 1e-3
+ALPHA_MAX = 0.99
+
+
+def build_features(proj: ProjectedGaussians) -> jnp.ndarray:
+    """Pack per-Gaussian render fields into an (N, 16) float32 matrix."""
+    n = proj.depth.shape[0]
+    cols = jnp.concatenate(
+        [
+            proj.center_px,  # cx, cy
+            proj.conic,  # A, B, C
+            # Invalid Gaussians get opacity 0 so they can never contribute.
+            jnp.where(proj.valid, proj.opacity, 0.0)[:, None],
+            proj.color,  # r, g, b
+            proj.aabb_px,  # xmin, ymin, xmax, ymax
+        ],
+        axis=-1,
+    )
+    pad = jnp.zeros((n, FEAT_DIM - cols.shape[1]), dtype=jnp.float32)
+    return jnp.concatenate([cols.astype(jnp.float32), pad], axis=-1)
+
+
+def gather_sorted_features(
+    feats: jnp.ndarray, assignment: TileAssignment, chunk_size: int
+) -> jnp.ndarray:
+    """Gather features into sorted-instance order, padded by one chunk.
+
+    The pad guarantees in-bounds chunk slices for the tile walk; pad rows are
+    all-zero (opacity 0 ⇒ no contribution).
+    """
+    sorted_feats = feats[assignment.gaussian_id]
+    pad = jnp.zeros((chunk_size, FEAT_DIM), dtype=sorted_feats.dtype)
+    return jnp.concatenate([sorted_feats, pad], axis=0)
+
+
+def composite_chunk(
+    feats: jnp.ndarray,  # (K, 16)
+    k_valid: jnp.ndarray,  # (K,) bool — slot within this tile's count
+    gx: jnp.ndarray,  # (P,) pixel x coords
+    gy: jnp.ndarray,  # (P,) pixel y coords
+    transmittance: jnp.ndarray,  # (P,)
+    rgb: jnp.ndarray,  # (3, P)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Composite one chunk of K sorted instances over P pixels.
+
+    Shared by the XLA and Pallas compositors — pure jnp on values.
+    """
+    cx = feats[:, FEAT_CX][:, None]
+    cy = feats[:, FEAT_CY][:, None]
+    ca = feats[:, FEAT_CONIC_A][:, None]
+    cb = feats[:, FEAT_CONIC_B][:, None]
+    cc = feats[:, FEAT_CONIC_C][:, None]
+    op = feats[:, FEAT_OPACITY][:, None]
+    xmin = feats[:, FEAT_XMIN][:, None]
+    ymin = feats[:, FEAT_YMIN][:, None]
+    xmax = feats[:, FEAT_XMAX][:, None]
+    ymax = feats[:, FEAT_YMAX][:, None]
+    colors = feats[:, FEAT_R : FEAT_B + 1]  # (K, 3)
+
+    dx = gx[None, :] - cx  # (K, P)
+    dy = gy[None, :] - cy
+    md2 = ca * dx * dx + cb * dx * dy + cc * dy * dy
+    alpha = jnp.minimum(op * jnp.exp(-0.5 * md2), ALPHA_MAX)
+
+    inside = (
+        (gx[None, :] >= xmin)
+        & (gx[None, :] <= xmax)
+        & (gy[None, :] >= ymin)
+        & (gy[None, :] <= ymax)
+    )
+    alpha = jnp.where(inside & (alpha >= ALPHA_EPS) & k_valid[:, None], alpha, 0.0)
+
+    one_minus = 1.0 - alpha
+    u = jnp.cumprod(one_minus, axis=0)
+    u_excl = jnp.concatenate(
+        [jnp.ones((1, u.shape[1]), dtype=u.dtype), u[:-1]], axis=0
+    )
+    t_before = transmittance[None, :] * u_excl
+    gate = t_before >= T_EPS
+    weights = jnp.where(gate, alpha * t_before, 0.0)
+
+    rgb = rgb + jnp.dot(
+        colors.T,
+        weights,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full-f32 color accumulation
+    )  # (3, P)
+    transmittance = transmittance * jnp.prod(
+        jnp.where(gate, one_minus, 1.0), axis=0
+    )
+    return transmittance, rgb
+
+
+def composite_tiles_xla(
+    sorted_feats: jnp.ndarray,  # (C + K, 16)
+    tile_start: jnp.ndarray,  # (T,)
+    tile_count: jnp.ndarray,  # (T,)
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    width: int,
+    height: int,
+    chunk_size: int,
+) -> jnp.ndarray:
+    """Composite every tile; returns a planar (3, H, W) framebuffer.
+
+    vmap over tiles of a chunk-granular ``while_loop`` with the reference's
+    early-termination rule (stop when every pixel's transmittance < 1e-3).
+    """
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    k = chunk_size
+
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    tx = tile_idx % tiles_x
+    ty = tile_idx // tiles_x
+    local_x = jnp.tile(jnp.arange(tile_w, dtype=jnp.float32), tile_h)
+    local_y = jnp.repeat(jnp.arange(tile_h, dtype=jnp.float32), tile_w)
+    k_iota = jnp.arange(k, dtype=jnp.int32)
+
+    def render_tile(start, count, tx_i, ty_i):
+        gx = tx_i.astype(jnp.float32) * tile_w + local_x  # (P,)
+        gy = ty_i.astype(jnp.float32) * tile_h + local_y
+
+        def cond(state):
+            i, transmittance, _ = state
+            return (i * k < count) & (jnp.max(transmittance) >= T_EPS)
+
+        def body(state):
+            i, transmittance, rgb = state
+            feats = jax.lax.dynamic_slice(
+                sorted_feats, (start + i * k, 0), (k, FEAT_DIM)
+            )
+            k_valid = (i * k + k_iota) < count
+            transmittance, rgb = composite_chunk(
+                feats, k_valid, gx, gy, transmittance, rgb
+            )
+            return i + 1, transmittance, rgb
+
+        init = (
+            jnp.int32(0),
+            jnp.ones((p,), dtype=jnp.float32),
+            jnp.zeros((3, p), dtype=jnp.float32),
+        )
+        _, _, rgb = jax.lax.while_loop(cond, body, init)
+        return rgb
+
+    tile_rgb = jax.vmap(render_tile)(tile_start, tile_count, tx, ty)  # (T,3,P)
+
+    # Assemble the padded framebuffer, then crop to (3, H, W).
+    fb = tile_rgb.reshape(tiles_y, tiles_x, 3, tile_h, tile_w)
+    fb = fb.transpose(2, 0, 3, 1, 4).reshape(
+        3, tiles_y * tile_h, tiles_x * tile_w
+    )
+    return fb[:, :height, :width]

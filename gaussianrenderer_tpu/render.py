@@ -1,0 +1,168 @@
+"""The jit-compiled functional render step.
+
+Replaces the reference's per-frame imperative orchestrator
+``preprocessCUDAGaussians`` (``src/core/cuda/render.cu:871-1157``) — seven
+kernel launches, per-frame cudaMalloc/cudaFree churn, and three host↔device
+sync points — with one traced function::
+
+    framebuffer, stats = render_frame(scene, camera_params, cfg)
+
+Pipeline (all static shapes, no mid-frame readbacks):
+
+1. ``preprocess_gaussians``   — cull + SH color + EWA projection (ops/projection)
+2. ``build_features``         — pack per-splat render fields into (N, 16)
+3. ``build_sorted_instances`` — tile expansion + (tile, depth) sort (ops/tiling)
+4. ``composite_tiles_*``      — per-tile front-to-back blending
+                                (Pallas kernel, or the XLA reference path)
+
+The framebuffer stays on device; only display needs a transfer (the
+reference copies D2H every frame, ``render.cu:1142``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussianrenderer_tpu.config import RenderConfig
+from gaussianrenderer_tpu.ops.compositing import (
+    build_features,
+    composite_tiles_xla,
+    gather_sorted_features,
+)
+from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+from gaussianrenderer_tpu.ops.tiling import build_sorted_instances
+from gaussianrenderer_tpu.scene.camera import Camera, CameraParams
+from gaussianrenderer_tpu.scene.gaussians import GaussianScene
+
+
+class RenderStats(NamedTuple):
+    """Per-frame diagnostics (device scalars; fetch lazily)."""
+
+    num_culled: jnp.ndarray  # () int32 — Gaussians surviving the cull
+    num_instances: jnp.ndarray  # () int32 — (gaussian, tile) pairs emitted
+    overflow: jnp.ndarray  # () bool — instance capacity exceeded
+
+
+def _render_impl(
+    scene: GaussianScene,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    time_value: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, RenderStats]:
+    extra_opacity = None
+    if scene.time_params is not None and time_value is not None:
+        # 4D spacetime Gaussians: time-conditioned opacity slicing before
+        # projection (reference roadmap README.md:16; BASELINE config 5).
+        t_center = scene.time_params[:, 0]
+        t_sigma = jnp.maximum(scene.time_params[:, 1], 1e-6)
+        dt = (time_value - t_center) / t_sigma
+        extra_opacity = jnp.exp(-0.5 * dt * dt)
+
+    proj = preprocess_gaussians(
+        scene,
+        cam,
+        width=cfg.width,
+        height=cfg.height,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree,
+        extra_opacity_scale=extra_opacity,
+    )
+
+    capacity = cfg.instance_capacity(scene.num_gaussians)
+    assignment = build_sorted_instances(
+        proj,
+        tiles_x=cfg.tiles_x,
+        num_tiles=cfg.num_tiles,
+        capacity=capacity,
+        depth_scale=cfg.depth_scale,
+    )
+
+    feats = build_features(proj)
+    sorted_feats = gather_sorted_features(feats, assignment, cfg.chunk_size)
+
+    use_pallas = cfg.compositor == "pallas" and cfg.pallas_compatible
+    if use_pallas:
+        from gaussianrenderer_tpu.ops.pallas.tile_render import composite_tiles_pallas
+
+        fb = composite_tiles_pallas(
+            sorted_feats,
+            assignment.tile_start,
+            assignment.tile_count,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            width=cfg.width,
+            height=cfg.height,
+            chunk_size=cfg.chunk_size,
+        )
+    else:
+        fb = composite_tiles_xla(
+            sorted_feats,
+            assignment.tile_start,
+            assignment.tile_count,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            width=cfg.width,
+            height=cfg.height,
+            chunk_size=cfg.chunk_size,
+        )
+
+    stats = RenderStats(
+        num_culled=jnp.sum(proj.valid.astype(jnp.int32)),
+        num_instances=assignment.total_instances,
+        overflow=assignment.overflow,
+    )
+    return fb, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame(
+    scene: GaussianScene,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    time_value: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, RenderStats]:
+    """Render one frame. Returns a planar (3, H, W) float32 framebuffer.
+
+    The planar layout matches the reference's SSBO framebuffer
+    (``canvas.hpp:104-106``): channel-major, row y=0 at NDC y=−1.
+    ``cfg`` is static (hashable dataclass); camera and time are traced, so
+    interaction never recompiles.
+    """
+    return _render_impl(scene, cam, cfg, time_value)
+
+
+def make_renderer(scene: GaussianScene, cfg: RenderConfig):
+    """Returns ``render(cam_params, time=None) -> (fb, stats)`` with the scene
+    closed over (donated-to-device, jit-cached once per config)."""
+    scene = scene.to_device()
+
+    def _render(cam: CameraParams, time_value=None):
+        return render_frame(scene, cam, cfg, time_value)
+
+    return _render
+
+
+def framebuffer_to_image(fb: jnp.ndarray, flip_y: bool = True):
+    """Planar (3,H,W) → (H,W,3) uint8 for display/PNG.
+
+    ``flip_y=True`` matches the reference viewer default (UiSettings.flip,
+    fragment-shader Y flip ``canvas.hpp:104-106``): framebuffer row 0 sits at
+    NDC y=−1 (bottom), images want the top row first.
+    """
+    import numpy as np
+
+    img = np.asarray(fb).transpose(1, 2, 0)
+    if flip_y:
+        img = img[::-1]
+    return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype("uint8")

@@ -1,0 +1,239 @@
+"""PLY scene I/O.
+
+Loader parity with the reference streaming parser
+(``src/core/utils/gaussians.cpp:32-142`` and its CUDA twin
+``src/core/cuda/misc.cu:13-135``):
+
+* header scan for ``format`` / ``element vertex N`` / ``property`` lines,
+* property-name dispatch (``x y z``, ``nxx ny nz`` [sic], ``f_dc_0..2``,
+  ``f_rest_*``, ``opacity``, ``scale_*``, ``rot_*``; unknown → skipped),
+* ``binary_little_endian 1.0`` only (ascii rejected),
+* activations baked in at load: ``opacity = sigmoid(raw)``,
+  ``scale = exp(raw)`` (``gaussians.cpp:25-26``),
+* ``f_rest_j`` kept only for ``j < 3*((deg+1)^2 - 1)`` (reference: j < 24,
+  i.e. degree 2; we default to the same and optionally accept degree 3).
+
+Implementation is vectorized NumPy (single ``np.frombuffer`` + column
+gather) rather than a per-value scalar loop, with an optional native C++
+fast path (``gaussianrenderer_tpu.native``). A writer is also provided (the
+reference has no writer; SURVEY.md §5 "checkpoint/resume: none").
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianrenderer_tpu.scene.gaussians import GaussianScene
+
+_PLY_DTYPES = {
+    "float": ("<f4", 4),
+    "float32": ("<f4", 4),
+    "double": ("<f8", 8),
+    "float64": ("<f8", 8),
+    "uchar": ("u1", 1),
+    "uint8": ("u1", 1),
+    "char": ("i1", 1),
+    "int8": ("i1", 1),
+    "short": ("<i2", 2),
+    "int16": ("<i2", 2),
+    "ushort": ("<u2", 2),
+    "uint16": ("<u2", 2),
+    "int": ("<i4", 4),
+    "int32": ("<i4", 4),
+    "uint": ("<u4", 4),
+    "uint32": ("<u4", 4),
+}
+
+
+def _parse_header(f) -> Tuple[str, int, List[Tuple[str, str]], int]:
+    """Returns (format, num_vertices, [(type, name)...], header_end_offset)."""
+    magic = f.readline().strip()
+    if magic != b"ply":
+        raise ValueError("not a PLY file (missing 'ply' magic)")
+    fmt = ""
+    num = -1
+    props: List[Tuple[str, str]] = []
+    in_vertex_element = False
+    while True:
+        raw = f.readline()
+        if not raw:
+            raise ValueError("unexpected EOF in PLY header")
+        line = raw.decode("ascii", errors="replace").strip()
+        if line == "end_header":
+            break
+        if line.startswith("comment"):
+            continue
+        if line.startswith("format "):
+            fmt = line[len("format ") :]
+        elif line.startswith("element "):
+            parts = line.split()
+            in_vertex_element = parts[1] == "vertex"
+            if in_vertex_element:
+                num = int(parts[2])
+        elif line.startswith("property ") and in_vertex_element:
+            parts = line.split()
+            if parts[1] == "list":
+                raise ValueError("list properties are not supported")
+            props.append((parts[1], parts[2]))
+    return fmt, num, props, f.tell()
+
+
+def load_ply(
+    path: str,
+    max_sh_degree: int = 2,
+    use_native: bool = True,
+) -> GaussianScene:
+    """Load a 3DGS PLY into a device-resident ``GaussianScene``.
+
+    ``max_sh_degree`` 2 matches the reference exactly (24 rest coefficients,
+    ``gaussians.cpp:95``); 3 additionally keeps ``f_rest_24..44``.
+    """
+    arrays = None
+    if use_native:
+        try:
+            from gaussianrenderer_tpu.native import ply_native
+
+            arrays = ply_native.load(path, max_sh_degree)
+        except Exception:
+            arrays = None
+    if arrays is None:
+        arrays = _load_ply_numpy(path, max_sh_degree)
+    positions, sh, opacity, scales, quats = arrays
+    return GaussianScene(
+        positions=jnp.asarray(positions),
+        sh=jnp.asarray(sh),
+        opacity=jnp.asarray(opacity),
+        scales=jnp.asarray(scales),
+        quats=jnp.asarray(quats),
+    )
+
+
+def _load_ply_numpy(path: str, max_sh_degree: int):
+    with open(path, "rb") as f:
+        fmt, num, props, offset = _parse_header(f)
+        if fmt != "binary_little_endian 1.0":
+            # Reference rejects anything else (gaussians.cpp:135-141).
+            raise ValueError(f"unsupported PLY format: {fmt!r}")
+        dtype = np.dtype(
+            [(f"p{i}", _PLY_DTYPES[t][0]) for i, (t, _) in enumerate(props)]
+        )
+        data = np.fromfile(f, dtype=dtype, count=num)
+    if data.shape[0] != num:
+        raise ValueError(
+            f"PLY body truncated: expected {num} vertices, got {data.shape[0]}"
+        )
+
+    name_to_col: Dict[str, int] = {name: i for i, (_, name) in enumerate(props)}
+
+    def col(name: str, default: Optional[float] = None) -> np.ndarray:
+        if name in name_to_col:
+            return np.ascontiguousarray(
+                data[f"p{name_to_col[name]}"], dtype=np.float32
+            )
+        if default is None:
+            raise ValueError(f"PLY missing required property {name!r}")
+        return np.full(num, default, dtype=np.float32)
+
+    positions = np.stack([col("x"), col("y"), col("z")], axis=1)
+
+    n_rest = 3 * ((max_sh_degree + 1) ** 2 - 1)
+    sh = np.zeros((num, 3 + n_rest), dtype=np.float32)
+    for c in range(3):
+        sh[:, c] = col(f"f_dc_{c}", 0.0)
+    for j in range(n_rest):
+        sh[:, 3 + j] = col(f"f_rest_{j}", 0.0)
+
+    # Load-time activations (reference gaussians.cpp:25-26).
+    raw_opacity = col("opacity", 0.0)
+    opacity = 1.0 / (1.0 + np.exp(-raw_opacity))
+    scales = np.exp(
+        np.stack([col("scale_0", 0.0), col("scale_1", 0.0), col("scale_2", 0.0)], axis=1)
+    )
+    quats = np.stack([col(f"rot_{i}", 1.0 if i == 0 else 0.0) for i in range(4)], axis=1)
+    return positions, sh, opacity, scales, quats
+
+
+def save_ply(scene: GaussianScene, path: str) -> None:
+    """Write a scene back to a reference-compatible binary PLY.
+
+    Inverts the load-time activations (logit of opacity, log of scale) so a
+    round trip reproduces the on-disk convention of standard 3DGS files.
+    """
+    positions = np.asarray(scene.positions, dtype=np.float32)
+    sh = np.asarray(scene.sh, dtype=np.float32)
+    opacity = np.asarray(scene.opacity, dtype=np.float32)
+    scales = np.asarray(scene.scales, dtype=np.float32)
+    quats = np.asarray(scene.quats, dtype=np.float32)
+    n = positions.shape[0]
+    n_rest = sh.shape[1] - 3
+
+    eps = 1e-7
+    op = np.clip(opacity, eps, 1.0 - eps)
+    raw_opacity = np.log(op / (1.0 - op))
+    raw_scales = np.log(np.maximum(scales, 1e-30))
+
+    names = (
+        ["x", "y", "z", "nxx", "ny", "nz"]
+        + [f"f_dc_{i}" for i in range(3)]
+        + [f"f_rest_{i}" for i in range(n_rest)]
+        + ["opacity"]
+        + [f"scale_{i}" for i in range(3)]
+        + [f"rot_{i}" for i in range(4)]
+    )
+    body = np.zeros((n, len(names)), dtype="<f4")
+    body[:, 0:3] = positions
+    body[:, 6:9] = sh[:, :3]
+    body[:, 9 : 9 + n_rest] = sh[:, 3:]
+    body[:, 9 + n_rest] = raw_opacity
+    body[:, 10 + n_rest : 13 + n_rest] = raw_scales
+    body[:, 13 + n_rest : 17 + n_rest] = quats
+
+    header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+    header += [f"property float {name}" for name in names]
+    header += ["end_header"]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        body.tofile(f)
+
+
+def make_random_scene(
+    num: int,
+    seed: int = 0,
+    extent: float = 2.0,
+    sh_degree: int = 2,
+    scale_range: Tuple[float, float] = (0.01, 0.12),
+    spacetime: bool = False,
+) -> GaussianScene:
+    """Synthetic scene generator for tests and benchmarks."""
+    rng = np.random.default_rng(seed)
+    positions = rng.uniform(-extent, extent, size=(num, 3)).astype(np.float32)
+    n_coeff = (sh_degree + 1) ** 2
+    sh = np.zeros((num, 3 * n_coeff), dtype=np.float32)
+    # DC around mid-grey with color variation; higher bands smaller.
+    sh[:, :3] = rng.normal(0.0, 1.0, size=(num, 3)).astype(np.float32)
+    if n_coeff > 1:
+        sh[:, 3:] = rng.normal(0.0, 0.15, size=(num, 3 * (n_coeff - 1))).astype(
+            np.float32
+        )
+    opacity = rng.uniform(0.05, 0.95, size=num).astype(np.float32)
+    scales = rng.uniform(*scale_range, size=(num, 3)).astype(np.float32)
+    quats = rng.normal(size=(num, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    time_params = None
+    if spacetime:
+        centers = rng.uniform(0.0, 1.0, size=num).astype(np.float32)
+        sigmas = rng.uniform(0.05, 0.3, size=num).astype(np.float32)
+        time_params = np.stack([centers, sigmas], axis=1)
+    return GaussianScene(
+        positions=jnp.asarray(positions),
+        sh=jnp.asarray(sh),
+        opacity=jnp.asarray(opacity),
+        scales=jnp.asarray(scales),
+        quats=jnp.asarray(quats),
+        time_params=None if time_params is None else jnp.asarray(time_params),
+    )

@@ -1,0 +1,93 @@
+"""Golden-image regression: the jit pipeline vs the NumPy oracle.
+
+BASELINE fidelity gate: ≥40 dB PSNR vs the reference rasterizer math. The
+oracle (gaussianrenderer_tpu/oracle.py) is a scalar port of the reference's
+live GPU path; both compositors must agree with it to high PSNR, and the
+Pallas and XLA compositors must agree with each other almost exactly.
+"""
+
+import numpy as np
+import pytest
+
+from gaussianrenderer_tpu.config import RenderConfig
+from gaussianrenderer_tpu.oracle import psnr, render_oracle
+from gaussianrenderer_tpu.render import render_frame
+from gaussianrenderer_tpu.scene.camera import Camera
+from gaussianrenderer_tpu.scene.io import make_random_scene
+
+
+def _setup(n=400, seed=0, h=96, w=128, **cfg_kw):
+    scene = make_random_scene(n, seed=seed)
+    cam = Camera()
+    cam.set_position([0.0, 0.0, 6.0])
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(60.0)
+    cam.set_aspect_ratio(w / h)
+    cam.set_clipping_planes(0.2, 100.0)
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=h, width=w, **cfg_kw)
+    return scene, cam, cfg
+
+
+@pytest.mark.parametrize("compositor", ["xla", "pallas"])
+def test_render_matches_oracle(compositor):
+    scene, cam, cfg = _setup(compositor=compositor, chunk_size=16)
+    golden = render_oracle(scene, cam, cfg)
+    fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    fb = np.asarray(fb)
+    assert fb.shape == (3, cfg.height, cfg.width)
+    assert not bool(stats.overflow)
+    score = psnr(fb, golden)
+    assert score >= 40.0, f"PSNR {score:.2f} dB < 40 dB ({compositor})"
+
+
+def test_compositors_agree_closely():
+    scene, cam, cfg = _setup(n=600, seed=7)
+    fb_xla, _ = render_frame(
+        scene, cam.params(cfg.k_sigma), RenderConfig(**{**cfg.__dict__, "compositor": "xla"})
+    )
+    fb_pal, _ = render_frame(
+        scene, cam.params(cfg.k_sigma), RenderConfig(**{**cfg.__dict__, "compositor": "pallas"})
+    )
+    np.testing.assert_allclose(np.asarray(fb_xla), np.asarray(fb_pal), atol=2e-5)
+
+
+def test_empty_scene_renders_black():
+    scene, cam, cfg = _setup(n=4, compositor="xla")
+    # Move camera to face away from every splat.
+    cam.set_position([0.0, 0.0, -50.0])
+    cam.set_look_at([0.0, 0.0, -100.0])
+    cam.update_camera_matrices()
+    fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert int(stats.num_culled) == 0
+    np.testing.assert_array_equal(np.asarray(fb), 0.0)
+
+
+def test_camera_orbit_changes_image():
+    scene, cam, cfg = _setup(compositor="xla")
+    fb0, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    cam.orbit(30.0, 10.0)
+    fb1, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert float(np.abs(np.asarray(fb0) - np.asarray(fb1)).max()) > 1e-3
+
+
+def test_k_sigma_is_traced_not_static():
+    """Changing k_sigma must not retrigger compilation (same jit cache)."""
+    scene, cam, cfg = _setup(compositor="xla")
+    fn = render_frame.lower(scene, cam.params(3.0), cfg).compile()
+    fb_a, _ = fn(scene, cam.params(3.0))
+    fb_b, _ = fn(scene, cam.params(1.0))
+    # smaller splat radius => less coverage => different image
+    assert float(np.abs(np.asarray(fb_a) - np.asarray(fb_b)).max()) > 0
+
+
+def test_overflow_flag_reports_dropped_instances():
+    scene, cam, cfg = _setup(
+        n=500,
+        compositor="xla",
+        instance_multiplier=0.01,
+        min_instance_capacity=16,
+    )
+    _, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert bool(stats.overflow)
+    assert int(stats.num_instances) > 16
