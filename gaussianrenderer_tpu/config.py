@@ -61,13 +61,22 @@ class RenderConfig:
     #: kernel (the MXU-matmul batch size).
     chunk_size: int = 64
 
-    #: Use the Pallas tile-compositing kernel ("pallas") or the pure-XLA
-    #: compositor ("xla").
+    #: Compositor backend: "pallas" (Pallas TPU kernel), "xla" (pure-XLA
+    #: while_loop), or "diff" (fixed-trip scan, reverse-differentiable —
+    #: used by training).
     compositor: str = "pallas"
+
+    #: Static per-tile chunk bound for the differentiable compositor.
+    diff_max_chunks: int = 32
 
     #: Quantization factor for the depth sort key: ``uint32(-Z * depth_scale)``
     #: (reference ``render.cu:850``).
     depth_scale: float = 1.0e6
+
+    #: Round splat centers to integer pixels like the reference
+    #: (``render.cu:753-754``). Training configs set False so position
+    #: gradients flow through the screen-space center.
+    quantize_centers: bool = True
 
     # ---------------------------------------------------------------- derived
     @property

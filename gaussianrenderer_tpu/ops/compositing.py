@@ -147,6 +147,119 @@ def composite_chunk(
     return transmittance, rgb
 
 
+def composite_tiles_diff(
+    sorted_feats: jnp.ndarray,  # (C + K, 16)
+    tile_start: jnp.ndarray,  # (T,)
+    tile_count: jnp.ndarray,  # (T,)
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    width: int,
+    height: int,
+    chunk_size: int,
+    max_chunks: int = 32,
+) -> jnp.ndarray:
+    """Differentiable compositor: fixed-trip ``lax.scan`` instead of the
+    early-exit ``while_loop`` (which has no reverse-mode AD).
+
+    Used by the training step (reference roadmap: "streaming training",
+    README.md:17). Semantics match :func:`composite_tiles_xla` except that
+    per-tile instance lists are truncated at ``max_chunks·chunk_size``
+    (static bound) and NaN-safe double-``where`` guards keep gradients
+    finite. The chunk body is rematerialized in the backward pass
+    (``jax.checkpoint``) so residual memory stays at one chunk per tile.
+    """
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    k = chunk_size
+
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    tx = tile_idx % tiles_x
+    ty = tile_idx // tiles_x
+    local_x = jnp.tile(jnp.arange(tile_w, dtype=jnp.float32), tile_h)
+    local_y = jnp.repeat(jnp.arange(tile_h, dtype=jnp.float32), tile_w)
+    k_iota = jnp.arange(k, dtype=jnp.int32)
+
+    def render_tile(start, count, tx_i, ty_i):
+        gx = tx_i.astype(jnp.float32) * tile_w + local_x  # (P,)
+        gy = ty_i.astype(jnp.float32) * tile_h + local_y
+
+        @jax.checkpoint
+        def body(state, i):
+            transmittance, rgb = state
+            feats = jax.lax.dynamic_slice(
+                sorted_feats, (start + i * k, 0), (k, FEAT_DIM)
+            )
+            k_valid = (i * k + k_iota) < count
+
+            cx = feats[:, FEAT_CX][:, None]
+            cy = feats[:, FEAT_CY][:, None]
+            ca = feats[:, FEAT_CONIC_A][:, None]
+            cb = feats[:, FEAT_CONIC_B][:, None]
+            cc = feats[:, FEAT_CONIC_C][:, None]
+            op = feats[:, FEAT_OPACITY][:, None]
+            xmin = feats[:, FEAT_XMIN][:, None]
+            ymin = feats[:, FEAT_YMIN][:, None]
+            xmax = feats[:, FEAT_XMAX][:, None]
+            ymax = feats[:, FEAT_YMAX][:, None]
+            colors = feats[:, FEAT_R : FEAT_B + 1]
+
+            dx = gx[None, :] - cx
+            dy = gy[None, :] - cy
+            # Clip keeps exp (and its gradient) finite even on padded or
+            # out-of-capacity rows the mask will zero anyway.
+            md2 = jnp.clip(
+                ca * dx * dx + cb * dx * dy + cc * dy * dy, 0.0, 80.0
+            )
+            alpha = jnp.minimum(op * jnp.exp(-0.5 * md2), ALPHA_MAX)
+            inside = (
+                (gx[None, :] >= xmin)
+                & (gx[None, :] <= xmax)
+                & (gy[None, :] >= ymin)
+                & (gy[None, :] <= ymax)
+            )
+            alpha = jnp.where(
+                inside & (alpha >= ALPHA_EPS) & k_valid[:, None], alpha, 0.0
+            )
+
+            one_minus = 1.0 - alpha
+            u = jnp.cumprod(one_minus, axis=0)
+            u_excl = jnp.concatenate(
+                [jnp.ones((1, p), dtype=u.dtype), u[:-1]], axis=0
+            )
+            t_before = transmittance[None, :] * u_excl
+            gate = t_before >= T_EPS
+            weights = jnp.where(gate, alpha * t_before, 0.0)
+            rgb = rgb + jnp.dot(
+                colors.T,
+                weights,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            transmittance = transmittance * jnp.min(
+                jnp.where(gate, u, 1.0), axis=0
+            )
+            return (transmittance, rgb), None
+
+        init = (
+            jnp.ones((p,), dtype=jnp.float32),
+            jnp.zeros((3, p), dtype=jnp.float32),
+        )
+        (_, rgb), _ = jax.lax.scan(
+            body, init, jnp.arange(max_chunks, dtype=jnp.int32)
+        )
+        return rgb
+
+    tile_rgb = jax.vmap(render_tile)(tile_start, tile_count, tx, ty)
+    fb = tile_rgb.reshape(tiles_y, tiles_x, 3, tile_h, tile_w)
+    fb = fb.transpose(2, 0, 3, 1, 4).reshape(
+        3, tiles_y * tile_h, tiles_x * tile_w
+    )
+    return fb[:, :height, :width]
+
+
 def composite_tiles_xla(
     sorted_feats: jnp.ndarray,  # (C + K, 16)
     tile_start: jnp.ndarray,  # (T,)

@@ -91,6 +91,7 @@ def preprocess_gaussians(
     tiles_y: int,
     sh_degree: int = 2,
     extra_opacity_scale: jnp.ndarray | None = None,
+    quantize_centers: bool = True,
 ) -> ProjectedGaussians:
     """Vectorized cull + color + EWA projection for all N Gaussians.
 
@@ -195,13 +196,14 @@ def preprocess_gaussians(
     ymin_px = jnp.floor((ymin + 1.0) * 0.5 * height)
     ymax_px = jnp.ceil((ymax + 1.0) * 0.5 * height)
 
-    center_px = jnp.stack(
-        [
-            jnp.round((ndc_x + 1.0) * 0.5 * width),
-            jnp.round((ndc_y + 1.0) * 0.5 * height),
-        ],
-        axis=-1,
-    )
+    cx_px = (ndc_x + 1.0) * 0.5 * width
+    cy_px = (ndc_y + 1.0) * 0.5 * height
+    if quantize_centers:
+        # Integer pixel centers like the reference (render.cu:753-754);
+        # training disables this so position gradients survive.
+        cx_px = jnp.round(cx_px)
+        cy_px = jnp.round(cy_px)
+    center_px = jnp.stack([cx_px, cy_px], axis=-1)
 
     valid = survived_cull & det_ok & on_screen
 

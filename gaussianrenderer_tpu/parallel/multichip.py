@@ -1,0 +1,220 @@
+"""Multi-chip rendering via ``shard_map`` over a device mesh.
+
+The reference is strictly single-GPU ("Multi-GPU scaling" is future work,
+reference README.md:58; SURVEY.md §2.11). This module is the TPU-native
+scale-out design:
+
+* **Gaussian-parallel preprocessing** (data parallel): the scene SoA is
+  sharded along N over the mesh axis; each chip culls/colors/projects its
+  shard locally (no communication).
+* **all_gather of compact projected records** over ICI: 24 floats per
+  splat — positions/SH/quats stay sharded; only screen-space results move.
+* **Tile-parallel compositing** (spatial parallel): the tile grid is split
+  into row strips, one per chip; each chip expands/sorts/composites only
+  the instances overlapping its strip. The framebuffer comes back sharded
+  by rows.
+
+Communication rides one ``all_gather`` on the ICI ring; there are no
+scatter/atomic patterns left to port (SURVEY.md §2.11 mapping).  The same
+structure differentiates: ``jax.grad`` through ``shard_map`` transposes the
+all_gather into a reduce-scatter of feature gradients back to the owning
+chip (used by the training step in ``gaussianrenderer_tpu/train.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gaussianrenderer_tpu.config import RenderConfig
+from gaussianrenderer_tpu.ops.compositing import (
+    FEAT_DIM,
+    build_features,
+    composite_tiles_diff,
+    composite_tiles_xla,
+    gather_sorted_features,
+)
+from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+from gaussianrenderer_tpu.ops.tiling import build_sorted_instances
+from gaussianrenderer_tpu.ops.pallas.tile_render import composite_tiles_pallas
+from gaussianrenderer_tpu.scene.camera import CameraParams
+from gaussianrenderer_tpu.scene.gaussians import GaussianScene
+
+AXIS = "chips"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1D mesh over all (or the given) devices; ICI ring axis ``chips``."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), axis_names=(AXIS,))
+
+
+def shard_scene(scene: GaussianScene, mesh: Mesh) -> GaussianScene:
+    """Pad N to the mesh size and shard every leaf along the Gaussian axis."""
+    d = mesh.shape[AXIS]
+    n = scene.num_gaussians
+    padded = scene.pad_to(((n + d - 1) // d) * d)
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), padded
+    )
+
+
+def _strip_render(
+    scene_shard: GaussianScene,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    num_devices: int,
+    capacity: int,
+    use_pallas: bool,
+    time_value: Optional[jnp.ndarray],
+    use_diff: bool = False,
+):
+    """Per-chip body run under shard_map (axis: AXIS)."""
+    chip = jax.lax.axis_index(AXIS)
+    tiles_y_local = cfg.tiles_y // num_devices
+    strip_y0 = chip * tiles_y_local
+
+    extra_opacity = None
+    if scene_shard.time_params is not None and time_value is not None:
+        t_center = scene_shard.time_params[:, 0]
+        t_sigma = jnp.maximum(scene_shard.time_params[:, 1], 1e-6)
+        dt = (time_value - t_center) / t_sigma
+        extra_opacity = jnp.exp(-0.5 * dt * dt)
+
+    # ---- local (gaussian-parallel) preprocessing on this chip's shard
+    proj = preprocess_gaussians(
+        scene_shard,
+        cam,
+        width=cfg.width,
+        height=cfg.height,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree,
+        extra_opacity_scale=extra_opacity,
+        quantize_centers=cfg.quantize_centers,
+    )
+    feats_local = build_features(proj)  # (N/D, 16)
+
+    # Compact per-splat record: features + tile rect + depth + valid.
+    record = jnp.concatenate(
+        [
+            feats_local,
+            proj.tile_min.astype(jnp.float32),
+            proj.tile_max.astype(jnp.float32),
+            proj.depth[:, None],
+            proj.valid.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )  # (N/D, 22)
+
+    # ---- one ICI collective: everyone sees every projected splat
+    record_all = jax.lax.all_gather(record, AXIS, tiled=True)  # (N, 22)
+
+    feats_all = record_all[:, :FEAT_DIM]
+    # The strip compositor indexes pixels strip-locally; shift the
+    # y-dependent feature columns (center y, aabb ymin/ymax) into strip
+    # coordinates.
+    y_off = (strip_y0 * cfg.tile_h).astype(jnp.float32)
+    shift = jnp.zeros((FEAT_DIM,), jnp.float32).at[jnp.array([1, 10, 12])].set(y_off)
+    feats_all = feats_all - shift[None, :]
+    tile_min = record_all[:, FEAT_DIM : FEAT_DIM + 2].astype(jnp.int32)
+    tile_max = record_all[:, FEAT_DIM + 2 : FEAT_DIM + 4].astype(jnp.int32)
+    depth_all = record_all[:, FEAT_DIM + 4]
+    valid_all = record_all[:, FEAT_DIM + 5] > 0.5
+
+    # ---- restrict to this chip's tile strip (rows [strip_y0, +local))
+    tmin_y = jnp.maximum(tile_min[:, 1], strip_y0) - strip_y0
+    tmax_y = jnp.minimum(tile_max[:, 1], strip_y0 + tiles_y_local - 1) - strip_y0
+    intersects = tmin_y <= tmax_y
+    proj_strip = proj._replace(
+        valid=valid_all & intersects,
+        depth=depth_all,
+        tile_min=jnp.stack([tile_min[:, 0], tmin_y], axis=-1),
+        tile_max=jnp.stack([tile_max[:, 0], tmax_y], axis=-1),
+    )
+
+    num_tiles_local = cfg.tiles_x * tiles_y_local
+    assignment = build_sorted_instances(
+        proj_strip,
+        tiles_x=cfg.tiles_x,
+        num_tiles=num_tiles_local,
+        capacity=capacity,
+        depth_scale=cfg.depth_scale,
+    )
+    sorted_feats = gather_sorted_features(feats_all, assignment, cfg.chunk_size)
+
+    strip_h = tiles_y_local * cfg.tile_h
+    if use_diff:
+        compositor = functools.partial(
+            composite_tiles_diff, max_chunks=cfg.diff_max_chunks
+        )
+    elif use_pallas:
+        compositor = composite_tiles_pallas
+    else:
+        compositor = composite_tiles_xla
+    fb_strip = compositor(
+        sorted_feats,
+        assignment.tile_start,
+        assignment.tile_count,
+        tiles_x=cfg.tiles_x,
+        tiles_y=tiles_y_local,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        width=cfg.width,
+        height=strip_h,  # full strip; global crop happens outside
+        chunk_size=cfg.chunk_size,
+    )  # (3, strip_h, W)
+    return fb_strip
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "use_pallas")
+)
+def render_frame_multichip(
+    scene: GaussianScene,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    use_pallas: bool = False,
+    time_value: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Render one frame across every chip of ``mesh``; returns (3, H, W).
+
+    Requires ``cfg.tiles_y`` divisible by the mesh size (strip decomposition)
+    and the scene pre-sharded with :func:`shard_scene`.
+    """
+    d = mesh.shape[AXIS]
+    if cfg.tiles_y % d != 0:
+        raise ValueError(
+            f"tiles_y={cfg.tiles_y} must be divisible by mesh size {d}"
+        )
+    capacity = cfg.instance_capacity(scene.num_gaussians) // d
+
+    fn = jax.shard_map(
+        functools.partial(
+            _strip_render,
+            cfg=cfg,
+            num_devices=d,
+            capacity=capacity,
+            use_pallas=use_pallas,
+            time_value=time_value,
+        ),
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(AXIS), scene),
+            jax.tree_util.tree_map(lambda _: P(), cam),
+        ),
+        out_specs=P(None, AXIS, None),  # framebuffer sharded by row strips
+        check_vma=False,
+    )
+    fb = fn(scene, cam)
+    return fb[:, : cfg.height, : cfg.width]

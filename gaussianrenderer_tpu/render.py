@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from gaussianrenderer_tpu.config import RenderConfig
 from gaussianrenderer_tpu.ops.compositing import (
     build_features,
+    composite_tiles_diff,
     composite_tiles_xla,
     gather_sorted_features,
 )
@@ -73,6 +74,7 @@ def _render_impl(
         tiles_y=cfg.tiles_y,
         sh_degree=cfg.sh_degree,
         extra_opacity_scale=extra_opacity,
+        quantize_centers=cfg.quantize_centers,
     )
 
     capacity = cfg.instance_capacity(scene.num_gaussians)
@@ -102,6 +104,20 @@ def _render_impl(
             width=cfg.width,
             height=cfg.height,
             chunk_size=cfg.chunk_size,
+        )
+    elif cfg.compositor == "diff":
+        fb = composite_tiles_diff(
+            sorted_feats,
+            assignment.tile_start,
+            assignment.tile_count,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            width=cfg.width,
+            height=cfg.height,
+            chunk_size=cfg.chunk_size,
+            max_chunks=cfg.diff_max_chunks,
         )
     else:
         fb = composite_tiles_xla(

@@ -1,0 +1,57 @@
+"""Multi-chip shard_map render on the virtual 8-device CPU mesh.
+
+Validates that the gaussian-sharded / tile-strip-parallel path produces the
+same image as the single-device renderer.
+"""
+
+import numpy as np
+import jax
+
+from gaussianrenderer_tpu.config import RenderConfig
+from gaussianrenderer_tpu.parallel import make_mesh, render_frame_multichip, shard_scene
+from gaussianrenderer_tpu.render import render_frame
+from gaussianrenderer_tpu.scene.camera import Camera
+from gaussianrenderer_tpu.scene.io import make_random_scene
+
+
+def _setup(n=500, h=128, w=128):
+    scene = make_random_scene(n, seed=3)
+    cam = Camera()
+    cam.set_position([0.0, 0.0, 6.0])
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(60.0)
+    cam.set_aspect_ratio(w / h)
+    cam.set_clipping_planes(0.2, 100.0)
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=h, width=w, compositor="xla")
+    return scene, cam, cfg
+
+
+def test_multichip_matches_single_device():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    scene, cam, cfg = _setup()
+    assert cfg.tiles_y % 8 == 0
+
+    fb_single, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    fb_multi = render_frame_multichip(sharded, cam.params(cfg.k_sigma), cfg, mesh)
+
+    assert fb_multi.shape == (3, cfg.height, cfg.width)
+    np.testing.assert_allclose(
+        np.asarray(fb_multi), np.asarray(fb_single), atol=2e-5
+    )
+
+
+def test_multichip_scene_padding():
+    # N not divisible by 8 — shard_scene pads with transparent splats.
+    scene, cam, cfg = _setup(n=501)
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    assert sharded.num_gaussians % 8 == 0
+    fb_single, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    fb_multi = render_frame_multichip(sharded, cam.params(cfg.k_sigma), cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(fb_multi), np.asarray(fb_single), atol=2e-5
+    )
