@@ -59,12 +59,13 @@ class RenderConfig:
 
     #: Chunk of sorted instances composited per inner step of the tile
     #: kernel (the MXU-matmul batch size).
-    chunk_size: int = 64
+    chunk_size: int = 128
 
-    #: Compositor backend: "pallas" (Pallas TPU kernel), "xla" (pure-XLA
-    #: while_loop), or "diff" (fixed-trip scan, reverse-differentiable —
-    #: used by training).
-    compositor: str = "pallas"
+    #: Compositor backend: "packed" (Pallas v2 kernel fed by the gather-free
+    #: packed-instance pipeline — the fast path), "pallas" (v1 kernel over
+    #: f32 features), "xla" (pure-XLA while_loop), or "diff" (fixed-trip
+    #: scan, reverse-differentiable — used by training).
+    compositor: str = "packed"
 
     #: Static per-tile chunk bound for the differentiable compositor.
     diff_max_chunks: int = 32
@@ -83,34 +84,45 @@ class RenderConfig:
     def tile_w(self) -> int:
         """Pixel width of one tile (reference ``width_stride``).
 
-        Auto mode keeps tiles exactly 128 px wide (TPU lane width) and pads
-        the right edge; an explicit tile grid uses the reference's ceil-div
-        stride (``gaussians.hpp:47-50``), which may be unaligned — the
-        renderer then falls back to the XLA compositor.
+        Auto mode uses 32×32 tiles (the packed kernel writes per-tile (3, P)
+        blocks, so any P = tile_w·tile_h that is a multiple of 128 works);
+        an explicit tile grid uses the reference's ceil-div stride
+        (``gaussians.hpp:47-50``), which may be incompatible — the renderer
+        then falls back to the XLA compositor.
         """
         if self.num_tile_x > 0:
             return _cdiv(self.width, self.num_tile_x)
-        return 128
+        return 32
 
     @property
     def tile_h(self) -> int:
         """Pixel height of one tile (reference ``height_stride``)."""
         if self.num_tile_y > 0:
             return _cdiv(self.height, self.num_tile_y)
-        return 16
+        return 32
 
     @property
     def pallas_compatible(self) -> bool:
-        """Mosaic requires (8, 128)-aligned output blocks."""
+        """The v1 kernel needs lane-aligned (·, tile_h, tile_w) out blocks."""
         return self.tile_w % 128 == 0 and self.tile_h % 8 == 0
+
+    @property
+    def packed_compatible(self) -> bool:
+        """The v2 packed kernel writes (3, tile_h·tile_w) blocks — any tile
+        whose pixel count is lane-aligned and whose extents fit the u8
+        tile-local AABB encoding works."""
+        return (
+            (self.tile_w * self.tile_h) % 128 == 0
+            and self.tile_w <= 255
+            and self.tile_h <= 255
+            and self.tiles_x <= 1024
+            and self.tiles_y <= 1024
+        )
 
     @property
     def tiles_x(self) -> int:
         if self.num_tile_x > 0:
             return self.num_tile_x
-        # TPU-friendly default: tiles 128 px wide (lane dim) × 16 px tall —
-        # (P=2048, K=128) compositing arrays keep the Pallas kernel under the
-        # 16 MB per-core VMEM budget (32-px tiles OOM at ~21 MB).
         return max(1, _cdiv(self.width, self.tile_w))
 
     @property

@@ -1,0 +1,298 @@
+"""Pallas TPU kernel v2: per-tile front-to-back compositing, packed features.
+
+Second-generation re-design of the reference hot loop ``renderGaussians``
+(``src/core/cuda/render.cu:266-367``), informed by v5e microbenchmarks
+(tools/micro_bench*.py):
+
+* Features arrive PACKED: 8 uint32 rows per instance (vs 16 f32) — half the
+  sort payload and half the chunk DMA bytes. Layout (one row per field,
+  instances on lanes; fixed-point decodes are 2-3 integer VPU ops, no
+  transcendentals):
+
+    row 0: center, tile-local 12.4 fixed point with +2048 offset (covers whole-screen-relative centers at ≤2K output):
+           u16((cx_rel+2048)·16) << 16 | u16((cy_rel+2048)·16)
+    row 1: conic A   f32 bits
+    row 2: conic B   f32 bits
+    row 3: conic C   f32 bits
+    row 4: q0        f32 bits — constant term of the quadratic, with
+                     −2·ln(opacity) folded in (alpha = exp(−½·q))
+    row 5: u16(r·65535) << 16 | u16(g·65535)    (colors are clamped [0,1])
+    row 6: u16(b·65535) << 16 (low half spare)
+    row 7: aabb, tile-local u8: xmin | ymin<<8 | xmax<<16 | ymax<<24
+
+* The Mahalanobis quadratic runs on the MXU: with tile-local pixel coords
+  the per-pixel basis is (P, 8) = [x², y², xy, x, y, 1, 0, 0] and the
+  per-instance coefficient matrix (8, K) is
+  [A, C, B, −(2A·cx + B·cy), −(2C·cy + B·cx), q0 + A·cx² + B·cx·cy + C·cy²]
+  so  q = basis @ coeffs  gives  md² − 2·ln(op)  in one (P,8)·(8,K) matmul.
+  Tile-local coords keep every operand small enough for the f32(=bf16x3)
+  MXU path to be exact to ~1e-6 relative.
+
+* alpha = exp(−½·q) — computed with jnp.exp (VPU transcendental); the
+  remaining per-pair VPU work is the masks, the lane-doubling prefix
+  product for transmittance, and one (P,K)·(K,3) MXU matmul for the color
+  accumulation.
+
+* Early termination (``render.cu:328``) at chunk granularity via the
+  while_loop condition; per-pixel gating inside a chunk preserves the
+  reference's exact stop-below-1e-3 semantics.
+
+Output: one (3, P) block per tile into a (3, T·P) buffer; the host-side
+wrapper reassembles (3, H, W). This keeps every store lane-aligned for any
+logical tile shape (default 32×32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_EPS = 1e-3
+T_EPS = 1e-3
+ALPHA_MAX = 0.99
+
+PACK_ROWS = 8
+
+
+#: Fixed-point encodings (must match ops/instances.py).
+CENTER_OFFSET = 2048.0
+CENTER_SCALE = 16.0
+COLOR_SCALE = 65535.0
+
+
+def _u2f(bits: jnp.ndarray) -> jnp.ndarray:
+    """u32 → f32 via i32 (Mosaic has no direct u32→f32 cast; values ≤ 2^16)."""
+    return bits.astype(jnp.int32).astype(jnp.float32)
+
+
+def _center_decode(bits_u16: jnp.ndarray) -> jnp.ndarray:
+    """12.4 fixed-point tile-local coordinate with +2048 offset → f32."""
+    return _u2f(bits_u16) * (1.0 / CENTER_SCALE) - CENTER_OFFSET
+
+
+def _color_decode(bits_u16: jnp.ndarray) -> jnp.ndarray:
+    return _u2f(bits_u16) * (1.0 / COLOR_SCALE)
+
+
+def _f32_decode(bits_u32: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(bits_u32, jnp.float32)
+
+
+def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix product along the lane (last) axis via doubling."""
+    k = x.shape[-1]
+    p = x.shape[0]
+    offset = 1
+    while offset < k:
+        pad = jnp.ones((p, offset), dtype=x.dtype)
+        x = x * jnp.concatenate([pad, x[:, :-offset]], axis=1)
+        offset *= 2
+    return x
+
+
+def _tile_kernel(
+    # scalar prefetch
+    tile_start_ref,  # (T,) int32 SMEM
+    tile_count_ref,  # (T,) int32 SMEM
+    # inputs
+    feats_hbm,  # (PACK_ROWS, C + 2*chunk) uint32, stays in HBM
+    # outputs
+    out_ref,  # (3, P) VMEM block for this tile
+    # scratch
+    chunk_ref,  # (2, PACK_ROWS, chunk) uint32 VMEM double buffer
+    sem_ref,  # (2,) DMA semaphores
+    *,
+    tile_w: int,
+    tile_h: int,
+    chunk: int,
+):
+    k = chunk
+    p = tile_h * tile_w
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    aligned_start = (start // k) * k
+    span = start + count - aligned_start
+    num_chunks = pl.cdiv(span, k)
+
+    # Tile-local pixel coords, pixel-major (P, 1) columns.
+    px = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) % tile_w).astype(
+        jnp.float32
+    )
+    py = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) // tile_w).astype(
+        jnp.float32
+    )
+    # MXU basis: [x², y², x·y, x, y, 1, 0, 0] → (P, 8).
+    ones = jnp.ones_like(px)
+    zeros = jnp.zeros_like(px)
+    basis = jnp.concatenate(
+        [px * px, py * py, px * py, px, py, ones, zeros, zeros], axis=1
+    )  # (P, 8)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def chunk_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(aligned_start + chunk_idx * k, k)],
+            chunk_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def cond(state):
+        i, transmittance, _ = state
+        return jnp.logical_and(i < num_chunks, jnp.max(transmittance) >= T_EPS)
+
+    def body(state):
+        i, transmittance, rgb = state
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < num_chunks)
+        def _():
+            chunk_dma(next_slot, i + 1).start()
+
+        chunk_dma(slot, i).wait()
+        raw = chunk_ref[slot]  # (PACK_ROWS, K) u32
+
+        cx = _center_decode(raw[0:1, :] >> 16)  # (1, K) tile-local center
+        cy = _center_decode(raw[0:1, :] & 0xFFFF)
+        ca = _f32_decode(raw[1:2, :])
+        cb = _f32_decode(raw[2:3, :])
+        cc = _f32_decode(raw[3:4, :])
+        q0 = _f32_decode(raw[4:5, :])
+        red = _color_decode(raw[5:6, :] >> 16)
+        grn = _color_decode(raw[5:6, :] & 0xFFFF)
+        blu = _color_decode(raw[6:7, :] >> 16)
+        aabb = raw[7:8, :]
+        xmin = _u2f(aabb & 0xFF)
+        ymin = _u2f((aabb >> 8) & 0xFF)
+        xmax = _u2f((aabb >> 16) & 0xFF)
+        ymax = _u2f((aabb >> 24) & 0xFF)
+
+        # Quadratic coefficients (8, K) for q = md² − 2·ln(op).
+        coeffs = jnp.concatenate(
+            [
+                ca,
+                cc,
+                cb,
+                -(2.0 * ca * cx + cb * cy),
+                -(2.0 * cc * cy + cb * cx),
+                q0 + ca * cx * cx + cb * cx * cy + cc * cy * cy,
+                jnp.zeros_like(ca),
+                jnp.zeros_like(ca),
+            ],
+            axis=0,
+        )
+        q = jax.lax.dot_general(
+            basis,
+            coeffs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (P, K)
+        alpha = jnp.minimum(jnp.exp(-0.5 * q), ALPHA_MAX)
+
+        inside = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        slot_idx = aligned_start + i * k + lane_iota
+        k_valid = (slot_idx >= start) & (slot_idx < start + count)
+        alpha = jnp.where(inside & (alpha >= ALPHA_EPS) & k_valid, alpha, 0.0)
+
+        u = _cumprod_lanes(1.0 - alpha)  # (P, K) inclusive ∏(1−α)
+        u_excl = jnp.concatenate(
+            [jnp.ones((p, 1), dtype=u.dtype), u[:, :-1]], axis=1
+        )
+        t_before = transmittance * u_excl
+        gate = t_before >= T_EPS
+        # α·T_before = T·(u_excl − u); gate applies the per-pixel stop rule.
+        weights = jnp.where(gate, transmittance * (u_excl - u), 0.0)
+
+        colors = jnp.concatenate([red, grn, blu], axis=0)  # (3, K)
+        rgb = rgb + jax.lax.dot_general(
+            weights,
+            colors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (P, 3)
+        # T *= gated ∏(1−α): the gate is a monotone prefix and u a
+        # non-increasing positive prefix product, so the gated product is
+        # min(where(gate, u, 1)).
+        transmittance = transmittance * jnp.min(
+            jnp.where(gate, u, 1.0), axis=1, keepdims=True
+        )
+        return i + 1, transmittance, rgb
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((p, 1), dtype=jnp.float32),
+        jnp.zeros((p, 3), dtype=jnp.float32),
+    )
+    i_end, _, rgb = jax.lax.while_loop(cond, body, init)
+
+    # Drain the prefetched-but-unconsumed DMA after an early exit.
+    @pl.when(i_end < num_chunks)
+    def _():
+        chunk_dma(jax.lax.rem(i_end, 2), i_end).wait()
+
+    out_ref[:] = rgb.T  # (3, P)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "width", "height", "chunk"),
+)
+def composite_tiles_packed(
+    packed_feats: jnp.ndarray,  # (PACK_ROWS, C) uint32, sorted instance order
+    tile_start: jnp.ndarray,  # (T,) int32
+    tile_count: jnp.ndarray,  # (T,) int32
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    width: int,
+    height: int,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Composite all tiles from packed features; returns (3, H, W) f32."""
+    num_tiles = tiles_x * tiles_y
+    p = tile_h * tile_w
+    # Pad the instance axis so every aligned chunk window is in bounds.
+    pad = jnp.zeros((PACK_ROWS, 2 * chunk), dtype=packed_feats.dtype)
+    feats = jnp.concatenate([packed_feats, pad], axis=1)
+
+    kernel = functools.partial(
+        _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (3, p), lambda t, *prefetch: (0, t), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK_ROWS, chunk), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, num_tiles * p), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_start, tile_count, feats)
+
+    fb = out.reshape(3, tiles_y, tiles_x, tile_h, tile_w)
+    fb = fb.transpose(0, 1, 3, 2, 4).reshape(
+        3, tiles_y * tile_h, tiles_x * tile_w
+    )
+    return fb[:, :height, :width]

@@ -149,6 +149,8 @@ def _strip_render(
         num_tiles=num_tiles_local,
         capacity=capacity,
         depth_scale=cfg.depth_scale,
+        near=cam.near,
+        far=cam.far,
     )
     sorted_feats = gather_sorted_features(feats_all, assignment, cfg.chunk_size)
 

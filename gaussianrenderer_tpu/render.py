@@ -78,12 +78,52 @@ def _render_impl(
     )
 
     capacity = cfg.instance_capacity(scene.num_gaussians)
+
+    if cfg.compositor == "packed" and cfg.packed_compatible:
+        # Fast path: gather-free packed expansion + single-key sort + v2
+        # Pallas kernel (see ops/instances.py, ops/pallas/tile_render2.py).
+        from gaussianrenderer_tpu.ops.instances import build_packed_instances
+        from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
+            composite_tiles_packed,
+        )
+
+        inst = build_packed_instances(
+            proj,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            capacity=capacity,
+            near=cam.near,
+            far=cam.far,
+        )
+        fb = composite_tiles_packed(
+            inst.packed_feats,
+            inst.tile_start,
+            inst.tile_count,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            width=cfg.width,
+            height=cfg.height,
+            chunk=cfg.chunk_size,
+        )
+        stats = RenderStats(
+            num_culled=jnp.sum(proj.valid.astype(jnp.int32)),
+            num_instances=inst.total_instances,
+            overflow=inst.overflow,
+        )
+        return fb, stats
+
     assignment = build_sorted_instances(
         proj,
         tiles_x=cfg.tiles_x,
         num_tiles=cfg.num_tiles,
         capacity=capacity,
         depth_scale=cfg.depth_scale,
+        near=cam.near,
+        far=cam.far,
     )
 
     feats = build_features(proj)

@@ -23,7 +23,10 @@ def _setup(n=500, h=128, w=128):
     cam.set_aspect_ratio(w / h)
     cam.set_clipping_planes(0.2, 100.0)
     cam.update_camera_matrices()
-    cfg = RenderConfig(height=h, width=w, compositor="xla")
+    # Explicit 4x8 tile grid so tiles_y divides the 8-device mesh.
+    cfg = RenderConfig(
+        height=h, width=w, compositor="xla", num_tile_x=4, num_tile_y=8
+    )
     return scene, cam, cfg
 
 

@@ -33,7 +33,15 @@ def _setup(n=120, h=64, w=128):
     cam.set_aspect_ratio(w / h)
     cam.set_clipping_planes(0.2, 100.0)
     cam.update_camera_matrices()
-    cfg = RenderConfig(height=h, width=w, compositor="xla", diff_max_chunks=8)
+    # Explicit tile grid: 8 tile rows so the 8-device mesh tests divide.
+    cfg = RenderConfig(
+        height=h,
+        width=w,
+        compositor="xla",
+        diff_max_chunks=8,
+        num_tile_x=4,
+        num_tile_y=8,
+    )
     return scene, cam, cfg
 
 
