@@ -68,37 +68,37 @@ class TileAssignment(NamedTuple):
 
 
 def _segment_expand_multi(
-    start_slot: jnp.ndarray,  # (N,) int32 segment-start slot per Gaussian
+    start_slot: jnp.ndarray,  # (N,) int32 segment-start slot (counts>0 only)
+    end_slot: jnp.ndarray,  # (N,) int32 one-past-end slot per segment
     values: Sequence[jnp.ndarray],  # list of (N,) int32/uint32 payloads
-    gauss: jnp.ndarray,  # (N,) int32 0..N-1
     capacity: int,
 ) -> list:
     """Broadcast each ``values[k][g]`` to every slot of g's segment.
 
-    Gather-free forward fill: every payload is scattered to its segment's
-    first slot (sorted unique indices — the fast scatter case), then ONE
-    ``associative_scan`` over the whole tuple forward-fills all of them
-    simultaneously with the rightmost-written-wins monoid keyed on g+1
-    (strictly increasing along slots, 0 = unwritten). Pure 32-bit — no
-    int64 needed (x64 is disabled under jit by default).
+    Gather-free segment broadcast via the interval-delta trick: scatter-add
+    ``+v`` at the segment's first slot and ``−v`` one past its last slot,
+    then an int32 ``cumsum`` reconstructs v exactly on every covered slot —
+    segments are disjoint and two's-complement addition is exact under
+    wraparound, so this works for arbitrary 32-bit payloads (float bits
+    included). Both scatters use sorted indices (the fast case on TPU) and
+    each field costs one cumsum — far cheaper than a 14-wide
+    associative-scan forward fill. Uncovered slots (beyond the total) read
+    0. Pure 32-bit: no int64 needed (x64 is disabled by default).
     """
-    gk = jnp.zeros((capacity,), dtype=jnp.int32)
-    gk = gk.at[start_slot].set(gauss + 1, mode="drop")
-    bufs = []
+    out = []
     for v in values:
-        b = jnp.zeros((capacity,), dtype=v.dtype)
-        bufs.append(b.at[start_slot].set(v, mode="drop"))
-
-    def combine(a, b):
-        ga = a[0]
-        gb = b[0]
-        take_b = gb >= ga
-        return (jnp.maximum(ga, gb),) + tuple(
-            jnp.where(take_b, yb, ya) for ya, yb in zip(a[1:], b[1:])
-        )
-
-    out = jax.lax.associative_scan(combine, (gk, *bufs))
-    return list(out[1:])
+        if v.dtype == jnp.int32:
+            vi = v
+        else:
+            vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+        delta = jnp.zeros((capacity,), dtype=jnp.int32)
+        delta = delta.at[start_slot].add(vi, mode="drop")
+        delta = delta.at[end_slot].add(-vi, mode="drop")
+        filled = jnp.cumsum(delta)
+        if v.dtype != jnp.int32:
+            filled = jax.lax.bitcast_convert_type(filled, v.dtype)
+        out.append(filled)
+    return out
 
 
 def expand_instances(
@@ -131,8 +131,11 @@ def expand_instances(
 
     n = counts.shape[0]
     gauss = jnp.arange(n, dtype=jnp.int32)
-    # Empty segments scatter nowhere (index = capacity → dropped).
-    start_slot = jnp.where(counts > 0, excl, capacity)
+    # Interval-delta scatter sites: +v at excl, −v at incl. Empty segments
+    # (excl == incl) self-cancel; slots ≥ capacity are dropped by the
+    # scatter's OOB mode.
+    start_slot = excl
+    end_slot = incl
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     in_range = slots < jnp.minimum(total, capacity)
@@ -150,10 +153,10 @@ def expand_instances(
     dmax = float((1 << depth_bits) - 1)
     depth_q = (depth01 * dmax).astype(jnp.uint32)
 
-    # ONE forward-fill scan broadcasts every per-Gaussian record to its slots.
+    # Broadcast every per-Gaussian record to its slots (delta + cumsum each).
     extra = list(features_u32) if features_u32 is not None else []
     expanded = _segment_expand_multi(
-        start_slot, [gauss, excl, rect, depth_q, *extra], gauss, capacity
+        start_slot, end_slot, [gauss, excl, rect, depth_q, *extra], capacity
     )
     gauss_id, excl_slot, rect_slot, depth_slot = expanded[:4]
     feat_slots = expanded[4:]

@@ -1,0 +1,10 @@
+"""Shared utilities: timing, JSONL benchmark sink, device-time measurement."""
+
+from gaussianrenderer_tpu.utils.timing import (
+    device_time,
+    measure_floor,
+    FrameTimer,
+)
+from gaussianrenderer_tpu.utils.jsonl import JsonlWriter
+
+__all__ = ["device_time", "measure_floor", "FrameTimer", "JsonlWriter"]

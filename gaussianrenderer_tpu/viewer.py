@@ -1,0 +1,222 @@
+"""Canvas — the viewer/session layer (reference ``render/canvas.*`` parity).
+
+The reference Canvas owns a GLFW window, per-frame CUDA orchestration, an
+ImGui settings panel, and input callbacks (``canvas.cpp``). TPU hosts have
+no GPU/OpenGL, so this Canvas is a **headless session object** with the
+same public surface and behavior envelope:
+
+* construction ``Canvas(height, width, tile_x, tile_y)`` (``canvas.cpp:9``)
+* ``init()`` — builds the (jit-cached) renderer instead of GL objects
+* ``load_gaussians(path)`` — hot scene swap (drag-drop analog,
+  ``canvas.cpp:280-296``)
+* ``render()`` — one frame through the full TPU pipeline; ``draw()`` —
+  fetch + convert the framebuffer for display (the reference's D2H →
+  SSBO → fullscreen-quad hop, ``canvas.cpp:337-365``)
+* ``on_resize(h, w)`` — dynamic resolution (``canvas.cpp:198-224``): camera
+  aspect + tile strides recomputed; jit cache keyed per (H, W) bucket
+* ``UiSettings`` — flip-Y, k-sigma (0.1-8), fovY, tile grid with X/Y lock
+  (``canvas.hpp:7-19``, ``canvas.cpp:298-335``); k-sigma and fov are traced
+  args so moving a slider never recompiles
+* orbit / zoom / drag input helpers with the reference's deg-per-pixel
+  speeds (``canvas.cpp:226-279``)
+* an EMA frame timer matching ``cull_sort_test.cpp:53-63``
+
+For an actual on-screen view, ``serve()`` starts a localhost MJPEG/HTML
+viewer (see web_viewer.py) — the display transport replacing OpenGL.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from gaussianrenderer_tpu.config import RenderConfig, UiSettings
+from gaussianrenderer_tpu.render import framebuffer_to_image, render_frame
+from gaussianrenderer_tpu.scene.camera import Camera
+from gaussianrenderer_tpu.scene.gaussians import GaussianScene
+from gaussianrenderer_tpu.scene.io import load_ply
+
+
+class FrameTimer:
+    """EMA frame timer (reference ``cull_sort_test.cpp:17-18,53-63``)."""
+
+    def __init__(self, alpha: float = 0.1, report_every: int = 60):
+        self.alpha = alpha
+        self.report_every = report_every
+        self.ema_ms: Optional[float] = None
+        self.frames = 0
+        self._last = None
+
+    def tick(self) -> Optional[str]:
+        now = time.perf_counter()
+        if self._last is not None:
+            ms = (now - self._last) * 1e3
+            self.ema_ms = (
+                ms
+                if self.ema_ms is None
+                else self.alpha * ms + (1 - self.alpha) * self.ema_ms
+            )
+        self._last = now
+        self.frames += 1
+        if self.ema_ms is not None and self.frames % self.report_every == 0:
+            return (
+                f"frame {self.frames}: {self.ema_ms:.3f} ms/frame "
+                f"({1000.0 / self.ema_ms:.1f} FPS)"
+            )
+        return None
+
+
+class OrbitControls:
+    """Drag-to-orbit state (reference ``render.hpp:11-20``)."""
+
+    def __init__(self, orbit_speed_x: float = 0.25, orbit_speed_y: float = 0.25):
+        self.orbit_speed_x = orbit_speed_x  # degrees per pixel
+        self.orbit_speed_y = orbit_speed_y
+        self.dragging = False
+        self._last_xy = (0.0, 0.0)
+
+    def press(self, x: float, y: float) -> None:
+        self.dragging = True
+        self._last_xy = (x, y)
+
+    def release(self) -> None:
+        self.dragging = False
+
+    def move(self, x: float, y: float):
+        """Returns (azimuth_deg, elevation_deg) or None if not dragging."""
+        if not self.dragging:
+            return None
+        dx = x - self._last_xy[0]
+        dy = y - self._last_xy[1]
+        self._last_xy = (x, y)
+        return (dx * self.orbit_speed_x, dy * self.orbit_speed_y)
+
+
+class Canvas:
+    """Headless render session with the reference Canvas surface."""
+
+    def __init__(
+        self,
+        height: int = 800,
+        width: int = 800,
+        tile_x: int = 0,
+        tile_y: int = 0,
+        compositor: str = "packed",
+    ):
+        self.settings = UiSettings()
+        self._base_cfg = RenderConfig(
+            height=height,
+            width=width,
+            num_tile_x=tile_x,
+            num_tile_y=tile_y,
+            compositor=compositor,
+        )
+        self.camera = Camera()
+        self.scene: Optional[GaussianScene] = None
+        self.timer = FrameTimer()
+        self.controls = OrbitControls()
+        self._fb = None
+        self._last_drop: Optional[str] = None
+        self._initialized = False
+
+    # ------------------------------------------------------------- lifecycle
+    def init(self) -> None:
+        """Reference ``Canvas::init`` — here: nothing to allocate eagerly
+        (jit caches build on first render), but kept for API parity."""
+        self._initialized = True
+
+    @property
+    def cfg(self) -> RenderConfig:
+        import dataclasses
+
+        s = self.settings
+        cfg = self._base_cfg
+        if s.num_tile_x > 0 or s.num_tile_y > 0:
+            cfg = dataclasses.replace(
+                cfg, num_tile_x=s.num_tile_x, num_tile_y=s.num_tile_y
+            )
+        return cfg
+
+    # --------------------------------------------------------------- loading
+    def load_gaussians(self, path: str) -> None:
+        """Hot-swap the scene (reference drag-drop, ``canvas.cpp:280-296``)."""
+        self.scene = load_ply(path).to_device()
+
+    def set_scene(self, scene: GaussianScene) -> None:
+        self.scene = scene.to_device()
+
+    def drop_file(self, path: str) -> None:
+        """GLFW drop-callback analog: remembers and loads the last path."""
+        self._last_drop = path
+        self.load_gaussians(path)
+
+    # --------------------------------------------------------------- controls
+    def on_cursor(self, x: float, y: float) -> None:
+        delta = self.controls.move(x, y)
+        if delta is not None:
+            self.camera.orbit(*delta)
+
+    def on_mouse_button(self, pressed: bool, x: float = 0.0, y: float = 0.0) -> None:
+        if pressed:
+            self.controls.press(x, y)
+        else:
+            self.controls.release()
+
+    def on_scroll(self, dy: float) -> None:
+        self.camera.zoom(dy)
+
+    def on_resize(self, height: int, width: int) -> None:
+        """Dynamic resolution (reference ``Canvas::onResize``): updates the
+        camera aspect and switches to the (H, W) jit bucket."""
+        self._base_cfg = self._base_cfg.with_resolution(height, width)
+        self.camera.set_aspect_ratio(width / height)
+        self.camera.update_camera_matrices()
+
+    def set_fov(self, fov_deg: float) -> None:
+        self.settings.fov_y = fov_deg
+        self.settings.clamp()
+        self.camera.set_fov_y(self.settings.fov_y)
+        self.camera.update_camera_matrices()
+        self.camera.update_frustum_planes()  # fov slider path, canvas.cpp:310-314
+
+    # ---------------------------------------------------------------- render
+    def render(self):
+        """One frame: the reference's ``preprocessCUDAGaussians`` analog.
+
+        Returns (framebuffer, stats); the framebuffer stays on device.
+        """
+        if self.scene is None:
+            raise RuntimeError("no scene loaded — call load_gaussians() first")
+        self.settings.clamp()
+        cfg = self.cfg
+        params = self.camera.params(self.settings.k_sigma)
+        fb, stats = render_frame(self.scene, params, cfg)
+        self._fb = fb
+        line = self.timer.tick()
+        if line:
+            print(line, flush=True)
+        return fb, stats
+
+    def draw(self) -> np.ndarray:
+        """Fetch the frame for display: (H, W, 3) uint8, Y-flip per settings
+        (the reference's D2H + SSBO + fragment-shader flip)."""
+        if self._fb is None:
+            self.render()
+        return framebuffer_to_image(self._fb, flip_y=self.settings.flip_y)
+
+    # ------------------------------------------------------------------ loop
+    def run_headless(self, frames: int, orbit_deg_per_frame: float = 1.0):
+        """Reference main loop analog (``cull_sort_test.cpp:52-64``): orbit,
+        render, EMA-report. Returns the last frame as uint8."""
+        for _ in range(frames):
+            self.camera.orbit(orbit_deg_per_frame, 0.0)
+            self.render()
+        return self.draw()
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8800):
+        """Start the browser viewer (display transport; see web_viewer.py)."""
+        from gaussianrenderer_tpu.web_viewer import serve_canvas
+
+        serve_canvas(self, host=host, port=port)

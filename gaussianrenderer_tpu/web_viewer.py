@@ -1,0 +1,190 @@
+"""Browser-based interactive viewer — the display transport for Canvas.
+
+The reference displays via OpenGL: per-frame D2H copy → SSBO upload →
+fullscreen-quad fragment shader (``canvas.cpp:344-365``). TPU hosts are
+headless, so the equivalent hop is framebuffer → PNG → localhost HTTP:
+a single-page viewer with drag-orbit, scroll-zoom, and the reference's
+ImGui settings (flip-Y, k-sigma, fovY) as HTML controls
+(``Canvas::debugWindow``, ``canvas.cpp:298-335``).
+
+Endpoints:
+  GET /          the viewer page
+  GET /frame     current frame as PNG (renders on demand)
+  GET /orbit?dx=&dy=   orbit by pixel deltas × orbit speed
+  GET /zoom?d=         zoom along the view axis
+  GET /set?k_sigma=&fov=&flip=   update UiSettings
+  GET /stats     JSON render stats
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+import zlib
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def _png_encode(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (no external deps; stdlib zlib only)."""
+    h, w, _ = img.shape
+    raw = b"".join(
+        b"\x00" + img[y].tobytes() for y in range(h)
+    )  # filter 0 per row
+    compressed = zlib.compress(raw, 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", compressed)
+        + chunk(b"IEND", b"")
+    )
+
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>gaussianrenderer_tpu</title><style>
+body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
+#view { border:1px solid #444; cursor:grab; max-width:100%; }
+.panel { margin:8px 0; } label { margin-right:16px; }
+</style></head><body>
+<h3>gaussianrenderer_tpu viewer</h3>
+<img id="view" draggable="false"/>
+<div class="panel">
+  <label>k-sigma <input id="k" type="range" min="0.1" max="8" step="0.1" value="3"/>
+  <span id="kv">3.0</span></label>
+  <label>fovY <input id="f" type="range" min="10" max="160" step="1" value="70"/>
+  <span id="fv">70</span></label>
+  <label><input id="flip" type="checkbox" checked/> flip-Y</label>
+</div>
+<div class="panel" id="stats"></div>
+<script>
+const img = document.getElementById('view');
+let busy = false, dirty = true;
+async function refresh() {
+  if (busy) { dirty = true; return; }
+  busy = true; dirty = false;
+  img.src = '/frame?t=' + Date.now();
+  await new Promise(r => { img.onload = r; img.onerror = r; });
+  fetch('/stats').then(r => r.json()).then(s => {
+    document.getElementById('stats').textContent = JSON.stringify(s);
+  });
+  busy = false;
+  if (dirty) refresh();
+}
+let drag = null;
+img.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
+window.addEventListener('mouseup', () => { drag = null; });
+window.addEventListener('mousemove', async e => {
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  drag = [e.clientX, e.clientY];
+  await fetch(`/orbit?dx=${dx}&dy=${dy}`);
+  refresh();
+});
+img.addEventListener('wheel', async e => {
+  e.preventDefault();
+  await fetch(`/zoom?d=${e.deltaY > 0 ? -0.3 : 0.3}`);
+  refresh();
+});
+async function setParams() {
+  const k = document.getElementById('k').value;
+  const f = document.getElementById('f').value;
+  const flip = document.getElementById('flip').checked ? 1 : 0;
+  document.getElementById('kv').textContent = k;
+  document.getElementById('fv').textContent = f;
+  await fetch(`/set?k_sigma=${k}&fov=${f}&flip=${flip}`);
+  refresh();
+}
+for (const id of ['k', 'f', 'flip'])
+  document.getElementById(id).addEventListener('change', setParams);
+refresh();
+</script></body></html>"""
+
+
+def serve_canvas(canvas, host: str = "127.0.0.1", port: int = 8800) -> None:
+    """Blocking HTTP viewer for a :class:`gaussianrenderer_tpu.viewer.Canvas`."""
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path == "/":
+                    self._send(200, "text/html", _PAGE.encode())
+                elif url.path == "/frame":
+                    with lock:
+                        canvas.render()
+                        img = canvas.draw()
+                    self._send(200, "image/png", _png_encode(img))
+                elif url.path == "/orbit":
+                    with lock:
+                        dx = float(q.get("dx", 0.0))
+                        dy = float(q.get("dy", 0.0))
+                        canvas.camera.orbit(
+                            dx * canvas.controls.orbit_speed_x,
+                            dy * canvas.controls.orbit_speed_y,
+                        )
+                    self._send(200, "text/plain", b"ok")
+                elif url.path == "/zoom":
+                    with lock:
+                        canvas.camera.zoom(float(q.get("d", 0.0)))
+                    self._send(200, "text/plain", b"ok")
+                elif url.path == "/set":
+                    with lock:
+                        if "k_sigma" in q:
+                            canvas.settings.k_sigma = float(q["k_sigma"])
+                        if "fov" in q:
+                            canvas.set_fov(float(q["fov"]))
+                        if "flip" in q:
+                            canvas.settings.flip_y = q["flip"] == "1"
+                        canvas.settings.clamp()
+                    self._send(200, "text/plain", b"ok")
+                elif url.path == "/stats":
+                    with lock:
+                        ema = canvas.timer.ema_ms
+                        body = json.dumps(
+                            {
+                                "frames": canvas.timer.frames,
+                                "ema_ms": None if ema is None else round(ema, 3),
+                                "fps": None if not ema else round(1000.0 / ema, 1),
+                                "gaussians": (
+                                    canvas.scene.num_gaussians
+                                    if canvas.scene is not None
+                                    else 0
+                                ),
+                            }
+                        ).encode()
+                    self._send(200, "application/json", body)
+                else:
+                    self._send(404, "text/plain", b"not found")
+            except BrokenPipeError:
+                pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"viewer: http://{host}:{port}/", flush=True)
+    server.serve_forever()

@@ -1,0 +1,121 @@
+"""Canvas/viewer session tests (reference ``canvas.cpp`` behavior)."""
+
+import numpy as np
+
+from gaussianrenderer_tpu.scene.io import make_random_scene
+from gaussianrenderer_tpu.viewer import Canvas, FrameTimer, OrbitControls
+
+
+def _canvas(h=96, w=128, n=500):
+    c = Canvas(height=h, width=w, compositor="xla")
+    c.init()
+    c.camera.set_position([0.0, 0.0, 6.0])
+    c.camera.set_clipping_planes(0.2, 100.0)
+    c.camera.set_aspect_ratio(w / h)
+    c.camera.update_camera_matrices()
+    c.set_scene(make_random_scene(n, seed=0))
+    return c
+
+
+def test_render_and_draw():
+    c = _canvas()
+    fb, stats = c.render()
+    assert fb.shape == (3, 96, 128)
+    img = c.draw()
+    assert img.shape == (96, 128, 3) and img.dtype == np.uint8
+
+
+def test_flip_y_setting():
+    c = _canvas()
+    c.render()
+    c.settings.flip_y = True
+    a = c.draw()
+    c.settings.flip_y = False
+    b = c.draw()
+    np.testing.assert_array_equal(a, b[::-1])
+
+
+def test_resize_switches_resolution():
+    c = _canvas()
+    c.render()
+    c.on_resize(64, 160)
+    fb, _ = c.render()
+    assert fb.shape == (3, 64, 160)
+    assert abs(c.camera.aspect - 160 / 64) < 1e-6
+
+
+def test_orbit_controls_drag():
+    c = _canvas()
+    pos0 = c.camera.position.copy()
+    c.on_mouse_button(True, 10.0, 10.0)
+    c.on_cursor(30.0, 10.0)  # 20 px drag → 5° azimuth at 0.25°/px
+    c.on_mouse_button(False)
+    assert not np.allclose(c.camera.position, pos0)
+    # camera distance to look_at preserved by orbit
+    r0 = np.linalg.norm(pos0 - c.camera.look_at)
+    r1 = np.linalg.norm(c.camera.position - c.camera.look_at)
+    assert abs(r0 - r1) < 1e-4
+
+
+def test_zoom_moves_along_axis():
+    c = _canvas()
+    r0 = np.linalg.norm(c.camera.position - c.camera.look_at)
+    c.on_scroll(1.0)
+    r1 = np.linalg.norm(c.camera.position - c.camera.look_at)
+    assert r1 != r0
+
+
+def test_k_sigma_affects_image():
+    c = _canvas()
+    c.settings.k_sigma = 0.5
+    a = np.asarray(c.render()[0])
+    c.settings.k_sigma = 6.0
+    b = np.asarray(c.render()[0])
+    assert not np.array_equal(a, b)
+
+
+def test_settings_clamp():
+    c = _canvas()
+    c.settings.k_sigma = 100.0
+    c.settings.fov_y = 1.0
+    c.settings.clamp()
+    assert c.settings.k_sigma == 8.0
+    assert c.settings.fov_y == 10.0
+
+
+def test_frame_timer_ema():
+    t = FrameTimer(report_every=2)
+    assert t.tick() is None
+    line = None
+    for _ in range(3):
+        line = t.tick() or line
+    assert line is not None and "ms/frame" in line
+
+
+def test_orbit_controls_state():
+    oc = OrbitControls()
+    assert oc.move(5, 5) is None
+    oc.press(0, 0)
+    d = oc.move(4, 8)
+    assert d == (4 * oc.orbit_speed_x, 8 * oc.orbit_speed_y)
+    oc.release()
+    assert oc.move(9, 9) is None
+
+
+def test_png_encode_decodes():
+    from gaussianrenderer_tpu.web_viewer import _png_encode
+
+    c = _canvas()
+    c.render()
+    img = c.draw()
+    png = _png_encode(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # verify it round-trips through an independent decoder if available
+    try:
+        from PIL import Image
+        import io as _io
+
+        back = np.asarray(Image.open(_io.BytesIO(png)))
+        np.testing.assert_array_equal(back, img)
+    except ImportError:
+        pass
