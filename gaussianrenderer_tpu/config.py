@@ -79,6 +79,11 @@ class RenderConfig:
     #: gradients flow through the screen-space center.
     quantize_centers: bool = True
 
+    #: Tier-capacity boost (0-3) for the packed path's wide-splat tiers;
+    #: each step quadruples them. ``make_renderer(auto_tier=True)`` bumps
+    #: this automatically when a frame reports overflow.
+    tier_boost: int = 0
+
     # ---------------------------------------------------------------- derived
     @property
     def tile_w(self) -> int:

@@ -96,6 +96,7 @@ def _render_impl(
             capacity=capacity,
             near=cam.near,
             far=cam.far,
+            tier_boost=cfg.tier_boost,
         )
         fb = composite_tiles_packed(
             inst.packed_feats,
@@ -182,6 +183,15 @@ def _render_impl(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_frame_static(scene, cam, cfg):
+    return _render_impl(scene, cam, cfg, None)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_frame_time(scene, cam, cfg, time_value):
+    return _render_impl(scene, cam, cfg, time_value)
+
+
 def render_frame(
     scene: GaussianScene,
     cam: CameraParams,
@@ -193,18 +203,64 @@ def render_frame(
     The planar layout matches the reference's SSBO framebuffer
     (``canvas.hpp:104-106``): channel-major, row y=0 at NDC y=−1.
     ``cfg`` is static (hashable dataclass); camera and time are traced, so
-    interaction never recompiles.
+    interaction never recompiles. Dispatches to one of two fixed-arity
+    jitted entry points (a single Optional-arg jit trips the C++ fast-path
+    argument matching on this jax version when arities are mixed).
     """
-    return _render_impl(scene, cam, cfg, time_value)
+    fn = _render_frame_static if time_value is None else _render_frame_time
+    args = (scene, cam, cfg) if time_value is None else (scene, cam, cfg, time_value)
+    try:
+        return fn(*args)
+    except ValueError as e:  # pragma: no cover - jax 0.9 fastpath bug
+        # Rare jax fast-path miscount: an executable compiled against one
+        # set of concrete arrays can report an input-buffer arity mismatch
+        # when re-invoked with different (same-shape) arrays. Clearing the
+        # trace cache and recompiling is safe and idempotent.
+        if "buffers but compiled program expected" not in str(e):
+            raise
+        fn.clear_cache()
+        return fn(*args)
 
 
-def make_renderer(scene: GaussianScene, cfg: RenderConfig):
+def make_renderer(
+    scene: GaussianScene,
+    cfg: RenderConfig,
+    auto_tier: bool = False,
+    overflow_check_every: int = 16,
+):
     """Returns ``render(cam_params, time=None) -> (fb, stats)`` with the scene
-    closed over (donated-to-device, jit-cached once per config)."""
+    closed over (device-resident, jit-cached once per config).
+
+    ``auto_tier=True`` periodically fetches the overflow flag and, when
+    set, re-jits with the next tier bucket (``cfg.tier_boost + 1``) — the
+    static-shape answer to the reference's mid-frame dynamic buffer sizing
+    (``render.cu:962-971``). The check is amortized (every
+    ``overflow_check_every`` frames) because a device→host sync is not free.
+    """
+    import dataclasses
+
     scene = scene.to_device()
+    state = {"cfg": cfg, "frame": 0}
+
+    def _call(cam, time_value):
+        # Keep the positional arity stable per cache entry (None time is
+        # simply omitted) — mixing arities for the same static cfg trips
+        # the jit fast-path argument matching on some jax versions.
+        if time_value is None:
+            return render_frame(scene, cam, state["cfg"])
+        return render_frame(scene, cam, state["cfg"], time_value)
 
     def _render(cam: CameraParams, time_value=None):
-        return render_frame(scene, cam, cfg, time_value)
+        out = _call(cam, time_value)
+        if auto_tier:
+            state["frame"] += 1
+            if (state["frame"] - 1) % overflow_check_every == 0:
+                while state["cfg"].tier_boost < 3 and bool(out[1].overflow):
+                    state["cfg"] = dataclasses.replace(
+                        state["cfg"], tier_boost=state["cfg"].tier_boost + 1
+                    )
+                    out = _call(cam, time_value)
+        return out
 
     return _render
 

@@ -74,18 +74,34 @@ def test_segment_expansion_exact():
     np.testing.assert_array_equal(out_i[:total], np.asarray(vals_i)[expect_g])
 
 
-def test_packed_capacity_overflow_flag():
-    scene, cam = _setup(n=3000)
-    cfg = RenderConfig(
-        height=128,
-        width=160,
-        compositor="packed",
-        instance_multiplier=0.1,
-        min_instance_capacity=128,
+def test_packed_tier_overflow_flag_and_boost():
+    # Many wide splats: the base tier capacities truncate (overflow flag),
+    # a boosted config renders fully.
+    scene = make_random_scene(2000, seed=5, scale_range=(0.05, 0.5))
+    _, cam = _setup()
+    cfg0 = RenderConfig(height=128, width=160, compositor="packed")
+    fb0, st0 = render_frame(scene, cam.params(cfg0.k_sigma), cfg0)
+    assert bool(st0.overflow)
+    assert np.isfinite(np.asarray(fb0)).all()
+
+    cfg2 = RenderConfig(
+        height=128, width=160, compositor="packed", tier_boost=2
     )
-    fb, st = render_frame(scene, cam.params(cfg.k_sigma), cfg)
-    assert bool(st.overflow)
-    assert np.isfinite(np.asarray(fb)).all()
+    fb2, st2 = render_frame(scene, cam.params(cfg2.k_sigma), cfg2)
+    assert not bool(st2.overflow)
+    golden = render_oracle(scene, cam, cfg2)
+    assert psnr(np.asarray(golden), np.asarray(fb2)) > 60.0
+
+
+def test_auto_tier_renderer_converges():
+    from gaussianrenderer_tpu.render import make_renderer
+
+    scene = make_random_scene(2000, seed=5, scale_range=(0.05, 0.5))
+    _, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    render = make_renderer(scene, cfg, auto_tier=True)
+    fb, st = render(cam.params(cfg.k_sigma))
+    assert not bool(st.overflow)
 
 
 def test_packed_4d_time_slicing():

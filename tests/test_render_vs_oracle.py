@@ -74,7 +74,9 @@ def test_camera_orbit_changes_image():
 def test_k_sigma_is_traced_not_static():
     """Changing k_sigma must not retrigger compilation (same jit cache)."""
     scene, cam, cfg = _setup(compositor="xla")
-    fn = render_frame.lower(scene, cam.params(3.0), cfg).compile()
+    from gaussianrenderer_tpu.render import _render_frame_static
+
+    fn = _render_frame_static.lower(scene, cam.params(3.0), cfg).compile()
     fb_a, _ = fn(scene, cam.params(3.0))
     fb_b, _ = fn(scene, cam.params(1.0))
     # smaller splat radius => less coverage => different image
