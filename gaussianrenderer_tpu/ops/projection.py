@@ -7,8 +7,15 @@ compaction — every Gaussian keeps its slot and carries a validity mask; the
 reference's decoupled-lookback stream compaction collapses into masking
 (SURVEY.md §2.11 mapping table).
 
-Numerics follow the live GPU path exactly (not the dead CPU prototype, whose
-Jacobian has a different Y sign convention — SURVEY.md §2.7):
+Layout note: everything here computes on 1-D (N,) columns — small trailing
+dims like (N, 3) put the 3 on the TPU lane axis (3/128 lane utilization,
+~40× waste), so the (N,3)/(N,4) inputs are split into columns once up
+front and all linear algebra is written out scalar-style per lane. The
+same math expressed with einsums over (N,3,3) was measured 10-50× slower
+on v5e.
+
+Numerics follow the live GPU path exactly (not the dead CPU prototype,
+whose Jacobian has a different Y sign convention — SURVEY.md §2.7):
 
 * view transform + w-divide to NDC, NaN guards (``render.cu:535-553``),
 * cull when camera-space ``Z >= -near`` or NDC z ∉ [−1, 1] (``render.cu:554``),
@@ -33,13 +40,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gaussianrenderer_tpu.ops.sh import eval_sh
+from gaussianrenderer_tpu.ops.sh import eval_sh_columns
 from gaussianrenderer_tpu.scene.camera import CameraParams
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
-
-# TPU matmuls default to bf16 MXU passes; the projection math needs full f32
-# (the reference is f32 CUDA) or PSNR vs the oracle collapses to ~35 dB.
-_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 class ProjectedGaussians(NamedTuple):
@@ -57,7 +60,11 @@ class ProjectedGaussians(NamedTuple):
 
 
 def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
-    """(N,4) w,x,y,z quaternions → (N,3,3) rotations (``math.cpp:138-149``)."""
+    """(N,4) w,x,y,z quaternions → (N,3,3) rotations (``math.cpp:138-149``).
+
+    Kept for external callers/tests; the hot path below inlines the same
+    formulas on 1-D columns.
+    """
     q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1 - 2 * (y * y + z * z)
@@ -100,30 +107,50 @@ def preprocess_gaussians(
     extension (time-conditioned opacity slicing; reference roadmap
     README.md:16).
     """
-    pos = scene.positions.astype(jnp.float32)
-    n = pos.shape[0]
+    f32 = jnp.float32
+    # Transpose the (N, small) scene inputs once: column slices of a
+    # lane-minor array re-read the whole padded buffer per column, while
+    # rows of the transposed form are contiguous.
+    pos_t = scene.positions.astype(f32).T  # (3, N)
+    quat_t = scene.quats.astype(f32).T  # (4, N)
+    scale_t = scene.scales.astype(f32).T  # (3, N)
+    sh_t = scene.sh.astype(f32).T  # (3(deg+1)², N)
+    px_, py_, pz_ = pos_t[0], pos_t[1], pos_t[2]
 
     # ------------------------------------------------ SH view-dependent color
-    view_dir = pos - cam.position[None, :]
-    norm = jnp.linalg.norm(view_dir, axis=-1, keepdims=True)
+    cpos = cam.position.astype(f32)
+    dx = px_ - cpos[0]
+    dy = py_ - cpos[1]
+    dz = pz_ - cpos[2]
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     # Reference normalize zero-guard (math.cu mirror of math.cpp:7-19).
-    view_dir = jnp.where(norm > 1e-8, view_dir / norm, 0.0)
-    color = eval_sh(scene.sh, view_dir, sh_degree)
+    inv_n = jnp.where(norm > 1e-8, 1.0 / norm, 0.0)
+    color = eval_sh_columns(
+        sh_t, dx * inv_n, dy * inv_n, dz * inv_n, sh_degree
+    )  # (N, 3)
 
     # --------------------------------------------- view + projection transform
-    ones = jnp.ones((n, 1), dtype=jnp.float32)
-    homo = jnp.concatenate([pos, ones], axis=-1)
-    cam_xyzw = jnp.matmul(homo, cam.view.T, precision=_HIGHEST)  # (N,4) camera space
-    cx, cy, cz = cam_xyzw[:, 0], cam_xyzw[:, 1], cam_xyzw[:, 2]
+    view = cam.view.astype(f32)
+    cx = view[0, 0] * px_ + view[0, 1] * py_ + view[0, 2] * pz_ + view[0, 3]
+    cy = view[1, 0] * px_ + view[1, 1] * py_ + view[1, 2] * pz_ + view[1, 3]
+    cz = view[2, 0] * px_ + view[2, 1] * py_ + view[2, 2] * pz_ + view[2, 3]
 
-    clip = jnp.matmul(cam_xyzw, cam.proj.T, precision=_HIGHEST)
-    ndc = clip[:, :3] / clip[:, 3:4]
+    proj = cam.proj.astype(f32)
+    # OpenGL perspective: clip = P · cam, w = −z_cam.
+    clip_x = proj[0, 0] * cx
+    clip_y = proj[1, 1] * cy
+    clip_z = proj[2, 2] * cz + proj[2, 3]
+    clip_w = -cz
+    safe_w = jnp.where(jnp.abs(clip_w) > 1e-12, clip_w, 1e-12)
+    ndc_x = clip_x / safe_w
+    ndc_y = clip_y / safe_w
+    ndc_z = clip_z / safe_w
 
-    finite_cam = jnp.all(jnp.isfinite(cam_xyzw[:, :3]), axis=-1)
-    finite_ndc = jnp.all(jnp.isfinite(ndc), axis=-1)
+    finite_cam = jnp.isfinite(cx) & jnp.isfinite(cy) & jnp.isfinite(cz)
+    finite_ndc = jnp.isfinite(ndc_x) & jnp.isfinite(ndc_y) & jnp.isfinite(ndc_z)
     # Cull test (render.cu:554): behind near plane or NDC z outside [−1,1].
     in_front = cz < -cam.near
-    z_ok = (ndc[:, 2] >= -1.0) & (ndc[:, 2] <= 1.0)
+    z_ok = (ndc_z >= -1.0) & (ndc_z <= 1.0)
     survived_cull = finite_cam & finite_ndc & in_front & z_ok
 
     depth = -cz  # positive in front of camera; ascending = front-to-back
@@ -131,46 +158,100 @@ def preprocess_gaussians(
     # ------------------------------------------------------- EWA Σ2D projection
     fy = 1.0 / jnp.tan(jnp.deg2rad(cam.fov_y) * 0.5)
     fx = fy / cam.aspect
-    # Guard Z≈0 to keep the Jacobian finite for culled splats.
     safe_z = jnp.where(jnp.abs(cz) > 1e-12, cz, 1e-12)
-    zero = jnp.zeros_like(safe_z)
-    j_row0 = jnp.stack([fx / safe_z, zero, -fx * cx / (safe_z * safe_z)], axis=-1)
-    j_row1 = jnp.stack([zero, fy / safe_z, -fy * cy / (safe_z * safe_z)], axis=-1)
-    jac = jnp.stack([j_row0, j_row1], axis=-2)  # (N,2,3)
+    inv_z = 1.0 / safe_z
+    # Jacobian rows (render.cu:620-657): [fx/Z, 0, −fx·X/Z²],
+    #                                    [0, fy/Z, −fy·Y/Z²].
+    j00 = fx * inv_z
+    j02 = -fx * cx * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * cy * inv_z * inv_z
 
-    rot = quat_to_rotmat(scene.quats)  # (N,3,3)
-    s2 = jnp.square(scene.scales)  # (N,3) — Σ = R·diag(s²)·Rᵀ
-    cov3d = jnp.einsum("nij,nj,nkj->nik", rot, s2, rot, precision=_HIGHEST)
-    cov_cam = jnp.einsum(
-        "ij,njk,lk->nil", cam.r_cam, cov3d, cam.r_cam, precision=_HIGHEST
-    )
-    cov2d = jnp.einsum("nij,njk,nlk->nil", jac, cov_cam, jac, precision=_HIGHEST)  # (N,2,2)
+    # quat → R, inlined on columns (math.cpp:138-149).
+    qw, qx, qy, qz = quat_t[0], quat_t[1], quat_t[2], quat_t[3]
+    qn = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    qi = jnp.where(qn > 0, 1.0 / qn, 0.0)
+    qw, qx, qy, qz = qw * qi, qx * qi, qy * qi, qz * qi
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+
+    # Σ3D = R·diag(s²)·Rᵀ (render.cu:662-673) — expanded on columns.
+    s0 = jnp.square(scale_t[0])
+    s1 = jnp.square(scale_t[1])
+    s2_ = jnp.square(scale_t[2])
+    c00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2_
+    c01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2_
+    c02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2_
+    c11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2_
+    c12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2_
+    c22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2_
+
+    # Rotate to camera frame: M = R_cam · Σ · R_camᵀ (render.cu:676-677).
+    rc = cam.r_cam.astype(f32)
+
+    def rot_sym(c00, c01, c02, c11, c12, c22):
+        # t = R_cam · Σ (3x3 each lane), then m = t · R_camᵀ; Σ symmetric.
+        t00 = rc[0, 0] * c00 + rc[0, 1] * c01 + rc[0, 2] * c02
+        t01 = rc[0, 0] * c01 + rc[0, 1] * c11 + rc[0, 2] * c12
+        t02 = rc[0, 0] * c02 + rc[0, 1] * c12 + rc[0, 2] * c22
+        t10 = rc[1, 0] * c00 + rc[1, 1] * c01 + rc[1, 2] * c02
+        t11 = rc[1, 0] * c01 + rc[1, 1] * c11 + rc[1, 2] * c12
+        t12 = rc[1, 0] * c02 + rc[1, 1] * c12 + rc[1, 2] * c22
+        t20 = rc[2, 0] * c00 + rc[2, 1] * c01 + rc[2, 2] * c02
+        t21 = rc[2, 0] * c01 + rc[2, 1] * c11 + rc[2, 2] * c12
+        t22 = rc[2, 0] * c02 + rc[2, 1] * c12 + rc[2, 2] * c22
+        m00 = t00 * rc[0, 0] + t01 * rc[0, 1] + t02 * rc[0, 2]
+        m01 = t00 * rc[1, 0] + t01 * rc[1, 1] + t02 * rc[1, 2]
+        m02 = t00 * rc[2, 0] + t01 * rc[2, 1] + t02 * rc[2, 2]
+        m11 = t10 * rc[1, 0] + t11 * rc[1, 1] + t12 * rc[1, 2]
+        m12 = t10 * rc[2, 0] + t11 * rc[2, 1] + t12 * rc[2, 2]
+        m22 = t20 * rc[2, 0] + t21 * rc[2, 1] + t22 * rc[2, 2]
+        return m00, m01, m02, m11, m12, m22
+
+    m00, m01, m02, m11, m12, m22 = rot_sym(c00, c01, c02, c11, c12, c22)
+
+    # Σ2D = J·Σcam·Jᵀ (J rows: [j00,0,j02], [0,j11,j12]) — render.cu:680-682.
+    # u = J·Σ: u0· = j00·Σ0· + j02·Σ2·, u1· = j11·Σ1· + j12·Σ2·.
+    u00 = j00 * m00 + j02 * m02
+    u02 = j00 * m02 + j02 * m22
+    u10 = j11 * m01 + j12 * m02
+    u11 = j11 * m11 + j12 * m12
+    u12 = j11 * m12 + j12 * m22
+    sxx_ndc = u00 * j00 + u02 * j02
+    # Σ2D[1,0] == Σ2D[0,1] analytically; the reference sums both halves
+    # into the conic (render.cu:698-701) — equivalent to 2·sxy here.
+    sxy_ndc = u10 * j00 + u12 * j02
+    syy_ndc = u11 * j11 + u12 * j12
 
     half_w = width * 0.5
     half_h = height * 0.5
-    sxx = cov2d[:, 0, 0] * (half_w * half_w)
-    sxy = cov2d[:, 0, 1] * (half_w * half_h)
-    syx = cov2d[:, 1, 0] * (half_h * half_w)
-    syy = cov2d[:, 1, 1] * (half_h * half_h)
+    sxx = sxx_ndc * (half_w * half_w)
+    sxy = sxy_ndc * (half_w * half_h)
+    syy = syy_ndc * (half_h * half_h)
 
-    det = sxx * syy - sxy * syx
+    det = sxx * syy - sxy * sxy
     det_ok = jnp.isfinite(det) & (det >= 1e-8)
-    safe_det = jnp.where(det_ok, det, 1.0)
-    inv_det = 1.0 / safe_det
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
     # conic packs (ic00, ic01+ic10, ic11) — the blend kernel evaluates
     # md² = dxᵀ·Σ⁻¹·dx exactly as render.cu:332.
-    conic = jnp.stack(
-        [syy * inv_det, -(sxy + syx) * inv_det, sxx * inv_det], axis=-1
-    )
+    conic_a = syy * inv_det
+    conic_b = -2.0 * sxy * inv_det
+    conic_c = sxx * inv_det
 
     # Closed-form eigenvalues + angle (render.cu:704-727).
-    s_xy = 0.5 * (sxy + syx)
     tr = sxx + syy
     dif = sxx - syy
-    rad = jnp.sqrt(jnp.maximum(0.0, dif * dif + 4.0 * s_xy * s_xy))
+    rad = jnp.sqrt(jnp.maximum(0.0, dif * dif + 4.0 * sxy * sxy))
     lam1 = jnp.maximum(0.5 * (tr + rad), 1e-8)
     lam2 = jnp.maximum(0.5 * (tr - rad), 1e-8)
-    theta = 0.5 * jnp.arctan2(2.0 * s_xy, dif)
+    theta = 0.5 * jnp.arctan2(2.0 * sxy, dif)
     r1 = cam.k_sigma * jnp.sqrt(lam1)
     r2 = cam.k_sigma * jnp.sqrt(lam2)
     c_t = jnp.cos(theta)
@@ -178,7 +259,6 @@ def preprocess_gaussians(
     ex = (jnp.abs(r1 * c_t) + jnp.abs(r2 * s_t)) / half_w  # NDC units
     ey = (jnp.abs(r1 * s_t) + jnp.abs(r2 * c_t)) / half_h
 
-    ndc_x, ndc_y = ndc[:, 0], ndc[:, 1]
     xmin = ndc_x - ex
     xmax = ndc_x + ex
     ymin = ndc_y - ey
@@ -203,7 +283,6 @@ def preprocess_gaussians(
         # training disables this so position gradients survive.
         cx_px = jnp.round(cx_px)
         cy_px = jnp.round(cy_px)
-    center_px = jnp.stack([cx_px, cy_px], axis=-1)
 
     valid = survived_cull & det_ok & on_screen
 
@@ -213,7 +292,7 @@ def preprocess_gaussians(
     tmin_y = jnp.clip(ymin_px.astype(jnp.int32) // tile_h, 0, tiles_y - 1)
     tmax_y = jnp.clip(ymax_px.astype(jnp.int32) // tile_h, 0, tiles_y - 1)
 
-    opacity = scene.opacity.astype(jnp.float32)
+    opacity = scene.opacity.astype(f32)
     if extra_opacity_scale is not None:
         opacity = opacity * extra_opacity_scale
 
@@ -222,11 +301,9 @@ def preprocess_gaussians(
         depth=depth,
         color=color,
         opacity=opacity,
-        center_px=center_px.astype(jnp.float32),
-        conic=conic.astype(jnp.float32),
-        aabb_px=jnp.stack([xmin_px, ymin_px, xmax_px, ymax_px], axis=-1).astype(
-            jnp.float32
-        ),
+        center_px=jnp.stack([cx_px, cy_px], axis=-1),
+        conic=jnp.stack([conic_a, conic_b, conic_c], axis=-1),
+        aabb_px=jnp.stack([xmin_px, ymin_px, xmax_px, ymax_px], axis=-1),
         tile_min=jnp.stack([tmin_x, tmin_y], axis=-1),
         tile_max=jnp.stack([tmax_x, tmax_y], axis=-1),
     )

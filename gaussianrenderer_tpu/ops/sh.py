@@ -38,6 +38,60 @@ SH_C3 = (
 )
 
 
+def eval_sh_columns(
+    sh_t: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    z: jnp.ndarray,
+    degree: int,
+    clamp: bool = True,
+) -> jnp.ndarray:
+    """Column-wise SH evaluation for the hot path.
+
+    ``sh_t`` is the TRANSPOSED coefficient matrix (3·(deg+1)², N) — its
+    rows are contiguous (N,) vectors, whereas column slices of the (N, C)
+    form re-read the whole lane-padded buffer per coefficient. Identical
+    math to :func:`eval_sh`.
+    """
+    n_coeff_stored = sh_t.shape[0] // 3
+    max_degree_stored = int(round(n_coeff_stored**0.5)) - 1
+    degree = min(degree, max_degree_stored)
+
+    basis = [jnp.full_like(x, SH_C0)]
+    if degree > 0:
+        basis += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+        if degree > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            basis += [
+                SH_C2[0] * xy,
+                SH_C2[1] * yz,
+                SH_C2[2] * (2.0 * zz - xx - yy),
+                SH_C2[3] * xz,
+                SH_C2[4] * (xx - yy),
+            ]
+            if degree > 2:
+                basis += [
+                    SH_C3[0] * y * (3.0 * xx - yy),
+                    SH_C3[1] * xy * z,
+                    SH_C3[2] * y * (4.0 * zz - xx - yy),
+                    SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                    SH_C3[4] * x * (4.0 * zz - xx - yy),
+                    SH_C3[5] * z * (xx - yy),
+                    SH_C3[6] * x * (xx - 3.0 * yy),
+                ]
+    channels = []
+    for ch in range(3):
+        acc = basis[0] * sh_t[ch]
+        for c in range(1, len(basis)):
+            acc = acc + basis[c] * sh_t[3 * c + ch]
+        channels.append(acc)
+    color = jnp.stack(channels, axis=-1)
+    if clamp:
+        color = jnp.clip(color + 0.5, 0.0, 1.0)
+    return color
+
+
 def eval_sh(
     sh: jnp.ndarray, dirs: jnp.ndarray, degree: int, clamp: bool = True
 ) -> jnp.ndarray:
