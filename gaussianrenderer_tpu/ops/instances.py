@@ -111,39 +111,41 @@ def _emit_tier(
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Broadcast one tier: each Gaussian × (side_y × side_x) tile lanes.
 
-    Returns (keys (G·M,), 8 feature rows (G·M,)) flattened, with invalid
+    Returns (keys (M·G,), 8 feature rows (M·G,)) flattened, with invalid
     lanes keyed SENTINEL. Pure elementwise/broadcast ops — no scatters.
+    Arrays are laid out (M, G) — Gaussians on the 128-wide lane axis —
+    because the (G, M) orientation wastes (128−M)/128 of every vector op.
     """
     m = side_x * side_y
     off = jnp.arange(m, dtype=jnp.int32)
-    dx = (off % side_x)[None, :]  # (1, M)
-    dy = (off // side_x)[None, :]
+    dx = (off % side_x)[:, None]  # (M, 1)
+    dy = (off // side_x)[:, None]
 
-    tx = tmin_x[:, None] + dx  # (G, M)
-    ty = tmin_y[:, None] + dy
+    tx = tmin_x[None, :] + dx  # (M, G)
+    ty = tmin_y[None, :] + dy
     lane_ok = (
-        emit[:, None]
-        & (dx < rect_w[:, None])
-        & (dy < rect_h[:, None])
+        emit[None, :]
+        & (dx < rect_w[None, :])
+        & (dy < rect_h[None, :])
     )
     tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
-    key = (tile_id << depth_bits) | depth_q[:, None]
+    key = (tile_id << depth_bits) | depth_q[None, :]
     key = jnp.where(lane_ok, key, SENTINEL)
 
     # Tile-local recode of center and AABB (lane-dependent: tile origin).
     cx, cy, ca, cb, cc, q0, rg, b_, ax, ay = rows10
     x0 = (tx * tile_w).astype(jnp.float32)
     y0 = (ty * tile_h).astype(jnp.float32)
-    cx_rel = jax.lax.bitcast_convert_type(cx, jnp.float32)[:, None] - x0
-    cy_rel = jax.lax.bitcast_convert_type(cy, jnp.float32)[:, None] - y0
+    cx_rel = jax.lax.bitcast_convert_type(cx, jnp.float32)[None, :] - x0
+    cy_rel = jax.lax.bitcast_convert_type(cy, jnp.float32)[None, :] - y0
     row0 = (_center_bits(cx_rel) << 16) | _center_bits(cy_rel)
 
     x0i = tx * tile_w
     y0i = ty * tile_h
-    xmin = jnp.clip((ax >> 16).astype(jnp.int32)[:, None] - x0i, 0, 255)
-    xmax = jnp.clip((ax & 0xFFFF).astype(jnp.int32)[:, None] - x0i, 0, 255)
-    ymin = jnp.clip((ay >> 16).astype(jnp.int32)[:, None] - y0i, 0, 255)
-    ymax = jnp.clip((ay & 0xFFFF).astype(jnp.int32)[:, None] - y0i, 0, 255)
+    xmin = jnp.clip((ax >> 16).astype(jnp.int32)[None, :] - x0i, 0, 255)
+    xmax = jnp.clip((ax & 0xFFFF).astype(jnp.int32)[None, :] - x0i, 0, 255)
+    ymin = jnp.clip((ay >> 16).astype(jnp.int32)[None, :] - y0i, 0, 255)
+    ymax = jnp.clip((ay & 0xFFFF).astype(jnp.int32)[None, :] - y0i, 0, 255)
     row7 = (
         xmin.astype(jnp.uint32)
         | (ymin.astype(jnp.uint32) << 8)
@@ -151,8 +153,8 @@ def _emit_tier(
         | (ymax.astype(jnp.uint32) << 24)
     )
 
-    def bc(row):  # broadcast a (G,) u32 over lanes
-        return jnp.broadcast_to(row[:, None], key.shape).reshape(-1)
+    def bc(row):  # broadcast a (G,) u32 over the M sublane copies
+        return jnp.broadcast_to(row[None, :], key.shape).reshape(-1)
 
     rows8 = (
         row0.reshape(-1),
@@ -257,7 +259,12 @@ def build_packed_instances(
         + jnp.where(needs_big, jnp.int32(1_000_000_000), 0)
         + jnp.where(needs_huge, jnp.int32(1_000_000_000), 0)
     )
-    _, big_idx = jax.lax.top_k(rank_key, k2)
+    # Descending selection via the fast single-key sort (lax.top_k is far
+    # slower than lax.sort on this hardware at these k/N ratios).
+    _, idx_sorted = jax.lax.sort(
+        (-rank_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    big_idx = idx_sorted[:k2]
 
     def sel(a):  # small-K gather — cheap
         return a[big_idx]

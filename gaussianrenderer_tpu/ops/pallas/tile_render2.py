@@ -82,6 +82,27 @@ def _f32_decode(bits_u32: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(bits_u32, jnp.float32)
 
 
+def _fast_exp(x: jnp.ndarray) -> jnp.ndarray:
+    """exp(x) for x ≤ 0 via exponent bit-stuffing + a degree-4 minimax poly.
+
+    XLA's exp costs ~40-50 VPU slots; this is ~10. Max relative error
+    2.6e-6 (fit range 2^t, t∈[0,1)) — far below the 1e-3 alpha threshold
+    granularity, so blending is visually identical. Inputs ≤ −87 flush
+    to 0 like the exact function underflows.
+    """
+    y = x * 1.4426950408889634  # log2(e)
+    yi = jnp.floor(y)
+    t = y - yi
+    p = 1.0000026036 + t * (
+        0.6930037261 + t * (0.2414429825 + t * (0.0520114241 + t * 0.013534055))
+    )
+    exp_bits = (yi.astype(jnp.int32) + 127) << 23
+    scale = jax.lax.bitcast_convert_type(
+        jnp.clip(exp_bits, 0, 254 << 23), jnp.float32
+    )
+    return jnp.where(yi < -126, 0.0, p * scale)
+
+
 def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix product along the lane (last) axis via doubling."""
     k = x.shape[-1]
@@ -197,7 +218,7 @@ def _tile_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (P, K)
-        alpha = jnp.minimum(jnp.exp(-0.5 * q), ALPHA_MAX)
+        alpha = jnp.minimum(_fast_exp(-0.5 * q), ALPHA_MAX)
 
         inside = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
         slot_idx = aligned_start + i * k + lane_iota
