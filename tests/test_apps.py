@@ -1,0 +1,75 @@
+"""App-level smokes — the reference's executable suite, exercised via main()."""
+
+import sys
+
+import pytest
+
+from gaussianrenderer_tpu.scene.io import make_random_scene, save_ply
+
+
+@pytest.fixture(scope="module")
+def ply_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("apps") / "scene.ply")
+    save_ply(make_random_scene(2000, seed=0), path)
+    return path
+
+
+def _run(mod, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    return mod.main()
+
+
+def test_parser_test(ply_file, monkeypatch, capsys):
+    from gaussianrenderer_tpu.apps import parser_test
+
+    assert _run(parser_test, [ply_file], monkeypatch) == 0
+    assert "2000 gaussians" in capsys.readouterr().out
+
+
+def test_camera_test(monkeypatch, capsys):
+    from gaussianrenderer_tpu.apps import camera_test
+
+    assert camera_test.main() == 0
+    assert "proj" in capsys.readouterr().out
+
+
+def test_cull_sort_test_headless(monkeypatch, capsys):
+    from gaussianrenderer_tpu.apps import cull_sort_test
+
+    rc = _run(
+        cull_sort_test,
+        [
+            "--synthetic", "500",
+            "--frames", "3",
+            "--width", "128",
+            "--height", "96",
+        ],
+        monkeypatch,
+    )
+    assert rc == 0
+
+
+def test_onesweep_harness(monkeypatch, capsys):
+    from gaussianrenderer_tpu.apps import onesweep
+
+    rc = _run(
+        onesweep,
+        ["--minN", "100", "--maxN", "5000", "--growth", "3.0"],
+        monkeypatch,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out and "0 failed" in out
+
+
+def test_matrix_test_small(monkeypatch, capsys):
+    from gaussianrenderer_tpu.apps import matrix_test
+
+    rc = _run(
+        matrix_test,
+        ["--n", "512", "--bm", "256", "--bn", "256", "--bk", "256",
+         "--iters", "1", "--ones"],
+        monkeypatch,
+    )
+    assert rc == 0
+    assert "OK" in capsys.readouterr().out
