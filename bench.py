@@ -112,7 +112,9 @@ def main():
         lambda *xs: jnp.stack(xs), *frame_params
     )
 
-    def loop():
+    # NOTE: scene/params must be jit ARGUMENTS — closed-over arrays become
+    # HLO constants, which at 3M Gaussians means shipping >1 GB of program.
+    def loop(scene, stacked):
         def body(i, acc):
             p = jax.tree_util.tree_map(lambda a: a[i], stacked)
             fb, _ = _render_impl(scene, p, cfg)
@@ -122,13 +124,13 @@ def main():
 
     jl = jax.jit(loop)
     t0 = time.time()
-    float(jl())
+    float(jl(scene, stacked))
     log(f"loop compile+first: {time.time()-t0:.1f}s")
 
     walls = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        float(jl())
+        float(jl(scene, stacked))
         walls.append((time.perf_counter() - t0) * 1e3)
     wall = statistics.median(walls)
     ms = max(wall - floor, 0.0) / args.frames

@@ -77,36 +77,40 @@ def device_time(
     if floor is None:
         floor = measure_floor()
 
-    def body(i, acc):
-        eps = i.astype(jnp.float32) * jnp.float32(1e-30)
-        bit = (i & 1).astype(jnp.int32)
+    def loop(loop_args):
+        def body(i, acc):
+            eps = i.astype(jnp.float32) * jnp.float32(1e-30)
+            bit = (i & 1).astype(jnp.int32)
 
-        def perturb(a):
-            if not hasattr(a, "dtype"):
-                return a
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                return a + eps.astype(a.dtype)
-            if a.dtype == jnp.bool_:
-                return a
-            return a ^ bit.astype(a.dtype)
+            def perturb(a):
+                if not hasattr(a, "dtype"):
+                    return a
+                if jnp.issubdtype(a.dtype, jnp.floating):
+                    return a + eps.astype(a.dtype)
+                if a.dtype == jnp.bool_:
+                    return a
+                return a ^ bit.astype(a.dtype)
 
-        args_i = jax.tree_util.tree_map(perturb, args)
-        out = fn(*args_i)
-        s = sum(
-            jnp.sum(l.astype(jnp.float32))
-            for l in jax.tree_util.tree_leaves(out)
-            if hasattr(l, "dtype") and l.dtype != jnp.bool_
-        )
-        return acc + s
+            args_i = jax.tree_util.tree_map(perturb, loop_args)
+            out = fn(*args_i)
+            s = sum(
+                jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(out)
+                if hasattr(l, "dtype") and l.dtype != jnp.bool_
+            )
+            return acc + s
 
-    loop = jax.jit(
-        lambda: jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    )
-    _sync(loop())  # compile + warm
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    # args must be jit ARGUMENTS: closed-over arrays are baked into the
+    # HLO as constants (gigabytes at scene scale, and the remote compiler
+    # rejects oversized programs).
+    jloop = jax.jit(loop)
+    _sync(jloop(args))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _sync(loop())
+        _sync(jloop(args))
         ts.append((time.perf_counter() - t0) * 1e3)
     wall = statistics.median(ts)
     return max(wall - floor, 0.0) / iters

@@ -28,7 +28,7 @@ def log(*a):
 def measure_loop(render_impl, scene, stacked_params, cfg, frames, floor, time_values=None):
     from gaussianrenderer_tpu.render import _render_impl
 
-    def loop():
+    def loop(scene, stacked_params, time_values):
         def body(i, acc):
             p = jax.tree_util.tree_map(lambda a: a[i], stacked_params)
             tv = None if time_values is None else time_values[i]
@@ -37,12 +37,12 @@ def measure_loop(render_impl, scene, stacked_params, cfg, frames, floor, time_va
 
         return jax.lax.fori_loop(0, frames, body, jnp.float32(0.0))
 
-    jl = jax.jit(loop)
-    float(jl())
+    jl = jax.jit(loop, static_argnames=())
+    float(jl(scene, stacked_params, time_values))
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(jl())
+        float(jl(scene, stacked_params, time_values))
         walls.append((time.perf_counter() - t0) * 1e3)
     return max(statistics.median(walls) - floor, 0.0) / frames
 

@@ -76,7 +76,7 @@ def main():
 
     frames = args.frames
 
-    def loop():
+    def loop(scene, params):
         def body(i, acc):
             eps = i.astype(jnp.float32) * 1e-30
             p = params._replace(position=params.position + eps)
@@ -87,12 +87,12 @@ def main():
 
     jl = jax.jit(loop)
     t0 = time.perf_counter()
-    float(jl())
+    float(jl(scene, params))
     log(f"compile+first: {time.perf_counter()-t0:.1f}s")
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(jl())
+        float(jl(scene, params))
         ts.append((time.perf_counter() - t0) * 1e3)
     wall = statistics.median(ts)
     ms = max(wall - floor, 0.0) / frames
