@@ -78,8 +78,14 @@ def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
 
 
-def tier_sizes(n: int, boost: int = 0) -> Tuple[int, int]:
-    """(K₂, K₃): how many big/huge Gaussians get wide-rect lanes.
+#: Area ladder: every Gaussian gets TIER_M[0] lanes; the K widest (by tile
+#: area) get TIER_M[1..3] lanes. Lane r enumerates the rect linearly, so a
+#: tier covers any rect with area ≤ its m.
+TIER_M = (2, 8, 64, 1024)
+
+
+def tier_sizes(n: int, boost: int = 0) -> Tuple[int, int, int]:
+    """(K_a, K_b, K_c): how many Gaussians get 8/64/1024-lane coverage.
 
     Scaled with N so small scenes don't pay fixed tier costs. ``boost``
     (0-3) quadruples the tiers per step — the session-level response to an
@@ -88,9 +94,10 @@ def tier_sizes(n: int, boost: int = 0) -> Tuple[int, int]:
     keep rendering.
     """
     scale = 4 ** min(boost, 3)
-    k2 = min(n, max(64, n // 16) * scale)
-    k3 = min(n, max(16, n // 256) * scale)
-    return k2, k3
+    ka = min(n, max(64, n // 8) * scale)
+    kb = min(n, max(32, n // 128) * scale)
+    kc = min(n, max(16, n // 2048) * scale)
+    return ka, kb, kc
 
 
 def _emit_tier(
@@ -102,32 +109,30 @@ def _emit_tier(
     depth_q: jnp.ndarray,  # (G,) uint32
     rows10: Tuple[jnp.ndarray, ...],  # 10× (G,) u32 pre-packed fields
     *,
-    side_x: int,
-    side_y: int,
+    m: int,
     tiles_x: int,
     tile_w: int,
     tile_h: int,
     depth_bits: int,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
-    """Broadcast one tier: each Gaussian × (side_y × side_x) tile lanes.
+    """Broadcast one tier: each Gaussian × m tile lanes.
 
-    Returns (keys (M·G,), 8 feature rows (M·G,)) flattened, with invalid
-    lanes keyed SENTINEL. Pure elementwise/broadcast ops — no scatters.
-    Arrays are laid out (M, G) — Gaussians on the 128-wide lane axis —
-    because the (G, M) orientation wastes (128−M)/128 of every vector op.
+    Lane r maps to tile (tmin_x + r % w, tmin_y + r ÷ w) of the Gaussian's
+    own rect — the reference's buildLwgs enumeration (``render.cu:841-855``)
+    vectorized — so a tier covers ANY rect with area ≤ m. Returns
+    (keys (m·G,), 8 feature rows (m·G,)) flattened, invalid lanes keyed
+    SENTINEL. Pure elementwise/broadcast ops — no scatters. Arrays are laid
+    out (m, G) — Gaussians on the 128-wide lane axis — because the (G, m)
+    orientation wastes (128−m)/128 of every vector op.
     """
-    m = side_x * side_y
-    off = jnp.arange(m, dtype=jnp.int32)
-    dx = (off % side_x)[:, None]  # (M, 1)
-    dy = (off // side_x)[:, None]
+    off = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
+    safe_w = jnp.maximum(rect_w, 1)[None, :]
+    dx = off % safe_w  # (m, G)
+    dy = off // safe_w
 
-    tx = tmin_x[None, :] + dx  # (M, G)
+    tx = tmin_x[None, :] + dx  # (m, G)
     ty = tmin_y[None, :] + dy
-    lane_ok = (
-        emit[None, :]
-        & (dx < rect_w[None, :])
-        & (dy < rect_h[None, :])
-    )
+    lane_ok = emit[None, :] & (off < (rect_w * rect_h)[None, :])
     tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
     key = (tile_id << depth_bits) | depth_q[None, :]
     key = jnp.where(lane_ok, key, SENTINEL)
@@ -227,101 +232,91 @@ def build_packed_instances(
     depth_q = jnp.where(valid, (depth01 * dmax), 0.0).astype(jnp.uint32)
 
     n = counts.shape[0]
-    k2, k3 = tier_sizes(n, tier_boost)
+    ka, kb, kc = tier_sizes(n, tier_boost)
+    m0, ma, mb, mc = TIER_M
+    area = counts  # 0 for invalid
 
-    # Tier membership: tier 1 unless the rect exceeds 2×2; "huge" when it
-    # exceeds 8×8 (gets 32×32 lanes in tier 3).
-    fits_t1 = (rect_w <= 2) & (rect_h <= 2)
-    needs_big = valid & ~fits_t1
-    needs_huge = needs_big & ((rect_w > 8) | (rect_h > 8))
+    tmin_x = tmin[:, 0].astype(jnp.int32)
+    tmin_y = tmin[:, 1].astype(jnp.int32)
 
-    # ---- tier 1: every Gaussian × 4 lanes (rects ≤ 2×2) --------------------
-    key1, rows1 = _emit_tier(
-        tmin[:, 0].astype(jnp.int32),
-        tmin[:, 1].astype(jnp.int32),
-        rect_w,
-        rect_h,
-        valid & fits_t1,
-        depth_q,
-        rows10,
-        side_x=2,
-        side_y=2,
-        tiles_x=tiles_x,
-        tile_w=tile_w,
-        tile_h=tile_h,
-        depth_bits=depth_bits,
+    def emit(tx, ty, w, h, ok, dq, rows, m):
+        return _emit_tier(
+            tx, ty, w, h, ok, dq, rows,
+            m=m,
+            tiles_x=tiles_x,
+            tile_w=tile_w,
+            tile_h=tile_h,
+            depth_bits=depth_bits,
+        )
+
+    # ---- base tier: every Gaussian × m0 lanes (areas ≤ m0) -----------------
+    key1, rows1 = emit(
+        tmin_x, tmin_y, rect_w, rect_h,
+        valid & (area <= m0), depth_q, rows10, m0,
     )
 
-    # ---- tiers 2/3 membership: ONE top_k over a tiered rank key ------------
-    # huge → rank ~2e9 (prefix of the top-k), big → ~1e9, rest → count.
-    rank_key = (
-        counts
-        + jnp.where(needs_big, jnp.int32(1_000_000_000), 0)
-        + jnp.where(needs_huge, jnp.int32(1_000_000_000), 0)
-    )
-    # Descending selection via the fast single-key sort (lax.top_k is far
-    # slower than lax.sort on this hardware at these k/N ratios).
+    # ---- wide tiers: select the largest-area Gaussians with ONE sort -------
+    # Descending area ⇒ class-C (area > mb) Gaussians occupy the prefix,
+    # class-B next, class-A next, so prefix windows of the sorted order
+    # bound each class as long as the class fits its K (overflow otherwise).
     _, idx_sorted = jax.lax.sort(
-        (-rank_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+        (-area, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    big_idx = idx_sorted[:k2]
+    k_sel = min(ka + kb + kc, n)
+    sel_idx = idx_sorted[:k_sel]
 
     def sel(a):  # small-K gather — cheap
-        return a[big_idx]
+        return a[sel_idx]
 
-    b_tmin_x = sel(tmin[:, 0].astype(jnp.int32))
-    b_tmin_y = sel(tmin[:, 1].astype(jnp.int32))
-    b_w = sel(rect_w)
-    b_h = sel(rect_h)
-    b_depth = sel(depth_q)
-    b_rows = tuple(sel(r) for r in rows10)
-    b_big = sel(needs_big)
-    b_huge = sel(needs_huge)
-    in_t3 = jnp.arange(k2, dtype=jnp.int32) < k3
+    s_tmin_x = sel(tmin_x)
+    s_tmin_y = sel(tmin_y)
+    s_w = sel(rect_w)
+    s_h = sel(rect_h)
+    s_depth = sel(depth_q)
+    s_rows = tuple(sel(r) for r in rows10)
+    s_area = sel(area)
+    s_valid = sel(valid)
+    pos = jnp.arange(k_sel, dtype=jnp.int32)
 
-    # Tier 2 renders big-but-not-huge rects fully, and gives truncated 8×8
-    # coverage to huge ones that didn't fit tier 3 (overflow flags it).
-    key2, rows2 = _emit_tier(
-        b_tmin_x,
-        b_tmin_y,
-        b_w,
-        b_h,
-        b_big & ~(b_huge & in_t3),
-        b_depth,
-        b_rows,
-        side_x=8,
-        side_y=8,
-        tiles_x=tiles_x,
-        tile_w=tile_w,
-        tile_h=tile_h,
-        depth_bits=depth_bits,
+    def cls(lo, hi, kmax):
+        return s_valid & (s_area > lo) & (s_area <= hi) & (pos < kmax)
+
+    kc_end = min(kc, k_sel)
+    kb_end = min(kc + kb, k_sel)
+    ka_end = k_sel
+    key_a, rows_a = emit(
+        s_tmin_x[:ka_end], s_tmin_y[:ka_end], s_w[:ka_end], s_h[:ka_end],
+        cls(m0, ma, ka_end)[:ka_end], s_depth[:ka_end],
+        tuple(r[:ka_end] for r in s_rows), ma,
     )
-    key3, rows3 = _emit_tier(
-        b_tmin_x[:k3],
-        b_tmin_y[:k3],
-        b_w[:k3],
-        b_h[:k3],
-        (b_huge & in_t3)[:k3],
-        b_depth[:k3],
-        tuple(r[:k3] for r in b_rows),
-        side_x=32,
-        side_y=32,
-        tiles_x=tiles_x,
-        tile_w=tile_w,
-        tile_h=tile_h,
-        depth_bits=depth_bits,
+    key_b, rows_b = emit(
+        s_tmin_x[:kb_end], s_tmin_y[:kb_end], s_w[:kb_end], s_h[:kb_end],
+        cls(ma, mb, kb_end)[:kb_end], s_depth[:kb_end],
+        tuple(r[:kb_end] for r in s_rows), mb,
+    )
+    key_c, rows_c = emit(
+        s_tmin_x[:kc_end], s_tmin_y[:kc_end], s_w[:kc_end], s_h[:kc_end],
+        cls(mb, mc, kc_end)[:kc_end], s_depth[:kc_end],
+        tuple(r[:kc_end] for r in s_rows), mc,
     )
 
-    # Truncated coverage: more big Gaussians than tier-2 slots, more huge
-    # ones than tier-3 slots, or a rect wider than the 32×32 lane grid.
-    overflow = jnp.sum(needs_big.astype(jnp.int32)) > k2
-    overflow |= jnp.sum(needs_huge.astype(jnp.int32)) > k3
-    overflow |= jnp.any(needs_huge & ((rect_w > 32) | (rect_h > 32)))
+    # Truncated coverage: descending area order means class C occupies the
+    # first n_c sorted positions, class B the next n_b, class A the next
+    # n_a; an entry is missed iff its position falls past its class window.
+    n_a = jnp.sum((valid & (area > m0) & (area <= ma)).astype(jnp.int32))
+    n_b = jnp.sum((valid & (area > ma) & (area <= mb)).astype(jnp.int32))
+    n_c = jnp.sum((valid & (area > mb) & (area <= mc)).astype(jnp.int32))
+    overflow = (
+        (n_c > kc_end)
+        | (n_c + n_b > kb_end)
+        | (n_c + n_b + n_a > k_sel)
+        | jnp.any(valid & (area > mc))
+    )
 
-    key = jnp.concatenate([key1, key2, key3])
+    key = jnp.concatenate([key1, key_a, key_b, key_c])
     rows = [
-        jnp.concatenate([r1, r2, r3])
-        for r1, r2, r3 in zip(rows1, rows2, rows3)
+        jnp.concatenate(rs)
+        for rs in zip(rows1, rows_a, rows_b, rows_c)
     ]
 
     # ---- ONE single-key stable sort carrying the 8 packed rows -------------
