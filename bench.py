@@ -9,11 +9,12 @@ measured frame time — ≥ 1.0 means the target is met, higher is better.
 
 Measurement methodology: this host reaches the TPU through a tunnel whose
 device sync costs ~30 ms and whose ``block_until_ready`` does not actually
-block, so per-frame host timing is meaningless. The benchmark instead jits
-an N-frame orbit loop (one camera per iteration, indexed from a stacked
-pytree — equivalent per-frame work to the reference's interactive loop,
-``cull_sort_test.cpp:52-64``), syncs once on a scalar derived from every
-frame, subtracts the measured sync floor, and divides by N.
+block, so per-frame host timing is meaningless. The benchmark dispatches an
+N-frame orbit (async, in-order on the single TPU stream — equivalent
+per-frame work to the reference's interactive loop,
+``cull_sort_test.cpp:52-64``), forces one scalar from the LAST frame (which
+transitively waits on all of them), subtracts the measured sync floor, and
+divides by N.
 
 All human-readable progress goes to stderr; stdout carries only the JSON.
 Per-stage details land in bench_details.json.
@@ -90,7 +91,9 @@ def main():
     floor = measure_floor()
     log(f"sync floor: {floor:.1f} ms")
 
-    # One normal frame first: stats + overflow sanity.
+    # One normal frame first: stats + scene-calibrated instance tiers.
+    from gaussianrenderer_tpu.render import calibrate_tiers
+
     t0 = time.time()
     fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
     n_inst = int(stats.num_instances)
@@ -100,37 +103,47 @@ def main():
         f"first frame (compile+run): {time.time()-t0:.1f}s; "
         f"instances={n_inst} culled={n_cull} overflow={overflow}"
     )
+    if cfg.compositor == "packed" and stats.area_hist is not None:
+        import dataclasses
+
+        tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
+        lanes = tiers[0][0] * scene.num_gaussians + sum(
+            m * k for m, k in tiers[1:]
+        )
+        log(f"calibrated tiers: {tiers} (sort lanes ~{lanes/1e6:.1f}M)")
+        cfg = dataclasses.replace(cfg, tiers=tiers)
+        t0 = time.time()
+        fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+        overflow = bool(stats.overflow)
+        log(
+            f"calibrated frame (compile+run): {time.time()-t0:.1f}s; "
+            f"overflow={overflow}"
+        )
     if overflow:
-        log("WARNING: tier overflow — rerun with --tier-boost")
+        log("WARNING: tier overflow — coverage truncated")
 
     # Stack an orbit of camera params; the timed loop indexes per frame.
     frame_params = []
     for _ in range(args.frames):
         cam.orbit(360.0 / args.frames, 0.0)
         frame_params.append(cam.params(cfg.k_sigma))
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *frame_params
-    )
 
-    # NOTE: scene/params must be jit ARGUMENTS — closed-over arrays become
-    # HLO constants, which at 3M Gaussians means shipping >1 GB of program.
-    def loop(scene, stacked):
-        def body(i, acc):
-            p = jax.tree_util.tree_map(lambda a: a[i], stacked)
-            fb, _ = _render_impl(scene, p, cfg)
-            return acc + fb[0, 0, 0] + fb[2, -1, -1]
+    # Timing: dispatch `frames` async render calls (single TPU stream ⇒
+    # in-order), force one scalar from the LAST frame — it transitively
+    # waits on every prior frame — then subtract the sync floor. (A jitted
+    # fori_loop over frames would amortize dispatch too, but this backend
+    # rejects re-executing very large loop executables.)
+    def run_chain():
+        fb = None
+        for p in frame_params:
+            fb, _ = render_frame(scene, p, cfg)
+        return float(fb[0, 0, 0])
 
-        return jax.lax.fori_loop(0, args.frames, body, jnp.float32(0.0))
-
-    jl = jax.jit(loop)
-    t0 = time.time()
-    float(jl(scene, stacked))
-    log(f"loop compile+first: {time.time()-t0:.1f}s")
-
+    run_chain()  # warm the dispatch path
     walls = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        float(jl(scene, stacked))
+        run_chain()
         walls.append((time.perf_counter() - t0) * 1e3)
     wall = statistics.median(walls)
     ms = max(wall - floor, 0.0) / args.frames

@@ -84,6 +84,12 @@ class RenderConfig:
     #: this automatically when a frame reports overflow.
     tier_boost: int = 0
 
+    #: Explicit packed-path area ladder ((m, k), ...): every Gaussian gets
+    #: m₀ instance lanes, the k widest get the wider tiers. None → an
+    #: N-scaled default; ``make_renderer(auto_tier=True)`` calibrates this
+    #: from the scene's area histogram.
+    tiers: Optional[tuple] = None
+
     # ---------------------------------------------------------------- derived
     @property
     def tile_w(self) -> int:

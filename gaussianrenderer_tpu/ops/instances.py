@@ -61,6 +61,9 @@ class PackedInstances(NamedTuple):
     tile_count: jnp.ndarray  # (T,) int32
     total_instances: jnp.ndarray  # () int32 — instances actually emitted
     overflow: jnp.ndarray  # () bool — some coverage was truncated
+    #: (len(AREA_BUCKETS)+1,) int32 — valid-Gaussian tile-area histogram
+    #: (≤1, ≤2, ≤4, ≤8, ≤16, ≤64, ≤256, ≤1024, >1024); drives calibration.
+    area_hist: jnp.ndarray = None
 
 
 def _center_bits(x_rel: jnp.ndarray) -> jnp.ndarray:
@@ -78,26 +81,30 @@ def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
 
 
-#: Area ladder: every Gaussian gets TIER_M[0] lanes; the K widest (by tile
-#: area) get TIER_M[1..3] lanes. Lane r enumerates the rect linearly, so a
-#: tier covers any rect with area ≤ its m.
-TIER_M = (2, 8, 64, 1024)
+#: Area-histogram bucket edges reported in RenderStats.area_hist — used by
+#: the session-level tier calibrator (render.make_renderer).
+AREA_BUCKETS = (1, 2, 4, 8, 16, 64, 256, 1024)
 
 
-def tier_sizes(n: int, boost: int = 0) -> Tuple[int, int, int]:
-    """(K_a, K_b, K_c): how many Gaussians get 8/64/1024-lane coverage.
+def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
+    """((m, k), ...) area ladder: every Gaussian gets m₀ lanes; the k widest
+    (by tile area) get the wider tiers. Lane r enumerates the rect linearly
+    so a tier covers any rect with area ≤ its m.
 
     Scaled with N so small scenes don't pay fixed tier costs. ``boost``
-    (0-3) quadruples the tiers per step — the session-level response to an
+    (0-3) quadruples the K's per step — the session-level response to an
     overflow flag (the static-shape analog of the reference's mid-frame
     buffer resize, ``render.cu:962-971``): re-jit with a bigger bucket,
-    keep rendering.
+    keep rendering. ``make_renderer(auto_tier=True)`` replaces this whole
+    ladder with one calibrated from the scene's area histogram.
     """
     scale = 4 ** min(boost, 3)
-    ka = min(n, max(64, n // 8) * scale)
-    kb = min(n, max(32, n // 128) * scale)
-    kc = min(n, max(16, n // 2048) * scale)
-    return ka, kb, kc
+    return (
+        (4, n),
+        (16, min(n, max(64, n // 8) * scale)),
+        (128, min(n, max(32, n // 128) * scale)),
+        (1024, min(n, max(16, n // 2048) * scale)),
+    )
 
 
 def _emit_tier(
@@ -185,6 +192,7 @@ def build_packed_instances(
     near=0.1,
     far=100.0,
     tier_boost: int = 0,
+    tiers: Optional[Tuple[Tuple[int, int], ...]] = None,
 ) -> PackedInstances:
     del capacity
     num_tiles = tiles_x * tiles_y
@@ -232,8 +240,12 @@ def build_packed_instances(
     depth_q = jnp.where(valid, (depth01 * dmax), 0.0).astype(jnp.uint32)
 
     n = counts.shape[0]
-    ka, kb, kc = tier_sizes(n, tier_boost)
-    m0, ma, mb, mc = TIER_M
+    if tiers is None:
+        tiers = default_tiers(n, tier_boost)
+    ladder = [(int(m), min(int(k), n)) for m, k in tiers]
+    assert all(
+        ladder[i][0] < ladder[i + 1][0] for i in range(len(ladder) - 1)
+    ), "tier areas must be strictly increasing"
     area = counts  # 0 for invalid
 
     tmin_x = tmin[:, 0].astype(jnp.int32)
@@ -249,75 +261,83 @@ def build_packed_instances(
             depth_bits=depth_bits,
         )
 
+    m0 = ladder[0][0]
     # ---- base tier: every Gaussian × m0 lanes (areas ≤ m0) -----------------
-    key1, rows1 = emit(
+    keys = []
+    rows_out = []
+    k1, r1 = emit(
         tmin_x, tmin_y, rect_w, rect_h,
         valid & (area <= m0), depth_q, rows10, m0,
     )
+    keys.append(k1)
+    rows_out.append(r1)
 
     # ---- wide tiers: select the largest-area Gaussians with ONE sort -------
-    # Descending area ⇒ class-C (area > mb) Gaussians occupy the prefix,
-    # class-B next, class-A next, so prefix windows of the sorted order
-    # bound each class as long as the class fits its K (overflow otherwise).
-    _, idx_sorted = jax.lax.sort(
-        (-area, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
-    )
-    k_sel = min(ka + kb + kc, n)
-    sel_idx = idx_sorted[:k_sel]
+    # Descending area ⇒ the widest class occupies the sorted prefix, the
+    # next class follows, etc., so prefix windows of the sorted order bound
+    # each class as long as it fits its K (overflow flagged otherwise).
+    wide = ladder[1:]
+    overflow = jnp.any(valid & (area > ladder[-1][0]))
+    if wide:
+        _, idx_sorted = jax.lax.sort(
+            (-area, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
+        k_sel = min(sum(k for _, k in wide), n)
+        sel_idx = idx_sorted[:k_sel]
 
-    def sel(a):  # small-K gather — cheap
-        return a[sel_idx]
+        def sel(a):  # small-K gather — cheap
+            return a[sel_idx]
 
-    s_tmin_x = sel(tmin_x)
-    s_tmin_y = sel(tmin_y)
-    s_w = sel(rect_w)
-    s_h = sel(rect_h)
-    s_depth = sel(depth_q)
-    s_rows = tuple(sel(r) for r in rows10)
-    s_area = sel(area)
-    s_valid = sel(valid)
-    pos = jnp.arange(k_sel, dtype=jnp.int32)
+        s_tmin_x = sel(tmin_x)
+        s_tmin_y = sel(tmin_y)
+        s_w = sel(rect_w)
+        s_h = sel(rect_h)
+        s_depth = sel(depth_q)
+        s_rows = tuple(sel(r) for r in rows10)
+        s_area = sel(area)
+        s_valid = sel(valid)
+        pos = jnp.arange(k_sel, dtype=jnp.int32)
 
-    def cls(lo, hi, kmax):
-        return s_valid & (s_area > lo) & (s_area <= hi) & (pos < kmax)
+        # Widest class first: its window is the sorted prefix.
+        lo_list = [m for m, _ in ([(m0, 0)] + list(wide[:-1]))]
+        cum = jnp.int32(0)  # running count of wider-class members
+        end = 0
+        for (m_hi, k), m_lo in zip(reversed(wide), reversed(lo_list)):
+            end = min(end + k, k_sel)
+            mask = (
+                s_valid
+                & (s_area > m_lo)
+                & (s_area <= m_hi)
+                & (pos < end)
+            )
+            kk, rr = emit(
+                s_tmin_x[:end], s_tmin_y[:end], s_w[:end], s_h[:end],
+                mask[:end], s_depth[:end],
+                tuple(r[:end] for r in s_rows), m_hi,
+            )
+            keys.append(kk)
+            rows_out.append(rr)
+            n_cls = jnp.sum(
+                (valid & (area > m_lo) & (area <= m_hi)).astype(jnp.int32)
+            )
+            cum = cum + n_cls
+            overflow |= cum > end
 
-    kc_end = min(kc, k_sel)
-    kb_end = min(kc + kb, k_sel)
-    ka_end = k_sel
-    key_a, rows_a = emit(
-        s_tmin_x[:ka_end], s_tmin_y[:ka_end], s_w[:ka_end], s_h[:ka_end],
-        cls(m0, ma, ka_end)[:ka_end], s_depth[:ka_end],
-        tuple(r[:ka_end] for r in s_rows), ma,
-    )
-    key_b, rows_b = emit(
-        s_tmin_x[:kb_end], s_tmin_y[:kb_end], s_w[:kb_end], s_h[:kb_end],
-        cls(ma, mb, kb_end)[:kb_end], s_depth[:kb_end],
-        tuple(r[:kb_end] for r in s_rows), mb,
-    )
-    key_c, rows_c = emit(
-        s_tmin_x[:kc_end], s_tmin_y[:kc_end], s_w[:kc_end], s_h[:kc_end],
-        cls(mb, mc, kc_end)[:kc_end], s_depth[:kc_end],
-        tuple(r[:kc_end] for r in s_rows), mc,
-    )
+    # Valid-area histogram for the session-level tier calibrator.
+    hist = []
+    prev = 0
+    for edge in AREA_BUCKETS:
+        hist.append(
+            jnp.sum((valid & (area > prev) & (area <= edge)).astype(jnp.int32))
+        )
+        prev = edge
+    hist.append(jnp.sum((valid & (area > prev)).astype(jnp.int32)))
+    area_hist = jnp.stack(hist)
 
-    # Truncated coverage: descending area order means class C occupies the
-    # first n_c sorted positions, class B the next n_b, class A the next
-    # n_a; an entry is missed iff its position falls past its class window.
-    n_a = jnp.sum((valid & (area > m0) & (area <= ma)).astype(jnp.int32))
-    n_b = jnp.sum((valid & (area > ma) & (area <= mb)).astype(jnp.int32))
-    n_c = jnp.sum((valid & (area > mb) & (area <= mc)).astype(jnp.int32))
-    overflow = (
-        (n_c > kc_end)
-        | (n_c + n_b > kb_end)
-        | (n_c + n_b + n_a > k_sel)
-        | jnp.any(valid & (area > mc))
-    )
-
-    key = jnp.concatenate([key1, key_a, key_b, key_c])
-    rows = [
-        jnp.concatenate(rs)
-        for rs in zip(rows1, rows_a, rows_b, rows_c)
-    ]
+    key = jnp.concatenate(keys)
+    rows = [jnp.concatenate(rs) for rs in zip(*rows_out)]
 
     # ---- ONE single-key stable sort carrying the 8 packed rows -------------
     sorted_ops = jax.lax.sort((key, *rows), num_keys=1, is_stable=True)
@@ -339,4 +359,5 @@ def build_packed_instances(
         tile_count=tile_end - tile_start,
         total_instances=total,
         overflow=overflow,
+        area_hist=area_hist,
     )

@@ -242,12 +242,12 @@ def _tile_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (P, 3)
-        # T *= gated ∏(1−α): the gate is a monotone prefix and u a
-        # non-increasing positive prefix product, so the gated product is
-        # min(where(gate, u, 1)).
-        transmittance = transmittance * jnp.min(
-            jnp.where(gate, u, 1.0), axis=1, keepdims=True
-        )
+        # T *= ∏(1−α) UNGATED: once a pixel's t_before falls below the stop
+        # threshold its gate is false in every later chunk regardless
+        # (T only decreases), so skipping the reference's freeze-at-stop
+        # bookkeeping changes no emitted weight — and saves a where + a
+        # lane reduction per chunk.
+        transmittance = transmittance * u[:, -1:]
         return i + 1, transmittance, rgb
 
     init = (

@@ -46,6 +46,9 @@ class RenderStats(NamedTuple):
     num_culled: jnp.ndarray  # () int32 — Gaussians surviving the cull
     num_instances: jnp.ndarray  # () int32 — (gaussian, tile) pairs emitted
     overflow: jnp.ndarray  # () bool — instance capacity exceeded
+    #: (9,) int32 tile-area histogram (packed path only; None otherwise) —
+    #: feeds the auto_tier calibrator.
+    area_hist: Optional[jnp.ndarray] = None
 
 
 def _render_impl(
@@ -97,6 +100,7 @@ def _render_impl(
             near=cam.near,
             far=cam.far,
             tier_boost=cfg.tier_boost,
+            tiers=cfg.tiers,
         )
         fb = composite_tiles_packed(
             inst.packed_feats,
@@ -114,6 +118,7 @@ def _render_impl(
             num_culled=jnp.sum(proj.valid.astype(jnp.int32)),
             num_instances=inst.total_instances,
             overflow=inst.overflow,
+            area_hist=inst.area_hist,
         )
         return fb, stats
 
@@ -222,6 +227,57 @@ def render_frame(
         return fn(*args)
 
 
+def calibrate_tiers(
+    area_hist, num_tiles: int = 1024, headroom: float = 1.5, min_k: int = 256
+):
+    """Choose an area ladder from a frame's tile-area histogram.
+
+    Picks the base tier m₀ as the smallest bucket covering ≥ 80% of valid
+    Gaussians (so the always-on lanes aren't wasted), then sizes each wider
+    tier to its class population × headroom. Bucketed to powers of two so
+    nearby camera poses reuse the jit cache.
+    """
+    import numpy as np
+
+    from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS
+
+    hist = np.asarray(area_hist, dtype=np.int64)
+    total = max(int(hist.sum()), 1)
+    cum = np.cumsum(hist)
+    edges = list(AREA_BUCKETS)
+    # base tier: ≥80% coverage, at most area 8
+    m0 = None
+    for i, e in enumerate(edges[:4]):
+        if cum[i] >= 0.8 * total:
+            m0 = e
+            base_i = i
+            break
+    if m0 is None:
+        m0 = 8
+        base_i = 3
+
+    def round_up(x):
+        return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+    tiers = [(m0, 0)]
+    i = base_i + 1
+    while i < len(edges):
+        # merge adjacent buckets into one tier per 8-16x area step
+        m_hi = edges[min(i + 1, len(edges) - 1)]
+        count = int(hist[i : min(i + 2, len(edges))].sum())
+        k = max(min_k, round_up(int(count * headroom)))
+        tiers.append((m_hi, k))
+        i += 2
+    if tiers[-1][0] < edges[-1]:
+        tiers.append((edges[-1], max(min_k, round_up(int(hist[-1])))))
+    if int(hist[-1]) > 0 and num_tiles > edges[-1]:
+        # Splats covering more than 1024 tiles (up to the whole screen).
+        tiers.append(
+            (round_up(num_tiles), max(64, round_up(int(hist[-1] * headroom))))
+        )
+    return tuple(tiers)
+
+
 def make_renderer(
     scene: GaussianScene,
     cfg: RenderConfig,
@@ -231,10 +287,11 @@ def make_renderer(
     """Returns ``render(cam_params, time=None) -> (fb, stats)`` with the scene
     closed over (device-resident, jit-cached once per config).
 
-    ``auto_tier=True`` periodically fetches the overflow flag and, when
-    set, re-jits with the next tier bucket (``cfg.tier_boost + 1``) — the
-    static-shape answer to the reference's mid-frame dynamic buffer sizing
-    (``render.cu:962-971``). The check is amortized (every
+    ``auto_tier=True`` calibrates the packed path's instance-tier ladder
+    from the first frame's tile-area histogram, then periodically checks
+    the overflow flag and re-calibrates/boosts when coverage was truncated
+    — the static-shape answer to the reference's mid-frame dynamic buffer
+    sizing (``render.cu:962-971``). Checks are amortized (every
     ``overflow_check_every`` frames) because a device→host sync is not free.
     """
     import dataclasses
@@ -252,14 +309,29 @@ def make_renderer(
 
     def _render(cam: CameraParams, time_value=None):
         out = _call(cam, time_value)
-        if auto_tier:
+        if auto_tier and state["cfg"].compositor == "packed":
             state["frame"] += 1
             if (state["frame"] - 1) % overflow_check_every == 0:
-                while state["cfg"].tier_boost < 3 and bool(out[1].overflow):
-                    state["cfg"] = dataclasses.replace(
-                        state["cfg"], tier_boost=state["cfg"].tier_boost + 1
-                    )
+                tries = 0
+                while tries < 4 and bool(out[1].overflow):
+                    hist = out[1].area_hist
+                    headroom = 1.5 * (2.0**tries)
+                    if hist is not None:
+                        new_tiers = calibrate_tiers(
+                            hist,
+                            num_tiles=state["cfg"].num_tiles,
+                            headroom=headroom,
+                        )
+                        state["cfg"] = dataclasses.replace(
+                            state["cfg"], tiers=new_tiers
+                        )
+                    else:
+                        state["cfg"] = dataclasses.replace(
+                            state["cfg"],
+                            tier_boost=min(state["cfg"].tier_boost + 1, 3),
+                        )
                     out = _call(cam, time_value)
+                    tries += 1
         return out
 
     return _render

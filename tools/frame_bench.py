@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--compositor", default="packed")
     ap.add_argument("--instance-multiplier", type=float, default=8.0)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--tier-boost", type=int, default=0)
     args = ap.parse_args()
 
     from gaussianrenderer_tpu.config import RenderConfig
@@ -57,6 +59,8 @@ def main():
         width=args.width,
         compositor=args.compositor,
         instance_multiplier=args.instance_multiplier,
+        chunk_size=args.chunk,
+        tier_boost=args.tier_boost,
     )
     scene = make_random_scene(args.gaussians, seed=0).to_device()
     cam = Camera()
