@@ -115,6 +115,7 @@ def _emit_tier(
     emit: jnp.ndarray,  # (G,) bool — this tier is responsible for the Gaussian
     depth_q: jnp.ndarray,  # (G,) uint32
     rows10: Tuple[jnp.ndarray, ...],  # 10× (G,) u32 pre-packed fields
+    r2max: Optional[jnp.ndarray],  # (G,) f32 prune radius², <0 = no prune
     *,
     m: int,
     tiles_x: int,
@@ -140,6 +141,22 @@ def _emit_tier(
     tx = tmin_x[None, :] + dx  # (m, G)
     ty = tmin_y[None, :] + dy
     lane_ok = emit[None, :] & (off < (rect_w * rect_h)[None, :])
+
+    # Ellipse prune (exact-safe): md² ≥ λ_min(conic)·d², so a tile whose
+    # closest pixel to the center is farther than r²_max = 2·ln(op/1e-3)/λ_min
+    # can never pass the α ≥ 1e-3 blend test — the instance contributes
+    # nothing in the reference semantics either (render.cu:334), only the
+    # axis-aligned AABB emitted it. r2max < 0 disables the prune (λ_min ≤ 0).
+    if r2max is not None:
+        cx_g = jax.lax.bitcast_convert_type(rows10[0], jnp.float32)[None, :]
+        cy_g = jax.lax.bitcast_convert_type(rows10[1], jnp.float32)[None, :]
+        x0f = (tx * tile_w).astype(jnp.float32)
+        y0f = (ty * tile_h).astype(jnp.float32)
+        ddx = jnp.clip(cx_g, x0f, x0f + (tile_w - 1)) - cx_g
+        ddy = jnp.clip(cy_g, y0f, y0f + (tile_h - 1)) - cy_g
+        d2 = ddx * ddx + ddy * ddy
+        r2 = r2max[None, :]
+        lane_ok &= (r2 < 0.0) | (d2 <= r2)
     tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
     key = (tile_id << depth_bits) | depth_q[None, :]
     key = jnp.where(lane_ok, key, SENTINEL)
@@ -251,9 +268,24 @@ def build_packed_instances(
     tmin_x = tmin[:, 0].astype(jnp.int32)
     tmin_y = tmin[:, 1].astype(jnp.int32)
 
-    def emit(tx, ty, w, h, ok, dq, rows, m):
+    # Conservative per-Gaussian prune radius² (see _emit_tier):
+    # λ_min of the conic matrix [[A, B/2], [B/2, C]].
+    c_a = proj.conic[:, 0]
+    c_b = proj.conic[:, 1]
+    c_c = proj.conic[:, 2]
+    lam_min = 0.5 * (c_a + c_c) - jnp.sqrt(
+        jnp.maximum(0.25 * (c_a - c_c) ** 2 + 0.25 * c_b * c_b, 0.0)
+    )
+    ln_gain = jnp.float32(-2.0 * jnp.log(ALPHA_EPS)) - q0  # 2·ln(op/1e-3)
+    r2max_all = jnp.where(
+        (lam_min > 1e-20) & jnp.isfinite(lam_min),
+        jnp.maximum(ln_gain, 0.0) / jnp.maximum(lam_min, 1e-20),
+        -1.0,
+    ).astype(jnp.float32)
+
+    def emit(tx, ty, w, h, ok, dq, rows, m, r2):
         return _emit_tier(
-            tx, ty, w, h, ok, dq, rows,
+            tx, ty, w, h, ok, dq, rows, r2,
             m=m,
             tiles_x=tiles_x,
             tile_w=tile_w,
@@ -267,7 +299,7 @@ def build_packed_instances(
     rows_out = []
     k1, r1 = emit(
         tmin_x, tmin_y, rect_w, rect_h,
-        valid & (area <= m0), depth_q, rows10, m0,
+        valid & (area <= m0), depth_q, rows10, m0, r2max_all,
     )
     keys.append(k1)
     rows_out.append(r1)
@@ -298,6 +330,7 @@ def build_packed_instances(
         s_rows = tuple(sel(r) for r in rows10)
         s_area = sel(area)
         s_valid = sel(valid)
+        s_r2max = sel(r2max_all)
         pos = jnp.arange(k_sel, dtype=jnp.int32)
 
         # Widest class first: its window is the sorted prefix.
@@ -315,7 +348,7 @@ def build_packed_instances(
             kk, rr = emit(
                 s_tmin_x[:end], s_tmin_y[:end], s_w[:end], s_h[:end],
                 mask[:end], s_depth[:end],
-                tuple(r[:end] for r in s_rows), m_hi,
+                tuple(r[:end] for r in s_rows), m_hi, s_r2max[:end],
             )
             keys.append(kk)
             rows_out.append(rr)
