@@ -128,26 +128,29 @@ def main():
         cam.orbit(360.0 / args.frames, 0.0)
         frame_params.append(cam.params(cfg.k_sigma))
 
-    # Timing: dispatch `frames` async render calls (single TPU stream ⇒
-    # in-order), force one scalar from the LAST frame — it transitively
-    # waits on every prior frame — then subtract the sync floor. (A jitted
-    # fori_loop over frames would amortize dispatch too, but this backend
-    # rejects re-executing very large loop executables.)
-    def run_chain():
-        fb = None
-        for p in frame_params:
-            fb, _ = render_frame(scene, p, cfg)
+    # Timing: render + scalar-fetch each frame; per-frame wall = sync
+    # round-trip + device time, so the measured sync floor is subtracted
+    # per frame. (Deeper async pipelining — a jitted frame loop or a long
+    # dispatch chain — is rejected by this backend at 3M-Gaussian buffer
+    # sizes; on a directly-attached TPU host the floor is microseconds and
+    # this degenerates to plain per-frame timing.)
+    def one_frame(p):
+        fb, _ = render_frame(scene, p, cfg)
         return float(fb[0, 0, 0])
 
-    run_chain()  # warm the dispatch path
+    one_frame(frame_params[0])  # warm
     walls = []
     for _ in range(args.reps):
-        t0 = time.perf_counter()
-        run_chain()
-        walls.append((time.perf_counter() - t0) * 1e3)
+        for p in frame_params:
+            t0 = time.perf_counter()
+            one_frame(p)
+            walls.append((time.perf_counter() - t0) * 1e3)
     wall = statistics.median(walls)
-    ms = max(wall - floor, 0.0) / args.frames
-    log(f"walls={['%.0f' % w for w in walls]} floor={floor:.1f} -> {ms:.3f} ms/frame")
+    ms = max(wall - floor, 0.0)
+    log(
+        f"median wall={wall:.1f} floor={floor:.1f} "
+        f"p10={sorted(walls)[len(walls)//10]:.1f} -> {ms:.3f} ms/frame"
+    )
 
     details = {
         "metric": "ms_per_frame",

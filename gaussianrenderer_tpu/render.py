@@ -242,40 +242,45 @@ def calibrate_tiers(
     from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS
 
     hist = np.asarray(area_hist, dtype=np.int64)
-    total = max(int(hist.sum()), 1)
-    cum = np.cumsum(hist)
+    n_valid = max(int(hist.sum()), 1)
     edges = list(AREA_BUCKETS)
-    # base tier: ≥80% coverage, at most area 8
-    m0 = None
-    for i, e in enumerate(edges[:4]):
-        if cum[i] >= 0.8 * total:
-            m0 = e
-            base_i = i
-            break
-    if m0 is None:
-        m0 = 8
-        base_i = 3
 
     def round_up(x):
         return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
 
-    tiers = [(m0, 0)]
-    i = base_i + 1
-    while i < len(edges):
-        # merge adjacent buckets into one tier per 8-16x area step
-        m_hi = edges[min(i + 1, len(edges) - 1)]
-        count = int(hist[i : min(i + 2, len(edges))].sum())
-        k = max(min_k, round_up(int(count * headroom)))
-        tiers.append((m_hi, k))
-        i += 2
-    if tiers[-1][0] < edges[-1]:
-        tiers.append((edges[-1], max(min_k, round_up(int(hist[-1])))))
-    if int(hist[-1]) > 0 and num_tiles > edges[-1]:
-        # Splats covering more than 1024 tiles (up to the whole screen).
-        tiers.append(
-            (round_up(num_tiles), max(64, round_up(int(hist[-1] * headroom))))
-        )
-    return tuple(tiers)
+    def ladder_for(base_i: int):
+        """Tier list with base area edges[base_i]; returns (tiers, lanes)."""
+        m0 = edges[base_i]
+        tiers = [(m0, 0)]
+        lanes = m0 * n_valid
+        i = base_i + 1
+        while i < len(edges):
+            m_hi = edges[min(i + 1, len(edges) - 1)]
+            count = int(hist[i : min(i + 2, len(edges))].sum())
+            k = max(min_k, round_up(int(count * headroom)))
+            tiers.append((m_hi, k))
+            lanes += m_hi * k
+            i += 2
+        if tiers[-1][0] < edges[-1]:
+            k = max(min_k, round_up(int(hist[-1])))
+            tiers.append((edges[-1], k))
+            lanes += edges[-1] * k
+        if int(hist[-1]) > 0 and num_tiles > edges[-1]:
+            # Splats covering more than 1024 tiles (up to the whole screen).
+            m = round_up(num_tiles)
+            k = max(64, round_up(int(hist[-1] * headroom)))
+            tiers.append((m, k))
+            lanes += m * k
+        return tuple(tiers), lanes
+
+    # Pick the base tier that minimizes total sort lanes (the sort is the
+    # scaling wall, so lanes ≈ cost).
+    best = None
+    for base_i in range(4):  # m0 ∈ {1, 2, 4, 8}
+        tiers, lanes = ladder_for(base_i)
+        if best is None or lanes < best[1]:
+            best = (tiers, lanes)
+    return best[0]
 
 
 def make_renderer(

@@ -24,7 +24,7 @@ cam.set_clipping_planes(0.2, 100.0)
 cam.update_camera_matrices()
 
 golden = None
-for compositor in ["xla", "pallas"]:
+for compositor in ["xla", "packed"]:
     cfg = RenderConfig(height=h, width=w, compositor=compositor)
     t0 = time.time()
     fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
