@@ -113,3 +113,42 @@ def test_packed_4d_time_slicing():
     a, b = np.asarray(fb0), np.asarray(fb1)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.array_equal(a, b)  # time slicing changes the image
+
+
+def test_calibrate_tiers_shapes():
+    import numpy as np
+
+    from gaussianrenderer_tpu.render import calibrate_tiers
+
+    # mostly tiny splats
+    hist = np.array([900_000, 80_000, 15_000, 4_000, 800, 150, 30, 5, 0])
+    tiers = calibrate_tiers(hist, num_tiles=2040)
+    ms = [m for m, _ in tiers]
+    assert ms == sorted(ms) and len(set(ms)) == len(ms)
+    assert tiers[0][0] in (1, 2, 4, 8)
+    # every class above the base tier is covered by some wider tier
+    assert ms[-1] >= 1024
+
+    # wide-splat heavy histogram → wider base or big tiers, never invalid
+    hist2 = np.array([10, 20, 100, 400, 1500, 900, 200, 40, 3])
+    tiers2 = calibrate_tiers(hist2, num_tiles=2040)
+    ms2 = [m for m, _ in tiers2]
+    assert ms2 == sorted(ms2)
+    assert ms2[-1] >= 2040  # >1024-tile splats exist → whole-screen tier
+
+
+def test_calibrated_tiers_render_correctly():
+    import dataclasses
+
+    scene = make_random_scene(3000, seed=11, scale_range=(0.02, 0.3))
+    _, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    _, st = render_frame(scene, cam.params(3.0), cfg)
+    from gaussianrenderer_tpu.render import calibrate_tiers
+
+    tiers = calibrate_tiers(np.asarray(st.area_hist), num_tiles=cfg.num_tiles)
+    cfg2 = dataclasses.replace(cfg, tiers=tiers)
+    fb, st2 = render_frame(scene, cam.params(3.0), cfg2)
+    assert not bool(st2.overflow)
+    golden = render_oracle(scene, cam, cfg2)
+    assert psnr(np.asarray(golden), np.asarray(fb)) > 60.0
