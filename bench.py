@@ -43,6 +43,16 @@ def main():
     ap.add_argument("--tier-boost", type=int, default=0)
     ap.add_argument("--no-morton", action="store_true")
     ap.add_argument("--baseline-ms", type=float, default=8.0)
+    ap.add_argument(
+        "--tiers",
+        default=None,
+        help="explicit instance-tier ladder 'm:k,m:k,...' (skips calibration)",
+    )
+    ap.add_argument(
+        "--calibrate-only",
+        action="store_true",
+        help="render one frame, print the calibrated ladder to stdout, exit",
+    )
     args = ap.parse_args()
 
     import jax
@@ -91,11 +101,67 @@ def main():
     floor = measure_floor()
     log(f"sync floor: {floor:.1f} ms")
 
-    # One normal frame first: stats + scene-calibrated instance tiers.
+    # Scene-calibrated instance tiers. The tunneled backend in this dev
+    # container destabilizes after a few large-executable executions per
+    # process, so calibration runs in a SUBPROCESS (one frame + histogram)
+    # and the main process builds exactly one executable.
+    import dataclasses
+
     from gaussianrenderer_tpu.render import calibrate_tiers
 
+    if args.tiers:
+        tiers = tuple(
+            tuple(int(v) for v in part.split(":")) for part in args.tiers.split(",")
+        )
+        cfg = dataclasses.replace(cfg, tiers=tiers)
+        log(f"tiers (explicit): {tiers}")
+    elif args.calibrate_only:
+        fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+        tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
+        print(",".join(f"{m}:{k}" for m, k in tiers))
+        return
+    elif cfg.compositor == "packed":
+        import subprocess
+
+        sub = subprocess.run(
+            [sys.executable, __file__, "--calibrate-only"]
+            + [
+                a
+                for pair in (
+                    ("--gaussians", str(args.gaussians)),
+                    ("--height", str(args.height)),
+                    ("--width", str(args.width)),
+                    ("--compositor", args.compositor),
+                )
+                for a in pair
+            ]
+            + (["--scene", args.scene] if args.scene else [])
+            + (["--no-morton"] if args.no_morton else []),
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        tier_str = sub.stdout.strip().splitlines()[-1] if sub.stdout.strip() else ""
+        if sub.returncode == 0 and tier_str and ":" in tier_str:
+            tiers = tuple(
+                tuple(int(v) for v in part.split(":"))
+                for part in tier_str.split(",")
+            )
+            cfg = dataclasses.replace(cfg, tiers=tiers)
+            lanes = tiers[0][0] * scene.num_gaussians + sum(
+                m * k for m, k in tiers[1:]
+            )
+            log(f"calibrated tiers: {tiers} (sort lanes ~{lanes/1e6:.1f}M)")
+        else:
+            log(f"calibration subprocess failed; using defaults\n{sub.stderr[-500:]}")
+
+    # ONE executable for the whole run (see stability note above).
+    import functools
+
+    render_jit = jax.jit(functools.partial(_render_impl, cfg=cfg))
+
     t0 = time.time()
-    fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    fb, stats = render_jit(scene, cam.params(cfg.k_sigma))
     n_inst = int(stats.num_instances)
     n_cull = int(stats.num_culled)
     overflow = bool(stats.overflow)
@@ -103,22 +169,6 @@ def main():
         f"first frame (compile+run): {time.time()-t0:.1f}s; "
         f"instances={n_inst} culled={n_cull} overflow={overflow}"
     )
-    if cfg.compositor == "packed" and stats.area_hist is not None:
-        import dataclasses
-
-        tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
-        lanes = tiers[0][0] * scene.num_gaussians + sum(
-            m * k for m, k in tiers[1:]
-        )
-        log(f"calibrated tiers: {tiers} (sort lanes ~{lanes/1e6:.1f}M)")
-        cfg = dataclasses.replace(cfg, tiers=tiers)
-        t0 = time.time()
-        fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
-        overflow = bool(stats.overflow)
-        log(
-            f"calibrated frame (compile+run): {time.time()-t0:.1f}s; "
-            f"overflow={overflow}"
-        )
     if overflow:
         log("WARNING: tier overflow — coverage truncated")
 
@@ -134,13 +184,6 @@ def main():
     # dispatch chain — is rejected by this backend at 3M-Gaussian buffer
     # sizes; on a directly-attached TPU host the floor is microseconds and
     # this degenerates to plain per-frame timing.)
-    # A dedicated jit for the measured config: re-executing through a
-    # shared jit wrapper holding several static-cfg entries trips this
-    # backend at 3M-Gaussian buffer sizes.
-    import functools
-
-    render_jit = jax.jit(functools.partial(_render_impl, cfg=cfg))
-
     def one_frame(p):
         fb, _ = render_jit(scene, p)
         return float(fb[0, 0, 0])
