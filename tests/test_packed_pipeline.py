@@ -155,14 +155,14 @@ def test_calibrated_tiers_render_correctly():
 
 
 def test_fast_exp_accuracy():
-    """Kernel fast-exp ≤ 3e-6 relative error over the alpha-relevant range."""
+    """Kernel fast-exp ≤ 1e-5 relative error over the alpha-relevant range."""
     from gaussianrenderer_tpu.ops.pallas.tile_render2 import _fast_exp
 
     x = jnp.linspace(-40.0, 0.0, 200_001)
     got = np.asarray(_fast_exp(x))
     want = np.exp(np.asarray(x, np.float64))
     rel = np.abs(got - want) / np.maximum(want, 1e-300)
-    assert float(rel.max()) < 3e-6
+    assert float(rel.max()) < 1e-5
     # underflow flushes to zero, never negative/NaN
     y = np.asarray(_fast_exp(jnp.asarray([-200.0, -1000.0])))
     assert (y == 0).all()
