@@ -40,37 +40,37 @@ def build(config, frames):
     tvals = None
     if config == "1":
         scene = make_random_scene(100_000, seed=0)
-        cfg = RenderConfig(height=800, width=800, tier_boost=2)
+        cfg = RenderConfig(height=800, width=800)
         pos = (0.0, 0.0, 6.0)
     elif config == "2":
         scene = make_random_scene(
             1_500_000, seed=1, extent=4.0, scale_range=(0.004, 0.05)
         )
-        cfg = RenderConfig(height=1080, width=1920, tier_boost=1)
+        cfg = RenderConfig(height=1080, width=1920)
         pos = (0.0, 1.0, 8.0)
     elif config == "3a":
         scene = make_random_scene(
             500_000, seed=2, sh_degree=3, scale_range=(0.004, 0.05), extent=4.0
         )
-        cfg = RenderConfig(height=720, width=1280, sh_degree=3, tier_boost=1)
+        cfg = RenderConfig(height=720, width=1280, sh_degree=3)
         pos = (0.0, 1.0, 8.0)
     elif config == "3b":
         scene = make_random_scene(
             500_000, seed=2, sh_degree=3, scale_range=(0.004, 0.05), extent=4.0
         )
-        cfg = RenderConfig(height=1080, width=1920, sh_degree=3, tier_boost=1)
+        cfg = RenderConfig(height=1080, width=1920, sh_degree=3)
         pos = (0.0, 1.0, 8.0)
     elif config == "4":
         scene = make_random_scene(
             3_000_000, seed=0, extent=4.0, scale_range=(0.004, 0.03)
         ).morton_sorted()
-        cfg = RenderConfig(height=1080, width=1920, tier_boost=1)
+        cfg = RenderConfig(height=1080, width=1920)
         pos = (0.0, 1.0, 8.0)
     elif config == "5":
         scene = make_random_scene(
             500_000, seed=3, spacetime=True, scale_range=(0.004, 0.05), extent=4.0
         )
-        cfg = RenderConfig(height=720, width=1280, tier_boost=1)
+        cfg = RenderConfig(height=720, width=1280)
         pos = (0.0, 1.0, 8.0)
         tvals = jnp.linspace(0.0, 1.0, frames)
     else:
@@ -78,18 +78,24 @@ def build(config, frames):
     return scene, cfg, pos, tvals
 
 
-def run_one(config, frames, out):
+def run_one(config, frames, out, tiers=None, calibrate_only=False):
+    import dataclasses
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from gaussianrenderer_tpu.render import _render_impl
+    from gaussianrenderer_tpu.render import _render_impl, calibrate_tiers
     from gaussianrenderer_tpu.scene.camera import Camera
     from gaussianrenderer_tpu.utils import JsonlWriter
     from gaussianrenderer_tpu.utils.timing import measure_floor
 
     scene, cfg, pos, tvals = build(config, frames)
+    if tiers:
+        parsed = tuple(
+            tuple(int(v) for v in part.split(":")) for part in tiers.split(",")
+        )
+        cfg = dataclasses.replace(cfg, tiers=parsed)
     scene = scene.to_device()
     cam = Camera()
     cam.set_position(list(pos))
@@ -98,6 +104,21 @@ def run_one(config, frames, out):
     cam.set_aspect_ratio(cfg.width / cfg.height)
     cam.set_clipping_planes(0.2, 100.0)
     cam.update_camera_matrices()
+
+    if calibrate_only:
+        cam = Camera()
+        cam.set_position(list(pos))
+        cam.set_look_at([0.0, 0.0, 0.0])
+        cam.set_fov_y(70.0)
+        cam.set_aspect_ratio(cfg.width / cfg.height)
+        cam.set_clipping_planes(0.2, 100.0)
+        cam.update_camera_matrices()
+        _, stats = jax.jit(functools.partial(_render_impl, cfg=cfg))(
+            scene.to_device(), cam.params(cfg.k_sigma)
+        )
+        t = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
+        print(",".join(f"{m}:{k}" for m, k in t))
+        return
 
     floor = measure_floor()
     render_jit = jax.jit(functools.partial(_render_impl, cfg=cfg))
@@ -147,25 +168,40 @@ def main():
     ap.add_argument("--out", default="bench_suite.jsonl")
     ap.add_argument("--config", default=None, choices=CONFIGS)
     ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--tiers", default=None)
+    ap.add_argument("--calibrate-only", action="store_true")
     args = ap.parse_args()
 
     if args.config:
-        run_one(args.config, args.frames, args.out)
+        run_one(
+            args.config,
+            args.frames,
+            args.out,
+            tiers=args.tiers,
+            calibrate_only=args.calibrate_only,
+        )
         return
 
     for c in args.configs.split(","):
-        log(f"=== config {c} ===")
+        log(f"=== config {c}: calibrate ===")
+        cal = subprocess.run(
+            [sys.executable, __file__, "--config", c, "--calibrate-only"],
+            capture_output=True,
+            text=True,
+        )
+        tiers = cal.stdout.strip().splitlines()[-1] if cal.stdout.strip() else ""
+        extra = []
+        if cal.returncode == 0 and ":" in tiers:
+            log(f"[{c}] tiers {tiers}")
+            extra = ["--tiers", tiers]
+        else:
+            log(f"[{c}] calibration failed, defaults\n{cal.stderr[-300:]}")
+        log(f"=== config {c}: measure ===")
         rc = subprocess.run(
             [
-                sys.executable,
-                __file__,
-                "--config",
-                c,
-                "--frames",
-                str(args.frames),
-                "--out",
-                args.out,
-            ],
+                sys.executable, __file__, "--config", c,
+                "--frames", str(args.frames), "--out", args.out,
+            ] + extra,
         ).returncode
         if rc != 0:
             log(f"config {c} FAILED (rc={rc})")
