@@ -9,12 +9,11 @@ measured frame time — ≥ 1.0 means the target is met, higher is better.
 
 Measurement methodology: this host reaches the TPU through a tunnel whose
 device sync costs ~30 ms and whose ``block_until_ready`` does not actually
-block, so per-frame host timing is meaningless. The benchmark dispatches an
-N-frame orbit (async, in-order on the single TPU stream — equivalent
-per-frame work to the reference's interactive loop,
-``cull_sort_test.cpp:52-64``), forces one scalar from the LAST frame (which
-transitively waits on all of them), subtracts the measured sync floor, and
-divides by N.
+block. Each orbit frame (per-frame work equivalent to the reference's
+interactive loop, ``cull_sort_test.cpp:52-64``) is rendered and then forced
+with a scalar fetch; the measured sync-floor round trip is subtracted from
+each frame's wall time and the median is reported. On a directly-attached
+TPU host the floor is microseconds and this is plain per-frame timing.
 
 All human-readable progress goes to stderr; stdout carries only the JSON.
 Per-stage details land in bench_details.json.
@@ -109,16 +108,19 @@ def main():
 
     from gaussianrenderer_tpu.render import calibrate_tiers
 
+    from gaussianrenderer_tpu.render import format_tiers, parse_tiers
+
     if args.tiers:
-        tiers = tuple(
-            tuple(int(v) for v in part.split(":")) for part in args.tiers.split(",")
-        )
+        tiers = parse_tiers(args.tiers)
         cfg = dataclasses.replace(cfg, tiers=tiers)
         log(f"tiers (explicit): {tiers}")
     elif args.calibrate_only:
         fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+        if stats.area_hist is None:
+            log("no area histogram (non-packed path) — cannot calibrate")
+            return 1
         tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
-        print(",".join(f"{m}:{k}" for m, k in tiers))
+        print(format_tiers(tiers))
         return
     elif cfg.compositor == "packed":
         import subprocess
@@ -143,10 +145,7 @@ def main():
         )
         tier_str = sub.stdout.strip().splitlines()[-1] if sub.stdout.strip() else ""
         if sub.returncode == 0 and tier_str and ":" in tier_str:
-            tiers = tuple(
-                tuple(int(v) for v in part.split(":"))
-                for part in tier_str.split(",")
-            )
+            tiers = parse_tiers(tier_str)
             cfg = dataclasses.replace(cfg, tiers=tiers)
             lanes = tiers[0][0] * scene.num_gaussians + sum(
                 m * k for m, k in tiers[1:]

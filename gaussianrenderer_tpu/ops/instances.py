@@ -371,6 +371,9 @@ def build_packed_instances(
 
     key = jnp.concatenate(keys)
     rows = [jnp.concatenate(rs) for rs in zip(*rows_out)]
+    # Instances actually emitted (post tier masking AND ellipse prune) —
+    # `total` above is the pre-prune AABB count, kept for the overflow math.
+    emitted = jnp.sum((key != SENTINEL).astype(jnp.int32))
 
     # ---- ONE single-key stable sort carrying the 8 packed rows -------------
     sorted_ops = jax.lax.sort((key, *rows), num_keys=1, is_stable=True)
@@ -390,7 +393,7 @@ def build_packed_instances(
         packed_feats=packed,
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
-        total_instances=total,
+        total_instances=emitted,
         overflow=overflow,
         area_hist=area_hist,
     )

@@ -227,20 +227,35 @@ def render_frame(
         return fn(*args)
 
 
+def format_tiers(tiers) -> str:
+    """Ladder → the 'm:k,m:k' wire format used between bench subprocesses."""
+    return ",".join(f"{m}:{k}" for m, k in tiers)
+
+
+def parse_tiers(s: str):
+    return tuple(tuple(int(v) for v in part.split(":")) for part in s.split(","))
+
+
 def calibrate_tiers(
     area_hist, num_tiles: int = 1024, headroom: float = 1.5, min_k: int = 256
 ):
     """Choose an area ladder from a frame's tile-area histogram.
 
-    Picks the base tier m₀ as the smallest bucket covering ≥ 80% of valid
-    Gaussians (so the always-on lanes aren't wasted), then sizes each wider
-    tier to its class population × headroom. Bucketed to powers of two so
-    nearby camera poses reuse the jit cache.
+    Evaluates a candidate ladder for each base-tier width m₀ ∈ {1, 2, 4, 8}
+    (every Gaussian gets m₀ lanes; each wider tier is sized to its class
+    population × headroom, power-of-two bucketed so nearby camera poses
+    reuse the jit cache) and returns the one minimizing TOTAL sort lanes —
+    the sort is the scaling cost, and lanes ≈ cost.
     """
     import numpy as np
 
     from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS
 
+    if area_hist is None:
+        raise ValueError(
+            "area_hist is None — tier calibration needs the packed render "
+            "path (cfg.compositor='packed' with packed_compatible tiles)"
+        )
     hist = np.asarray(area_hist, dtype=np.int64)
     n_valid = max(int(hist.sum()), 1)
     edges = list(AREA_BUCKETS)
@@ -261,10 +276,7 @@ def calibrate_tiers(
             tiers.append((m_hi, k))
             lanes += m_hi * k
             i += 2
-        if tiers[-1][0] < edges[-1]:
-            k = max(min_k, round_up(int(hist[-1])))
-            tiers.append((edges[-1], k))
-            lanes += edges[-1] * k
+        assert tiers[-1][0] == edges[-1], "ladder must end at the widest bucket"
         if int(hist[-1]) > 0 and num_tiles > edges[-1]:
             # Splats covering more than 1024 tiles (up to the whole screen).
             m = round_up(num_tiles)
@@ -312,31 +324,45 @@ def make_renderer(
             return render_frame(scene, cam, state["cfg"])
         return render_frame(scene, cam, state["cfg"], time_value)
 
+    def _recalibrate(out, cam, time_value):
+        """Calibrate from the frame's histogram; retry while truncating."""
+        tries = 0
+        while tries < 4:
+            hist = out[1].area_hist
+            headroom = 1.5 * (2.0**tries)
+            if hist is not None:
+                new_tiers = calibrate_tiers(
+                    hist, num_tiles=state["cfg"].num_tiles, headroom=headroom
+                )
+                if new_tiers == state["cfg"].tiers and not bool(out[1].overflow):
+                    break
+                state["cfg"] = dataclasses.replace(
+                    state["cfg"], tiers=new_tiers
+                )
+            elif bool(out[1].overflow):
+                state["cfg"] = dataclasses.replace(
+                    state["cfg"],
+                    tier_boost=min(state["cfg"].tier_boost + 1, 3),
+                )
+            else:
+                break
+            out = _call(cam, time_value)
+            tries += 1
+            if not bool(out[1].overflow):
+                break
+        return out
+
     def _render(cam: CameraParams, time_value=None):
         out = _call(cam, time_value)
         if auto_tier and state["cfg"].compositor == "packed":
             state["frame"] += 1
-            if (state["frame"] - 1) % overflow_check_every == 0:
-                tries = 0
-                while tries < 4 and bool(out[1].overflow):
-                    hist = out[1].area_hist
-                    headroom = 1.5 * (2.0**tries)
-                    if hist is not None:
-                        new_tiers = calibrate_tiers(
-                            hist,
-                            num_tiles=state["cfg"].num_tiles,
-                            headroom=headroom,
-                        )
-                        state["cfg"] = dataclasses.replace(
-                            state["cfg"], tiers=new_tiers
-                        )
-                    else:
-                        state["cfg"] = dataclasses.replace(
-                            state["cfg"],
-                            tier_boost=min(state["cfg"].tier_boost + 1, 3),
-                        )
-                    out = _call(cam, time_value)
-                    tries += 1
+            first = state["frame"] == 1
+            periodic = (state["frame"] - 1) % overflow_check_every == 0
+            # Calibrate unconditionally on the first frame (the default
+            # ladder is rarely lane-optimal); afterwards only when a
+            # periodic check sees truncation.
+            if first or (periodic and bool(out[1].overflow)):
+                out = _recalibrate(out, cam, time_value)
         return out
 
     return _render

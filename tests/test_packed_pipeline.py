@@ -36,7 +36,9 @@ def test_packed_matches_xla_compositor():
     assert cfg_p.packed_compatible
     fb_x, st_x = render_frame(scene, cam.params(3.0), cfg_x)
     fb_p, st_p = render_frame(scene, cam.params(3.0), cfg_p)
-    assert int(st_x.num_instances) == int(st_p.num_instances)
+    # The packed path counts instances actually emitted: its exact-safe
+    # ellipse prune may drop zero-contribution AABB tiles the xla path keeps.
+    assert 0 < int(st_p.num_instances) <= int(st_x.num_instances)
     # Fixed-point feature quantization bounds the difference (~100 dB).
     assert psnr(np.asarray(fb_x), np.asarray(fb_p)) > 60.0
 

@@ -85,17 +85,19 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     import jax
     import jax.numpy as jnp
 
-    from gaussianrenderer_tpu.render import _render_impl, calibrate_tiers
+    from gaussianrenderer_tpu.render import (
+        _render_impl,
+        calibrate_tiers,
+        format_tiers,
+        parse_tiers,
+    )
     from gaussianrenderer_tpu.scene.camera import Camera
     from gaussianrenderer_tpu.utils import JsonlWriter
     from gaussianrenderer_tpu.utils.timing import measure_floor
 
     scene, cfg, pos, tvals = build(config, frames)
     if tiers:
-        parsed = tuple(
-            tuple(int(v) for v in part.split(":")) for part in tiers.split(",")
-        )
-        cfg = dataclasses.replace(cfg, tiers=parsed)
+        cfg = dataclasses.replace(cfg, tiers=parse_tiers(tiers))
     scene = scene.to_device()
     cam = Camera()
     cam.set_position(list(pos))
@@ -105,23 +107,19 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     cam.set_clipping_planes(0.2, 100.0)
     cam.update_camera_matrices()
 
+    # jit wrapper with cfg closed over STATICALLY (a functools.partial with
+    # cfg= would make the positional time argument collide with it).
+    @jax.jit
+    def render_jit(s, p, t=None):
+        return _render_impl(s, p, cfg, t)
+
     if calibrate_only:
-        cam = Camera()
-        cam.set_position(list(pos))
-        cam.set_look_at([0.0, 0.0, 0.0])
-        cam.set_fov_y(70.0)
-        cam.set_aspect_ratio(cfg.width / cfg.height)
-        cam.set_clipping_planes(0.2, 100.0)
-        cam.update_camera_matrices()
-        _, stats = jax.jit(functools.partial(_render_impl, cfg=cfg))(
-            scene.to_device(), cam.params(cfg.k_sigma)
-        )
+        _, stats = render_jit(scene, cam.params(cfg.k_sigma))
         t = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
-        print(",".join(f"{m}:{k}" for m, k in t))
+        print(format_tiers(t))
         return
 
     floor = measure_floor()
-    render_jit = jax.jit(functools.partial(_render_impl, cfg=cfg))
 
     params = []
     for _ in range(frames):
@@ -188,6 +186,7 @@ def main():
             [sys.executable, __file__, "--config", c, "--calibrate-only"],
             capture_output=True,
             text=True,
+            timeout=1800,
         )
         tiers = cal.stdout.strip().splitlines()[-1] if cal.stdout.strip() else ""
         extra = []
