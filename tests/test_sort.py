@@ -64,3 +64,23 @@ def test_radix_digit_width_independence():
     k4 = radix_sort_u32(key, vid, digit_bits=4)[0]
     np.testing.assert_array_equal(np.asarray(k8), np.asarray(k16))
     np.testing.assert_array_equal(np.asarray(k8), np.asarray(k4))
+
+
+def test_pallas_block_sort_matches_lax_sort():
+    """Experimental bitonic block sort (merge-sort phase 1) vs lax.sort."""
+    from gaussianrenderer_tpu.ops.pallas.block_sort import ROWS, block_sort_runs
+
+    rng = np.random.default_rng(0)
+    run, c = 512, 2048
+    x = jnp.asarray(rng.integers(0, 2**32, (ROWS, c), dtype=np.uint32))
+    out = np.asarray(block_sort_runs(x, run=run))
+
+    xs = np.asarray(x)
+    for b in range(c // run):
+        sl = slice(b * run, (b + 1) * run)
+        order = np.argsort(xs[0, sl], kind="stable")
+        np.testing.assert_array_equal(out[0, sl], xs[0, sl][order])
+        # payload rows follow their keys (allow any order among equal keys,
+        # which random u32 keys make vanishingly unlikely to occur)
+        for r in range(1, ROWS):
+            np.testing.assert_array_equal(out[r, sl], xs[r, sl][order])
