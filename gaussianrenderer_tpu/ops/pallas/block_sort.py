@@ -33,14 +33,18 @@ from jax.experimental import pallas as pl
 ROWS = 9  # key + 8 payloads
 
 
-def _index_bits(shape, bit):
-    """(S, 128) int32 mask: bit `bit` of each element's linear index."""
+def _index_bit_set(shape, bit):
+    """(S, 128) bool: bit `bit` of each element's linear index is set.
+
+    Produced directly as a comparison (Mosaic cannot lower int→i1 vector
+    truncation).
+    """
     s, l = shape
     lin = (
         jax.lax.broadcasted_iota(jnp.int32, (s, l), 0) * l
         + jax.lax.broadcasted_iota(jnp.int32, (s, l), 1)
     )
-    return (lin >> bit) & 1
+    return ((lin >> bit) & 1) > 0
 
 
 def _block_sort_kernel(x_ref, o_ref, *, r: int):
@@ -51,35 +55,29 @@ def _block_sort_kernel(x_ref, o_ref, *, r: int):
 
     log_r = r.bit_length() - 1
     for k in range(1, log_r + 1):
-        # ascending iff bit k of the linear index is 0 (for k = log_r the
-        # whole block is one ascending run).
-        asc = (
-            jnp.ones((s, lanes), jnp.int32)
-            if k == log_r
-            else 1 - _index_bits((s, lanes), k)
-        )
+        # ascending iff bit k of the linear index is 0 (automatically true
+        # everywhere on the final stage since indices < 2^log_r).
+        asc = ~_index_bit_set((s, lanes), k)
         for j in range(k - 1, -1, -1):
             d = 1 << j
-            upper = _index_bits((s, lanes), j)  # 1 ⇒ this element is the
-            # higher index of its pair
+            # True ⇒ this element is the higher index of its XOR-d pair.
+            upper = _index_bit_set((s, lanes), j)
             if d < lanes:
                 partner = lambda a: jnp.where(
-                    upper == 1,
-                    jnp.roll(a, d, axis=1),
-                    jnp.roll(a, -d, axis=1),
+                    upper, jnp.roll(a, d, axis=1), jnp.roll(a, -d, axis=1)
                 )
             else:
                 sd = d // lanes
                 partner = lambda a, sd=sd: jnp.where(
-                    upper == 1,
-                    jnp.roll(a, sd, axis=0),
-                    jnp.roll(a, -sd, axis=0),
+                    upper, jnp.roll(a, sd, axis=0), jnp.roll(a, -sd, axis=0)
                 )
             pk = partner(rows[0])
             key = rows[0]
             # keep = min for the lower element of an ascending pair etc.
-            want_low = (upper ^ (1 - asc)) == 0
-            take_self = jnp.where(want_low, key <= pk, key >= pk)
+            # (pure i1 logic — a where() over boolean operands trips
+            # Mosaic's i8→i1 truncation)
+            want_low = upper != asc
+            take_self = (want_low & (key <= pk)) | (~want_low & (key >= pk))
             new_rows = []
             for a in rows:
                 pa = partner(a)
