@@ -121,13 +121,18 @@ class RenderConfig:
     def packed_compatible(self) -> bool:
         """The v2 packed kernel writes (3, tile_h·tile_w) blocks — any tile
         whose pixel count is lane-aligned and whose extents fit the u8
-        tile-local AABB encoding works."""
+        tile-local AABB encoding works. The framebuffer is capped at
+        4096 px per side so tile-local centers fit the 13.3 fixed-point
+        row-0 encoding (±4096, ops/instances.py); larger outputs fall back
+        to the XLA compositor rather than silently clamping centers."""
         return (
             (self.tile_w * self.tile_h) % 128 == 0
             and self.tile_w <= 255
             and self.tile_h <= 255
             and self.tiles_x <= 1024
             and self.tiles_y <= 1024
+            and self.width <= 4096
+            and self.height <= 4096
         )
 
     @property

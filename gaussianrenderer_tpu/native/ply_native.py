@@ -8,6 +8,7 @@ any failure — scene.io falls back to the NumPy path.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -16,28 +17,36 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ply_loader.cpp")
-_LIB = os.path.join(_HERE, "_ply_loader.so")
 
 _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
+def _lib_path() -> str:
+    # The build artifact is keyed by the source hash: never committed, never
+    # stale, never a foreign binary (a fresh checkout always rebuilds).
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_ply_loader-{digest}.so")
+
+
+def _build(lib_path: str) -> None:
+    tmp = lib_path + ".tmp"
     subprocess.run(
         [
             "g++",
             "-O3",
-            "-march=native",
             "-shared",
             "-fPIC",
             "-std=c++17",
             _SRC,
             "-o",
-            _LIB,
+            tmp,
         ],
         check=True,
         capture_output=True,
     )
+    os.replace(tmp, lib_path)
 
 
 def _get_lib():
@@ -45,10 +54,9 @@ def _get_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-            _SRC
-        ):
-            _build()
+        _LIB = _lib_path()
+        if not os.path.exists(_LIB):
+            _build(_LIB)
         lib = ctypes.CDLL(_LIB)
         lib.ply_num_vertices.restype = ctypes.c_longlong
         lib.ply_num_vertices.argtypes = [ctypes.c_char_p]

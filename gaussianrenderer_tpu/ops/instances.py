@@ -20,9 +20,11 @@ instance lanes by broadcasting — no data-dependent placement at all:
   tier 3: top-K₃ Gaussians × 1024 lanes               (rects ≤ 32×32)
 
 Lanes beyond a Gaussian's actual rect (and all lanes of culled Gaussians)
-get the all-ones sentinel key and sort to the end. Tier 2/3 membership
-comes from one ``lax.top_k`` over the per-Gaussian tile counts (the K
-selected rows are gathered — K is small, so that gather is cheap).
+get the all-ones sentinel key and sort to the end. Wide-tier membership
+comes from ONE descending-area ``lax.sort`` plus prefix-window selection
+(measured: ``lax.top_k`` is much slower than sort-then-slice on v5e — see
+PERF_NOTES.md); the K selected rows are gathered — K is small, so that
+gather is cheap.
 Coverage beyond tier 3 (splats spanning > 32×32 tiles) is truncated and
 reported via the overflow flag; the reference sizes its buffer dynamically
 from a mid-frame device→host readback instead (``render.cu:962-971``),
@@ -48,8 +50,12 @@ from gaussianrenderer_tpu.ops.projection import ProjectedGaussians
 ALPHA_EPS = 1e-3
 
 #: Fixed-point encodings (must match ops/pallas/tile_render2.py).
-CENTER_OFFSET = 2048.0
-CENTER_SCALE = 16.0
+#: 13.3 fixed point: tile-local centers in [−4096, +4095.875] at 1/8-px
+#: precision — exact for the default integer-quantized centers
+#: (render.cu:753-754) and covering 4K framebuffers. Saturation beyond the
+#: range is detected at emission and reported via ``center_clipped``.
+CENTER_OFFSET = 4096.0
+CENTER_SCALE = 8.0
 COLOR_SCALE = 65535.0
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
@@ -61,6 +67,10 @@ class PackedInstances(NamedTuple):
     tile_count: jnp.ndarray  # (T,) int32
     total_instances: jnp.ndarray  # () int32 — instances actually emitted
     overflow: jnp.ndarray  # () bool — some coverage was truncated
+    #: () bool — a tile-local center exceeded the 13.3 fixed-point range
+    #: (±4096 px) and was clamped; the affected splat's alpha is wrong in
+    #: the saturating tiles. Never silent, per the project truncation rule.
+    center_clipped: jnp.ndarray = None
     #: (len(AREA_BUCKETS)+1,) int32 — valid-Gaussian tile-area histogram
     #: (≤1, ≤2, ≤4, ≤8, ≤16, ≤64, ≤256, ≤1024, >1024); drives calibration.
     area_hist: jnp.ndarray = None
@@ -358,6 +368,22 @@ def build_packed_instances(
             cum = cum + n_cls
             overflow |= cum > end
 
+    # Center-encoding saturation check (N-scale, elementwise): the most
+    # extreme tile-local center over a Gaussian's rect is cx − tmin_x·tile_w
+    # (max) / cx − tmax_x·tile_w (min). The 13.3 encode covers ±CENTER_OFFSET.
+    cx_f = proj.center_px[:, 0]
+    cy_f = proj.center_px[:, 1]
+    enc_max = CENTER_OFFSET - 1.0 / CENTER_SCALE
+    center_clipped = jnp.any(
+        valid
+        & (
+            (cx_f - tmin_x.astype(jnp.float32) * tile_w > enc_max)
+            | (cx_f - tmax[:, 0].astype(jnp.float32) * tile_w < -CENTER_OFFSET)
+            | (cy_f - tmin_y.astype(jnp.float32) * tile_h > enc_max)
+            | (cy_f - tmax[:, 1].astype(jnp.float32) * tile_h < -CENTER_OFFSET)
+        )
+    )
+
     # Valid-area histogram for the session-level tier calibrator.
     hist = []
     prev = 0
@@ -395,5 +421,6 @@ def build_packed_instances(
         tile_count=tile_end - tile_start,
         total_instances=emitted,
         overflow=overflow,
+        center_clipped=center_clipped,
         area_hist=area_hist,
     )

@@ -9,8 +9,9 @@ Second-generation re-design of the reference hot loop ``renderGaussians``
   instances on lanes; fixed-point decodes are 2-3 integer VPU ops, no
   transcendentals):
 
-    row 0: center, tile-local 12.4 fixed point with +2048 offset (covers whole-screen-relative centers at ≤2K output):
-           u16((cx_rel+2048)·16) << 16 | u16((cy_rel+2048)·16)
+    row 0: center, tile-local 13.3 fixed point with +4096 offset (covers
+           whole-screen-relative centers at ≤4K output):
+           u16((cx_rel+4096)·8) << 16 | u16((cy_rel+4096)·8)
     row 1: conic A   f32 bits
     row 2: conic B   f32 bits
     row 3: conic C   f32 bits
@@ -58,9 +59,11 @@ ALPHA_MAX = 0.99
 PACK_ROWS = 8
 
 
-#: Fixed-point encodings (must match ops/instances.py).
-CENTER_OFFSET = 2048.0
-CENTER_SCALE = 16.0
+#: Fixed-point encodings (must match ops/instances.py): 13.3 fixed point,
+#: tile-local centers in [−4096, +4095.875] — exact for integer-quantized
+#: centers, covers 4K framebuffers (saturation flagged at emission).
+CENTER_OFFSET = 4096.0
+CENTER_SCALE = 8.0
 COLOR_SCALE = 65535.0
 
 

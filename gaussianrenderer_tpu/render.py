@@ -49,6 +49,9 @@ class RenderStats(NamedTuple):
     #: (9,) int32 tile-area histogram (packed path only; None otherwise) —
     #: feeds the auto_tier calibrator.
     area_hist: Optional[jnp.ndarray] = None
+    #: () bool (packed path only) — a tile-local center saturated the 13.3
+    #: fixed-point encode; affected splats render with a clamped center.
+    center_clipped: Optional[jnp.ndarray] = None
 
 
 def _render_impl(
@@ -119,6 +122,7 @@ def _render_impl(
             num_instances=inst.total_instances,
             overflow=inst.overflow,
             area_hist=inst.area_hist,
+            center_clipped=inst.center_clipped,
         )
         return fb, stats
 
@@ -220,9 +224,20 @@ def render_frame(
         # Rare jax fast-path miscount: an executable compiled against one
         # set of concrete arrays can report an input-buffer arity mismatch
         # when re-invoked with different (same-shape) arrays. Clearing the
-        # trace cache and recompiling is safe and idempotent.
+        # trace cache and recompiling is safe and idempotent. Scoped: warn
+        # loudly (so a genuine arity bug is not silently recompiled away)
+        # and only handle the exact message this jax version emits.
         if "buffers but compiled program expected" not in str(e):
             raise
+        import warnings
+
+        warnings.warn(
+            "render_frame: jit fast-path arity mismatch workaround fired "
+            f"(jax {jax.__version__}); recompiling. If this repeats every "
+            "frame, an argument-arity bug is being masked.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         fn.clear_cache()
         return fn(*args)
 

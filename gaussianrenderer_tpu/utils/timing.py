@@ -49,12 +49,12 @@ class FrameTimer:
 
 
 def _sync(x) -> float:
-    leaves = [
-        l
-        for l in jax.tree_util.tree_leaves(x)
-        if hasattr(l, "dtype") and l.dtype != jnp.bool_
-    ]
-    return float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:1]))
+    leaves = [l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "dtype")]
+    if not leaves:
+        return 0.0
+    # Prefer a non-bool leaf; fall back to casting a bool one.
+    lead = next((l for l in leaves if l.dtype != jnp.bool_), leaves[0])
+    return float(jnp.sum(lead.astype(jnp.float32).ravel()[:1]))
 
 
 def measure_floor(reps: int = 7) -> float:
@@ -71,9 +71,21 @@ def measure_floor(reps: int = 7) -> float:
 
 
 def device_time(
-    fn, *args, iters: int = 10, floor: Optional[float] = None, reps: int = 3
+    fn,
+    *args,
+    iters: int = 10,
+    floor: Optional[float] = None,
+    reps: int = 3,
+    perturb_ints: bool = True,
 ) -> float:
-    """Per-call device time of ``fn(*args)`` in ms (tunnel-safe)."""
+    """Per-call device time of ``fn(*args)`` in ms (tunnel-safe).
+
+    ``perturb_ints=False`` leaves integer inputs bit-exact across loop
+    iterations: XOR-with-1 perturbation is fine for sort keys but mutates
+    packed feature bits (AABB/color fields), subtly changing the workload
+    of packed-pipeline stages. Floats are always eps-perturbed, which is
+    enough to stop hoisting when at least one float input exists.
+    """
     if floor is None:
         floor = measure_floor()
 
@@ -87,7 +99,7 @@ def device_time(
                     return a
                 if jnp.issubdtype(a.dtype, jnp.floating):
                     return a + eps.astype(a.dtype)
-                if a.dtype == jnp.bool_:
+                if a.dtype == jnp.bool_ or not perturb_ints:
                     return a
                 return a ^ bit.astype(a.dtype)
 
