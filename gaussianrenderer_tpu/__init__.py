@@ -24,7 +24,12 @@ __version__ = "0.1.0"
 from gaussianrenderer_tpu.config import RenderConfig, UiSettings
 from gaussianrenderer_tpu.scene.camera import Camera
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
-from gaussianrenderer_tpu.scene.io import load_ply, save_ply, make_random_scene
+from gaussianrenderer_tpu.scene.io import (
+    load_ply,
+    make_clustered_scene,
+    make_random_scene,
+    save_ply,
+)
 from gaussianrenderer_tpu.render import render_frame, make_renderer
 
 __all__ = [
@@ -35,6 +40,7 @@ __all__ = [
     "load_ply",
     "save_ply",
     "make_random_scene",
+    "make_clustered_scene",
     "render_frame",
     "make_renderer",
 ]

@@ -61,10 +61,10 @@ class RenderConfig:
     #: kernel (the MXU-matmul batch size).
     chunk_size: int = 128
 
-    #: Compositor backend: "packed" (Pallas v2 kernel fed by the gather-free
-    #: packed-instance pipeline — the fast path), "pallas" (v1 kernel over
-    #: f32 features), "xla" (pure-XLA while_loop), or "diff" (fixed-trip
-    #: scan, reverse-differentiable — used by training).
+    #: Compositor backend: "packed" (Pallas kernel fed by the gather-free
+    #: packed-instance pipeline — the fast path), "xla" (pure-XLA
+    #: while_loop reference), or "diff" (fixed-trip scan,
+    #: reverse-differentiable — used by training).
     compositor: str = "packed"
 
     #: Static per-tile chunk bound for the differentiable compositor.
@@ -111,11 +111,6 @@ class RenderConfig:
         if self.num_tile_y > 0:
             return _cdiv(self.height, self.num_tile_y)
         return 32
-
-    @property
-    def pallas_compatible(self) -> bool:
-        """The v1 kernel needs lane-aligned (·, tile_h, tile_w) out blocks."""
-        return self.tile_w % 128 == 0 and self.tile_h % 8 == 0
 
     @property
     def packed_compatible(self) -> bool:

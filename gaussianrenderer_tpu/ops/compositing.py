@@ -21,9 +21,10 @@ Blend semantics are bit-compatible with the reference:
   * the AABB containment test (``render.cu:327``) is applied as a mask, so
     out-of-AABB pixels are untouched even where alpha would exceed 1e-3.
 
-The same chunk math is reused by the Pallas kernel
-(``ops/pallas/tile_render.py``); this module is the compiled-anywhere
-reference implementation and the correctness oracle for it.
+The packed Pallas kernel (``ops/pallas/tile_render2.py``) implements the
+same chunk math on packed u32 features; this module is the
+compiled-anywhere reference implementation and the correctness oracle
+for it.
 """
 
 from __future__ import annotations

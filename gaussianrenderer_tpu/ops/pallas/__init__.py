@@ -1,3 +1,3 @@
-from gaussianrenderer_tpu.ops.pallas.tile_render import composite_tiles_pallas
+from gaussianrenderer_tpu.ops.pallas.tile_render2 import composite_tiles_packed
 
-__all__ = ["composite_tiles_pallas"]
+__all__ = ["composite_tiles_packed"]

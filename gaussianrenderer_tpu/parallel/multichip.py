@@ -33,15 +33,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussianrenderer_tpu.config import RenderConfig
 from gaussianrenderer_tpu.ops.compositing import (
+    FEAT_CONIC_A,
+    FEAT_CX,
     FEAT_DIM,
+    FEAT_OPACITY,
+    FEAT_R,
+    FEAT_XMIN,
     build_features,
     composite_tiles_diff,
     composite_tiles_xla,
     gather_sorted_features,
 )
-from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+from gaussianrenderer_tpu.ops.projection import ProjectedGaussians, preprocess_gaussians
 from gaussianrenderer_tpu.ops.tiling import build_sorted_instances
-from gaussianrenderer_tpu.ops.pallas.tile_render import composite_tiles_pallas
 from gaussianrenderer_tpu.scene.camera import CameraParams
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
 
@@ -72,11 +76,22 @@ def _strip_render(
     cfg: RenderConfig,
     num_devices: int,
     capacity: int,
-    use_pallas: bool,
+    compositor: str,
     time_value: Optional[jnp.ndarray],
-    use_diff: bool = False,
+    with_stats: bool = False,
 ):
-    """Per-chip body run under shard_map (axis: AXIS)."""
+    """Per-chip body run under shard_map (axis: AXIS).
+
+    ``compositor`` ∈ {"packed", "xla", "diff"}: "packed" runs the same
+    gather-free tiered-broadcast + Pallas pipeline as the single-chip fast
+    path, restricted to this chip's tile-row strip; "xla"/"diff" keep the
+    gather-based reference compositors (training uses "diff" — it is the
+    reverse-differentiable path).
+
+    Returns ``fb_strip`` or, with ``with_stats``, ``(fb_strip, overflow,
+    center_clipped)`` — truncation is never silent (project rule), so
+    multi-chip callers surface the per-chip flags reduced over the mesh.
+    """
     chip = jax.lax.axis_index(AXIS)
     tiles_y_local = cfg.tiles_y // num_devices
     strip_y0 = chip * tiles_y_local
@@ -135,14 +150,67 @@ def _strip_render(
     tmin_y = jnp.maximum(tile_min[:, 1], strip_y0) - strip_y0
     tmax_y = jnp.minimum(tile_max[:, 1], strip_y0 + tiles_y_local - 1) - strip_y0
     intersects = tmin_y <= tmax_y
-    proj_strip = proj._replace(
-        valid=valid_all & intersects,
-        depth=depth_all,
-        tile_min=jnp.stack([tile_min[:, 0], tmin_y], axis=-1),
-        tile_max=jnp.stack([tile_max[:, 0], tmax_y], axis=-1),
-    )
+    valid_strip = valid_all & intersects
+    tile_min_strip = jnp.stack([tile_min[:, 0], tmin_y], axis=-1)
+    tile_max_strip = jnp.stack([tile_max[:, 0], tmax_y], axis=-1)
 
     num_tiles_local = cfg.tiles_x * tiles_y_local
+    strip_h = tiles_y_local * cfg.tile_h
+
+    if compositor == "packed":
+        # Strip-local packed fast path: same gather-free pipeline as the
+        # single-chip renderer (ops/instances.py + tile_render2), fed from
+        # the all_gathered record re-assembled into a ProjectedGaussians.
+        from gaussianrenderer_tpu.ops.instances import build_packed_instances
+        from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
+            composite_tiles_packed,
+        )
+
+        proj_full = ProjectedGaussians(
+            valid=valid_strip,
+            depth=depth_all,
+            color=feats_all[:, FEAT_R : FEAT_R + 3],
+            opacity=feats_all[:, FEAT_OPACITY],
+            center_px=feats_all[:, FEAT_CX : FEAT_CX + 2],
+            conic=feats_all[:, FEAT_CONIC_A : FEAT_CONIC_A + 3],
+            aabb_px=feats_all[:, FEAT_XMIN : FEAT_XMIN + 4],
+            tile_min=tile_min_strip,
+            tile_max=tile_max_strip,
+        )
+        inst = build_packed_instances(
+            proj_full,
+            tiles_x=cfg.tiles_x,
+            tiles_y=tiles_y_local,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            capacity=capacity,
+            near=cam.near,
+            far=cam.far,
+            tier_boost=cfg.tier_boost,
+            tiers=cfg.tiers,
+        )
+        fb_strip = composite_tiles_packed(
+            inst.packed_feats,
+            inst.tile_start,
+            inst.tile_count,
+            tiles_x=cfg.tiles_x,
+            tiles_y=tiles_y_local,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            width=cfg.width,
+            height=strip_h,  # full strip; global crop happens outside
+            chunk=cfg.chunk_size,
+        )
+        if with_stats:
+            return fb_strip, inst.overflow, inst.center_clipped
+        return fb_strip
+
+    proj_strip = proj._replace(
+        valid=valid_strip,
+        depth=depth_all,
+        tile_min=tile_min_strip,
+        tile_max=tile_max_strip,
+    )
     assignment = build_sorted_instances(
         proj_strip,
         tiles_x=cfg.tiles_x,
@@ -154,16 +222,13 @@ def _strip_render(
     )
     sorted_feats = gather_sorted_features(feats_all, assignment, cfg.chunk_size)
 
-    strip_h = tiles_y_local * cfg.tile_h
-    if use_diff:
-        compositor = functools.partial(
+    if compositor == "diff":
+        composite = functools.partial(
             composite_tiles_diff, max_chunks=cfg.diff_max_chunks
         )
-    elif use_pallas:
-        compositor = composite_tiles_pallas
     else:
-        compositor = composite_tiles_xla
-    fb_strip = compositor(
+        composite = composite_tiles_xla
+    fb_strip = composite(
         sorted_feats,
         assignment.tile_start,
         assignment.tile_count,
@@ -175,24 +240,31 @@ def _strip_render(
         height=strip_h,  # full strip; global crop happens outside
         chunk_size=cfg.chunk_size,
     )  # (3, strip_h, W)
+    if with_stats:
+        return fb_strip, assignment.overflow, jnp.bool_(False)
     return fb_strip
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "mesh", "use_pallas")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def render_frame_multichip(
     scene: GaussianScene,
     cam: CameraParams,
     cfg: RenderConfig,
     mesh: Mesh,
-    use_pallas: bool = False,
     time_value: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Render one frame across every chip of ``mesh``; returns (3, H, W).
+):
+    """Render one frame across every chip of ``mesh``.
+
+    Returns ``(fb, stats)`` where ``fb`` is the (3, H, W) framebuffer
+    (row-strip sharded over the mesh) and ``stats`` is a dict of mesh-reduced
+    flags: ``overflow`` (instance truncation on any chip) and
+    ``center_clipped`` (packed center-encode saturation on any chip) —
+    truncation is never silent.
 
     Requires ``cfg.tiles_y`` divisible by the mesh size (strip decomposition)
-    and the scene pre-sharded with :func:`shard_scene`.
+    and the scene pre-sharded with :func:`shard_scene`. The compositor
+    follows ``cfg.compositor`` exactly like the single-chip path ("packed"
+    needs ``cfg.packed_compatible``; otherwise the XLA compositor runs).
     """
     d = mesh.shape[AXIS]
     if cfg.tiles_y % d != 0:
@@ -200,23 +272,43 @@ def render_frame_multichip(
             f"tiles_y={cfg.tiles_y} must be divisible by mesh size {d}"
         )
     capacity = cfg.instance_capacity(scene.num_gaussians) // d
+    if cfg.compositor == "packed" and cfg.packed_compatible:
+        compositor = "packed"
+    elif cfg.compositor == "diff":
+        compositor = "diff"
+    else:
+        compositor = "xla"
 
-    fn = jax.shard_map(
-        functools.partial(
-            _strip_render,
+    def body(scene_shard, cam_rep):
+        fb_strip, overflow, clipped = _strip_render(
+            scene_shard,
+            cam_rep,
             cfg=cfg,
             num_devices=d,
             capacity=capacity,
-            use_pallas=use_pallas,
+            compositor=compositor,
             time_value=time_value,
-        ),
+            with_stats=True,
+        )
+        # any() over the mesh: max of the per-chip flags as int32.
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
+        clipped = jax.lax.pmax(clipped.astype(jnp.int32), AXIS) > 0
+        return fb_strip, overflow, clipped
+
+    fn = jax.shard_map(
+        body,
         mesh=mesh,
         in_specs=(
             jax.tree_util.tree_map(lambda _: P(AXIS), scene),
             jax.tree_util.tree_map(lambda _: P(), cam),
         ),
-        out_specs=P(None, AXIS, None),  # framebuffer sharded by row strips
+        out_specs=(
+            P(None, AXIS, None),  # framebuffer sharded by row strips
+            P(),
+            P(),
+        ),
         check_vma=False,
     )
-    fb = fn(scene, cam)
-    return fb[:, : cfg.height, : cfg.width]
+    fb, overflow, clipped = fn(scene, cam)
+    stats = {"overflow": overflow, "center_clipped": clipped}
+    return fb[:, : cfg.height, : cfg.width], stats

@@ -139,23 +139,7 @@ def _render_impl(
     feats = build_features(proj)
     sorted_feats = gather_sorted_features(feats, assignment, cfg.chunk_size)
 
-    use_pallas = cfg.compositor == "pallas" and cfg.pallas_compatible
-    if use_pallas:
-        from gaussianrenderer_tpu.ops.pallas.tile_render import composite_tiles_pallas
-
-        fb = composite_tiles_pallas(
-            sorted_feats,
-            assignment.tile_start,
-            assignment.tile_count,
-            tiles_x=cfg.tiles_x,
-            tiles_y=cfg.tiles_y,
-            tile_w=cfg.tile_w,
-            tile_h=cfg.tile_h,
-            width=cfg.width,
-            height=cfg.height,
-            chunk_size=cfg.chunk_size,
-        )
-    elif cfg.compositor == "diff":
+    if cfg.compositor == "diff":
         fb = composite_tiles_diff(
             sorted_feats,
             assignment.tile_start,
@@ -170,6 +154,13 @@ def _render_impl(
             max_chunks=cfg.diff_max_chunks,
         )
     else:
+        if cfg.compositor not in ("xla", "packed"):
+            raise ValueError(
+                f"unknown compositor {cfg.compositor!r}; "
+                "expected 'packed', 'xla', or 'diff'"
+            )
+        # "packed" lands here only when the tile grid is not
+        # packed_compatible — the XLA compositor is the documented fallback.
         fb = composite_tiles_xla(
             sorted_feats,
             assignment.tile_start,

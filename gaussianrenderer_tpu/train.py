@@ -128,8 +128,7 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None):
                 cfg=train_cfg,
                 num_devices=d,
                 capacity=capacity,
-                use_pallas=False,
-                use_diff=True,
+                compositor="diff",
                 time_value=None,
             )
             h = fb_strip.shape[1]

@@ -29,9 +29,14 @@ def _setup(n=400, seed=0, h=96, w=128, **cfg_kw):
     return scene, cam, cfg
 
 
-@pytest.mark.parametrize("compositor", ["xla", "pallas"])
+@pytest.mark.parametrize("compositor", ["xla", "packed", "diff"])
 def test_render_matches_oracle(compositor):
     scene, cam, cfg = _setup(compositor=compositor, chunk_size=16)
+    if compositor == "packed":
+        # Guard against the silent-fallback bug class: the packed path must
+        # actually be eligible for this tile grid, or the test would be
+        # exercising the XLA compositor under a different name.
+        assert cfg.packed_compatible
     golden = render_oracle(scene, cam, cfg)
     fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
     fb = np.asarray(fb)
@@ -41,15 +46,56 @@ def test_render_matches_oracle(compositor):
     assert score >= 40.0, f"PSNR {score:.2f} dB < 40 dB ({compositor})"
 
 
+def test_unknown_compositor_rejected():
+    scene, cam, cfg = _setup(compositor="pallas")  # v1 name was removed
+    with pytest.raises(ValueError, match="unknown compositor"):
+        render_frame(scene, cam.params(cfg.k_sigma), cfg)
+
+
 def test_compositors_agree_closely():
     scene, cam, cfg = _setup(n=600, seed=7)
     fb_xla, _ = render_frame(
         scene, cam.params(cfg.k_sigma), RenderConfig(**{**cfg.__dict__, "compositor": "xla"})
     )
-    fb_pal, _ = render_frame(
-        scene, cam.params(cfg.k_sigma), RenderConfig(**{**cfg.__dict__, "compositor": "pallas"})
+    fb_pak, _ = render_frame(
+        scene, cam.params(cfg.k_sigma), RenderConfig(**{**cfg.__dict__, "compositor": "packed"})
     )
-    np.testing.assert_allclose(np.asarray(fb_xla), np.asarray(fb_pal), atol=2e-5)
+    # Packed features quantize colors to 16 bits and use _fast_exp
+    # (2.6e-6 relative): a marginal alpha can cross the 1e-3 blend
+    # threshold differently, flipping one splat on one pixel — so the
+    # worst-pixel bound is threshold-granular (~1e-3·color) while the
+    # mean must stay at quantization scale.
+    d = np.abs(np.asarray(fb_xla) - np.asarray(fb_pak))
+    assert d.max() < 2e-3, d.max()
+    assert d.mean() < 1e-5, d.mean()
+
+
+def test_clustered_scene_matches_oracle():
+    """Non-uniform (trained-3DGS-statistics) scene fidelity gate: surface
+    clustering + log-normal scales + bimodal opacity stress the wide
+    instance tiers and overdraw behavior that the uniform random scene
+    never exercises (VERDICT r1 'real-scene evidence')."""
+    from gaussianrenderer_tpu.scene.io import make_clustered_scene
+    from gaussianrenderer_tpu.render import make_renderer
+
+    scene = make_clustered_scene(3000, seed=11)
+    cam = Camera()
+    cam.set_position([0.0, 1.2, 6.0])
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(60.0)
+    cam.set_aspect_ratio(128 / 96)
+    cam.set_clipping_planes(0.2, 100.0)
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=96, width=128, compositor="packed")
+    golden = render_oracle(scene, cam, cfg)
+    # auto_tier calibrates the ladder from this scene's area histogram —
+    # heavy-tailed scales are exactly what the calibrator exists for.
+    render = make_renderer(scene, cfg, auto_tier=True)
+    fb, stats = render(cam.params(cfg.k_sigma))
+    assert not bool(stats.overflow)
+    assert not bool(stats.center_clipped)
+    score = psnr(np.asarray(fb), golden)
+    assert score >= 40.0, f"clustered-scene PSNR {score:.2f} dB < 40 dB"
 
 
 def test_empty_scene_renders_black():

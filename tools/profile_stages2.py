@@ -30,38 +30,17 @@ def measure_floor(reps=7):
 FLOOR = None
 
 
-def dt(name, fn, *args, iters=8):
-    def body(i, acc):
-        eps = i.astype(jnp.float32) * jnp.float32(1e-30)
-        bit = (i & 1).astype(jnp.int32)
+def dt(name, fn, *args, iters=8, perturb_ints=True):
+    # Arrays MUST be jit arguments (not closures): at 3M-gaussian scale a
+    # closed-over scene bakes >1 GB of constants into the HLO and the
+    # remote compiler rejects it (HTTP 413).
+    from gaussianrenderer_tpu.utils.timing import device_time
 
-        def perturb(a):
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                return a + eps.astype(a.dtype)
-            if a.dtype == jnp.bool_:
-                return a
-            return a ^ bit.astype(a.dtype)
-
-        args_i = jax.tree_util.tree_map(perturb, args)
-        out = fn(*args_i)
-        s = sum(
-            jnp.sum(l.astype(jnp.float32))
-            for l in jax.tree_util.tree_leaves(out)
-            if l.dtype != jnp.bool_
-        )
-        return acc + s
-
-    loop = jax.jit(lambda: jax.lax.fori_loop(0, iters, body, jnp.float32(0.0)))
     t0 = time.perf_counter()
-    float(loop())
-    compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(loop())
-        ts.append((time.perf_counter() - t0) * 1e3)
-    ms = max(statistics.median(ts) - FLOOR, 0.0) / iters
-    log(f"{name:40s} {ms:9.3f} ms   (compile {compile_s:.0f}s)")
+    ms = device_time(
+        fn, *args, iters=iters, floor=FLOOR, perturb_ints=perturb_ints
+    )
+    log(f"{name:40s} {ms:9.3f} ms   (measured in {time.perf_counter()-t0:.0f}s)")
     return ms
 
 
@@ -131,7 +110,15 @@ def main():
         near=0.2,
         far=100.0,
     )
-    dt("build_packed (expand+sort)", build, proj, iters=args.iters)
+    # perturb_ints=False: XOR on tile rects / packed bits would change the
+    # emission workload; the float fields (centers, conics) still perturb.
+    dt(
+        "build_packed (expand+sort)",
+        build,
+        proj,
+        iters=args.iters,
+        perturb_ints=False,
+    )
     inst = jax.jit(build)(proj)
 
     comp = functools.partial(
