@@ -171,7 +171,7 @@ class UiSettings:
 
     flip_y: bool = True
     k_sigma: float = 3.0
-    fov_y: float = 90.0
+    fov_y: float = 45.0  # matches the Camera default (camera.py)
     num_tile_x: int = 0
     num_tile_y: int = 0
     lock_tiles: bool = True

@@ -93,7 +93,7 @@ def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 #: Area-histogram bucket edges reported in RenderStats.area_hist — used by
 #: the session-level tier calibrator (render.make_renderer).
-AREA_BUCKETS = (1, 2, 4, 8, 16, 64, 256, 1024)
+AREA_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
 
 def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:

@@ -108,13 +108,21 @@ def preprocess_gaussians(
     README.md:16).
     """
     f32 = jnp.float32
-    # Transpose the (N, small) scene inputs once: column slices of a
-    # lane-minor array re-read the whole padded buffer per column, while
-    # rows of the transposed form are contiguous.
-    pos_t = scene.positions.astype(f32).T  # (3, N)
-    quat_t = scene.quats.astype(f32).T  # (4, N)
-    scale_t = scene.scales.astype(f32).T  # (3, N)
-    sh_t = scene.sh.astype(f32).T  # (3(deg+1)², N)
+    if hasattr(scene, "pos_t"):
+        # PreparedScene: already in render layout (transposed at setup).
+        pos_t = scene.pos_t
+        quat_t = scene.quat_t
+        scale_t = scene.scale_t
+        sh_t = scene.sh_t
+    else:
+        # Transpose the (N, small) scene inputs once per frame: column
+        # slices of a lane-minor array re-read the whole padded buffer per
+        # column. This relayout costs ~6 ms at 3M splats — sessions should
+        # pass a PreparedScene (scene.prepared()) instead.
+        pos_t = scene.positions.astype(f32).T  # (3, N)
+        quat_t = scene.quats.astype(f32).T  # (4, N)
+        scale_t = scene.scales.astype(f32).T  # (3, N)
+        sh_t = scene.sh.astype(f32).T  # (3(deg+1)², N)
     px_, py_, pz_ = pos_t[0], pos_t[1], pos_t[2]
 
     # ------------------------------------------------ SH view-dependent color

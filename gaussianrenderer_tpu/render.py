@@ -263,32 +263,48 @@ def calibrate_tiers(
             "path (cfg.compositor='packed' with packed_compatible tiles)"
         )
     hist = np.asarray(area_hist, dtype=np.int64)
-    n_valid = max(int(hist.sum()), 1)
     edges = list(AREA_BUCKETS)
+    if hist.shape[0] != len(edges) + 1:
+        raise ValueError(
+            f"area_hist has {hist.shape[0]} entries; expected "
+            f"{len(edges) + 1} (AREA_BUCKETS changed?)"
+        )
+    n_valid = max(int(hist.sum()), 1)
 
     def round_up(x):
         return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
 
     def ladder_for(base_i: int):
-        """Tier list with base area edges[base_i]; returns (tiers, lanes)."""
+        """Tier list with base area edges[base_i]; returns (tiers, lanes).
+
+        One tier per histogram edge above the base (fine ladders: a splat
+        pays at most 2× its true tile area in lanes, vs 4-8× with the
+        coarse every-other-edge ladders of round 1). The lane model
+        matches the emission exactly: tier i's emission array spans the
+        CUMULATIVE candidate window (its class plus every wider class),
+        because wide-tier selection is prefix-windowed on one
+        descending-area sort (ops/instances.py).
+        """
         m0 = edges[base_i]
         tiers = [(m0, 0)]
         lanes = m0 * n_valid
-        i = base_i + 1
-        while i < len(edges):
-            m_hi = edges[min(i + 1, len(edges) - 1)]
-            count = int(hist[i : min(i + 2, len(edges))].sum())
+        ks = []
+        for i in range(base_i + 1, len(edges)):
+            count = int(hist[i])
             k = max(min_k, round_up(int(count * headroom)))
-            tiers.append((m_hi, k))
-            lanes += m_hi * k
-            i += 2
-        assert tiers[-1][0] == edges[-1], "ladder must end at the widest bucket"
+            tiers.append((edges[i], k))
+            ks.append((edges[i], k))
         if int(hist[-1]) > 0 and num_tiles > edges[-1]:
             # Splats covering more than 1024 tiles (up to the whole screen).
             m = round_up(num_tiles)
             k = max(64, round_up(int(hist[-1] * headroom)))
             tiers.append((m, k))
-            lanes += m * k
+            ks.append((m, k))
+        # Emission lane count: widest class first, cumulative windows.
+        end = 0
+        for m_hi, k in reversed(ks):
+            end += k
+            lanes += m_hi * min(end, n_valid)
         return tuple(tiers), lanes
 
     # Pick the base tier that minimizes total sort lanes (the sort is the
@@ -319,7 +335,10 @@ def make_renderer(
     """
     import dataclasses
 
-    scene = scene.to_device()
+    # Transpose to render layout once per session (PreparedScene): saves
+    # ~6 ms/frame of (N, small)→(small, N) relayout at 3M splats.
+    if not hasattr(scene, "pos_t"):
+        scene = scene.prepared()
     state = {"cfg": cfg, "frame": 0}
 
     def _call(cam, time_value):

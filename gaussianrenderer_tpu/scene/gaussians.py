@@ -91,6 +91,21 @@ class GaussianScene(NamedTuple):
     def reorder(self, order: jnp.ndarray) -> "GaussianScene":
         return jax.tree_util.tree_map(lambda x: x[order], self)
 
+    def prepared(self) -> "PreparedScene":
+        """Device-resident render-layout scene (see :class:`PreparedScene`)."""
+        return PreparedScene(
+            pos_t=jnp.asarray(self.positions, jnp.float32).T,
+            sh_t=jnp.asarray(self.sh, jnp.float32).T,
+            opacity=jnp.asarray(self.opacity, jnp.float32),
+            scale_t=jnp.asarray(self.scales, jnp.float32).T,
+            quat_t=jnp.asarray(self.quats, jnp.float32).T,
+            time_params=(
+                None
+                if self.time_params is None
+                else jnp.asarray(self.time_params, jnp.float32)
+            ),
+        )
+
     def morton_sorted(self) -> "GaussianScene":
         """Reorder splats along a 3D Morton curve of their positions.
 
@@ -102,6 +117,34 @@ class GaussianScene(NamedTuple):
         codes = morton_codes(np.asarray(self.positions))
         order = jnp.asarray(np.argsort(codes, kind="stable"))
         return self.reorder(order)
+
+
+class PreparedScene(NamedTuple):
+    """Render-layout scene: the (N, small) SoA transposed ONCE at setup.
+
+    Column slices of a lane-minor (N, 3)/(N, 27) array are catastrophic on
+    TPU (each slice re-reads the whole padded buffer), so the render math
+    works on (small, N) rows (PERF_NOTES.md). Transposing per frame inside
+    the jit costs ~6 ms at 3M splats (the SH block alone is 324 MB); this
+    container holds the transposed arrays device-resident so a session
+    (make_renderer / Canvas / bench) pays the relayout once per scene.
+    ``render_frame`` accepts either form; GaussianScene.prepared() builds it.
+    """
+
+    pos_t: jnp.ndarray  # (3, N)
+    sh_t: jnp.ndarray  # (3*(deg+1)^2, N)
+    opacity: jnp.ndarray  # (N,)
+    scale_t: jnp.ndarray  # (3, N)
+    quat_t: jnp.ndarray  # (4, N)
+    time_params: Optional[jnp.ndarray] = None  # (N, 2)
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.opacity.shape[0]
+
+    @property
+    def is_spacetime(self) -> bool:
+        return self.time_params is not None
 
 
 def _part1by2(x: np.ndarray) -> np.ndarray:

@@ -257,8 +257,14 @@ def make_clustered_scene(
     positions = np.concatenate([pos_obj, pos_gnd, pos_sh]).astype(np.float32)
 
     # Log-normal scales; background splats bigger; surface splats flattened.
-    base = np.exp(rng.normal(np.log(0.012 * extent), 0.7, size=(num, 1)))
-    base[n_obj + n_ground :] *= 6.0  # background shell: large fuzzy splats
+    # Tuned so a ~1080p view from z≈2·extent lands the published trained-3DGS
+    # screen profile: median splat ≲1 tile (32px), a lognormal tail into the
+    # hundreds-of-tiles range, and only ~0.01% beyond 1024 tiles (trained
+    # scenes regularize scale; splats the size of the screen get pruned
+    # during optimization).
+    base = np.exp(rng.normal(np.log(0.005 * extent), 0.55, size=(num, 1)))
+    base[n_obj + n_ground :] *= 4.0  # background shell: large fuzzy splats
+    np.clip(base, None, 0.12 * extent, out=base)
     aniso = np.exp(rng.normal(0.0, 0.35, size=(num, 3)))
     scales = (base * aniso).astype(np.float32)
     flat_axis = rng.integers(0, 3, size=num)

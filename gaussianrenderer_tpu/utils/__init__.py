@@ -6,5 +6,12 @@ from gaussianrenderer_tpu.utils.timing import (
     FrameTimer,
 )
 from gaussianrenderer_tpu.utils.jsonl import JsonlWriter
+from gaussianrenderer_tpu.utils.compile_cache import enable_compilation_cache
 
-__all__ = ["device_time", "measure_floor", "FrameTimer", "JsonlWriter"]
+__all__ = [
+    "device_time",
+    "measure_floor",
+    "FrameTimer",
+    "JsonlWriter",
+    "enable_compilation_cache",
+]

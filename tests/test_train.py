@@ -137,3 +137,54 @@ def test_multichip_train_step_runs_and_descends():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_multichip_gradients_match_single_chip():
+    """Pin the all_gather/reduce-scatter AD transpose: per-parameter
+    gradients from the mesh-parallel loss must equal the single-chip
+    gradients on the same scene (VERDICT r1 item 8). Extracted via one
+    SGD(lr=1) step: new_params = params - grads exactly."""
+    import optax
+    from gaussianrenderer_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    scene, cam, cfg = _setup(n=120)  # 120 % 8 == 0: no padding ambiguity
+    mesh = make_mesh()
+    cam_p = cam.params(cfg.k_sigma)
+    target = render_for_training(
+        SceneParams.from_scene(scene), cam_p, cfg
+    )
+    params0 = SceneParams.from_scene(scene)
+    params0 = params0._replace(sh=params0.sh + 0.1)
+
+    g_single = jax.grad(mse_loss)(params0, cam_p, target, cfg)
+
+    sharding = NamedSharding(mesh, P("chips"))
+    params_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), params0
+    )
+    step, optimizer = make_multichip_train_step(
+        cfg, mesh, optimizer=optax.sgd(1.0)
+    )
+    opt_state = optimizer.init(params_sh)
+    target_m = pad_target_for_mesh(target, cfg)
+    new_params, _, loss_m = step(params_sh, opt_state, cam_p, target_m)
+
+    loss_s = mse_loss(params0, cam_p, target, cfg)
+    assert abs(float(loss_m) - float(loss_s)) < 1e-6 * max(
+        1.0, abs(float(loss_s))
+    )
+    g_multi = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), params_sh, new_params
+    )
+    for name, gs, gm in zip(
+        SceneParams._fields, g_single, g_multi
+    ):
+        gs = np.asarray(gs)
+        # Tolerance floor: the SGD extraction p - (p - g) quantizes at
+        # |p|·2^-24 ≈ 2e-7 (params are O(1), grads O(1e-5)); measured
+        # max deviation is ~1e-7 across fields, vs 100%-scale error if
+        # the all_gather transpose were wrong.
+        np.testing.assert_allclose(
+            gm, gs, atol=5e-7, err_msg=f"grad mismatch: {name}"
+        )

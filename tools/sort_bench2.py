@@ -40,16 +40,26 @@ FLOOR = None
 
 
 def dt(name, fn, *args, iters=6):
-    """Loop fn in one jitted fori_loop, perturbing the key row per iter."""
+    """Loop fn in one jitted fori_loop, perturbing the key row per iter.
 
-    def body(i, acc):
-        bit = (i & 1).astype(jnp.uint32)
-        args_i = [args[0] ^ bit] + [a for a in args[1:]]
-        out = fn(*args_i)
-        s = sum(jnp.sum(l.astype(jnp.float32)[..., :8]) for l in jax.tree_util.tree_leaves(out))
-        return acc + s
+    args are threaded through the jit as PARAMETERS (closing over concrete
+    arrays bakes them into the HLO as constants: 460 MB protos → remote
+    compile HTTP 413, and payload rows become foldable constants)."""
 
-    loop = jax.jit(lambda *a: jax.lax.fori_loop(0, iters, body, jnp.float32(0.0)))
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            bit = (i & 1).astype(jnp.uint32)
+            args_i = [a[0] ^ bit] + list(a[1:])
+            out = fn(*args_i)
+            s = sum(
+                jnp.sum(l.astype(jnp.float32)[..., :8])
+                for l in jax.tree_util.tree_leaves(out)
+            )
+            return acc + s
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
     t0 = time.perf_counter()
     float(loop(*args))
     compile_s = time.perf_counter() - t0
