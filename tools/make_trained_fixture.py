@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Produce the trained-scene test fixture (VERDICT r1 #6, full version).
+
+Fits a fresh Gaussian cloud to multi-view renders of a clustered target
+scene using the repo's own differentiable trainer (train.make_train_step),
+then writes the optimized scene as a binary PLY test fixture. The point is
+REALISM of the parameter distribution: optimization produces the
+anisotropy/opacity/scale structure that hand-made synthetics lack, giving
+CI a scene whose statistics came from actual gradient descent through the
+renderer (the reference validated on trained scenes, reference
+README.md:23).
+
+CPU-friendly sizes; runs in minutes. Output: tests/fixtures/trained.ply
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from gaussianrenderer_tpu.config import RenderConfig
+    from gaussianrenderer_tpu.render import render_frame
+    from gaussianrenderer_tpu.scene.camera import Camera
+    from gaussianrenderer_tpu.scene.io import make_clustered_scene, save_ply
+    from gaussianrenderer_tpu.train import (
+        SceneParams,
+        make_train_step,
+        render_for_training,
+    )
+
+    h, w = 128, 160
+    n_target = 4000
+    n_fit = 2500
+    steps = 400
+    n_views = 6
+
+    cfg = RenderConfig(height=h, width=w, compositor="diff", sh_degree=1)
+    target_scene = make_clustered_scene(n_target, seed=3, sh_degree=1)
+
+    cams = []
+    for i in range(n_views):
+        cam = Camera()
+        ang = 2.0 * np.pi * i / n_views
+        cam.set_position([5.5 * np.sin(ang), 1.5, 5.5 * np.cos(ang)])
+        cam.set_look_at([0.0, 0.0, 0.0])
+        cam.set_fov_y(60.0)
+        cam.set_aspect_ratio(w / h)
+        cam.set_clipping_planes(0.2, 100.0)
+        cam.update_camera_matrices()
+        cams.append(cam.params(cfg.k_sigma))
+
+    log("rendering targets...")
+    targets = [render_frame(target_scene, c, cfg)[0] for c in cams]
+
+    # Init: jittered subsample of the target positions (what a real pipeline
+    # seeds from SfM points), small isotropic scales, mid opacity.
+    rng = np.random.default_rng(0)
+    idx = rng.choice(n_target, n_fit, replace=False)
+    pos0 = np.asarray(target_scene.positions)[idx] + rng.normal(
+        0, 0.05, (n_fit, 3)
+    )
+    n_coeff = 3 * (cfg.sh_degree + 1) ** 2
+    params = SceneParams(
+        positions=jnp.asarray(pos0, jnp.float32),
+        sh=jnp.asarray(rng.normal(0, 0.2, (n_fit, n_coeff)), jnp.float32),
+        raw_opacity=jnp.full((n_fit,), -1.0, jnp.float32),
+        raw_scales=jnp.full((n_fit, 3), np.log(0.06), jnp.float32),
+        quats=jnp.asarray(rng.normal(size=(n_fit, 4)), jnp.float32),
+    )
+
+    step, optimizer = make_train_step(cfg)
+    opt_state = optimizer.init(params)
+    t0 = time.time()
+    for s in range(steps):
+        cam = cams[s % n_views]
+        tgt = targets[s % n_views]
+        params, opt_state, loss = step(params, opt_state, cam, tgt)
+        if s % 25 == 0 or s == steps - 1:
+            log(f"step {s:4d} view {s % n_views} loss {float(loss):.6f} "
+                f"({time.time()-t0:.0f}s)")
+
+    # Final quality check on a held-out-ish view (view 0 is trained, but
+    # the PSNR documents the fixture's fidelity either way).
+    fb = render_for_training(params, cams[0], cfg)
+    mse = float(jnp.mean((fb - targets[0]) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    log(f"train PSNR view0: {psnr:.2f} dB")
+
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "tests", "fixtures", "trained.ply"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_ply(params.to_scene(), out)
+    log(f"wrote {os.path.abspath(out)} ({os.path.getsize(out)/1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
