@@ -1,6 +1,6 @@
 """Packed-instance pipeline: tiered broadcast expansion → single-key sort.
 
-Produces the (8, C) uint32 feature layout consumed by the v2 Pallas
+Produces the (7, C) uint32 feature layout consumed by the v2 Pallas
 compositor (``ops/pallas/tile_render2.py``). The design is driven by v5e
 microbenchmarks (tools/micro_bench*.py, tools/profile_sub.py):
 
@@ -21,10 +21,11 @@ instance lanes by broadcasting — no data-dependent placement at all:
 
 Lanes beyond a Gaussian's actual rect (and all lanes of culled Gaussians)
 get the all-ones sentinel key and sort to the end. Wide-tier membership
-comes from ONE descending-area ``lax.sort`` plus prefix-window selection
-(measured: ``lax.top_k`` is much slower than sort-then-slice on v5e — see
-PERF_NOTES.md); the K selected rows are gathered — K is small, so that
-gather is cheap.
+comes from ONE descending-area ``lax.sort`` (measured: ``lax.top_k`` is
+much slower than sort-then-slice on v5e — see PERF_NOTES.md); each tier
+then emits from an EXACT dynamic-slice window over its class's contiguous
+segment of that order, so a tier's lane cost is exactly m·k. The K
+selected rows are gathered once — K is small, so that gather is cheap.
 Coverage beyond tier 3 (splats spanning > 32×32 tiles) is truncated and
 reported via the overflow flag; the reference sizes its buffer dynamically
 from a mid-frame device→host readback instead (``render.cu:962-971``),
@@ -32,8 +33,9 @@ which static TPU shapes forbid.
 
 The (tile, depth) sort key is ONE u32 — tile-major, quantized depth minor
 (the reference's 64-bit ``(tile << 32) | uint32(-Z·1e6)`` key,
-``render.cu:850``, reshaped for 32-bit lanes), and the 8 feature rows ride
-the sort as payloads.
+``render.cu:850``, reshaped for 32-bit lanes), and the 7 feature rows ride
+the sort as payloads (opacity travels as 16 bits inside the color rows; the
+kernel rebuilds the quadratic constant q0 = -2 ln(op) itself).
 """
 
 from __future__ import annotations
@@ -62,7 +64,7 @@ SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
 class PackedInstances(NamedTuple):
-    packed_feats: jnp.ndarray  # (8, C) uint32 — kernel feature rows
+    packed_feats: jnp.ndarray  # (7, C) uint32 — kernel feature rows
     tile_start: jnp.ndarray  # (T,) int32
     tile_count: jnp.ndarray  # (T,) int32
     total_instances: jnp.ndarray  # () int32 — instances actually emitted
@@ -124,7 +126,7 @@ def _emit_tier(
     rect_h: jnp.ndarray,
     emit: jnp.ndarray,  # (G,) bool — this tier is responsible for the Gaussian
     depth_q: jnp.ndarray,  # (G,) uint32
-    rows10: Tuple[jnp.ndarray, ...],  # 10× (G,) u32 pre-packed fields
+    rows9: Tuple[jnp.ndarray, ...],  # 9× (G,) u32 pre-packed fields
     r2max: Optional[jnp.ndarray],  # (G,) f32 prune radius², <0 = no prune
     *,
     m: int,
@@ -138,7 +140,7 @@ def _emit_tier(
     Lane r maps to tile (tmin_x + r % w, tmin_y + r ÷ w) of the Gaussian's
     own rect — the reference's buildLwgs enumeration (``render.cu:841-855``)
     vectorized — so a tier covers ANY rect with area ≤ m. Returns
-    (keys (m·G,), 8 feature rows (m·G,)) flattened, invalid lanes keyed
+    (keys (m·G,), 7 feature rows (m·G,)) flattened, invalid lanes keyed
     SENTINEL. Pure elementwise/broadcast ops — no scatters. Arrays are laid
     out (m, G) — Gaussians on the 128-wide lane axis — because the (G, m)
     orientation wastes (128−m)/128 of every vector op.
@@ -158,8 +160,8 @@ def _emit_tier(
     # nothing in the reference semantics either (render.cu:334), only the
     # axis-aligned AABB emitted it. r2max < 0 disables the prune (λ_min ≤ 0).
     if r2max is not None:
-        cx_g = jax.lax.bitcast_convert_type(rows10[0], jnp.float32)[None, :]
-        cy_g = jax.lax.bitcast_convert_type(rows10[1], jnp.float32)[None, :]
+        cx_g = jax.lax.bitcast_convert_type(rows9[0], jnp.float32)[None, :]
+        cy_g = jax.lax.bitcast_convert_type(rows9[1], jnp.float32)[None, :]
         x0f = (tx * tile_w).astype(jnp.float32)
         y0f = (ty * tile_h).astype(jnp.float32)
         ddx = jnp.clip(cx_g, x0f, x0f + (tile_w - 1)) - cx_g
@@ -172,7 +174,7 @@ def _emit_tier(
     key = jnp.where(lane_ok, key, SENTINEL)
 
     # Tile-local recode of center and AABB (lane-dependent: tile origin).
-    cx, cy, ca, cb, cc, q0, rg, b_, ax, ay = rows10
+    cx, cy, ca, cb, cc, rg, b_, ax, ay = rows9
     x0 = (tx * tile_w).astype(jnp.float32)
     y0 = (ty * tile_h).astype(jnp.float32)
     cx_rel = jax.lax.bitcast_convert_type(cx, jnp.float32)[None, :] - x0
@@ -195,17 +197,16 @@ def _emit_tier(
     def bc(row):  # broadcast a (G,) u32 over the M sublane copies
         return jnp.broadcast_to(row[None, :], key.shape).reshape(-1)
 
-    rows8 = (
+    rows7 = (
         row0.reshape(-1),
         bc(ca),
         bc(cb),
         bc(cc),
-        bc(q0),
         bc(rg),
         bc(b_),
         row7.reshape(-1),
     )
-    return key.reshape(-1), rows8
+    return key.reshape(-1), rows7
 
 
 def build_packed_instances(
@@ -220,6 +221,7 @@ def build_packed_instances(
     far=100.0,
     tier_boost: int = 0,
     tiers: Optional[Tuple[Tuple[int, int], ...]] = None,
+    skip_sort: bool = False,  # PROFILING ONLY: emission without sort/bounds
 ) -> PackedInstances:
     del capacity
     num_tiles = tiles_x * tiles_y
@@ -229,9 +231,12 @@ def build_packed_instances(
     # ---- per-Gaussian pre-packing (N-scale, elementwise) -------------------
     color = proj.color
     op = jnp.maximum(proj.opacity, 1e-12)
-    q0 = -2.0 * jnp.log(op)  # folds opacity into the quadratic constant
+    q0 = -2.0 * jnp.log(op)  # quadratic constant (prune math below); the
+    # KERNEL recomputes it from the 16-bit opacity in row 5's low half —
+    # quantization 1.5e-5, far below the 1e-3 alpha threshold — which
+    # drops one u32 payload row from the frame sort (was row 4 of 8).
     rg = (_color_bits(color[:, 0]) << 16) | _color_bits(color[:, 1])
-    b_ = _color_bits(color[:, 2]) << 16
+    b_ = (_color_bits(color[:, 2]) << 16) | _color_bits(proj.opacity)
     ax4 = proj.aabb_px  # (N, 4) xmin, ymin, xmax, ymax in pixels
     aabb_x = (
         jnp.clip(ax4[:, 0], 0, 65535).astype(jnp.uint32) << 16
@@ -239,13 +244,12 @@ def build_packed_instances(
     aabb_y = (
         jnp.clip(ax4[:, 1], 0, 65535).astype(jnp.uint32) << 16
     ) | jnp.clip(ax4[:, 3], 0, 65535).astype(jnp.uint32)
-    rows10 = (
+    rows9 = (
         _f32_bits(proj.center_px[:, 0]),
         _f32_bits(proj.center_px[:, 1]),
         _f32_bits(proj.conic[:, 0]),
         _f32_bits(proj.conic[:, 1]),
         _f32_bits(proj.conic[:, 2]),
-        _f32_bits(q0),
         rg,
         b_,
         aabb_x,
@@ -309,15 +313,19 @@ def build_packed_instances(
     rows_out = []
     k1, r1 = emit(
         tmin_x, tmin_y, rect_w, rect_h,
-        valid & (area <= m0), depth_q, rows10, m0, r2max_all,
+        valid & (area <= m0), depth_q, rows9, m0, r2max_all,
     )
     keys.append(k1)
     rows_out.append(r1)
 
     # ---- wide tiers: select the largest-area Gaussians with ONE sort -------
-    # Descending area ⇒ the widest class occupies the sorted prefix, the
-    # next class follows, etc., so prefix windows of the sorted order bound
-    # each class as long as it fits its K (overflow flagged otherwise).
+    # Descending area ⇒ the classes occupy CONTIGUOUS segments of the
+    # sorted order (widest first). Each tier emits from an EXACT window:
+    # a dynamic_slice of size k_c starting at its class's (data-dependent)
+    # segment start — a contiguous slice, not a gather, so it is cheap and
+    # the tier's lane cost is exactly m_c·k_c (the round-1 prefix-window
+    # scheme paid m_c·(k_c + all wider classes) instead). A class bigger
+    # than its k_c is truncated tail-first and flagged via overflow.
     wide = ladder[1:]
     overflow = jnp.any(valid & (area > ladder[-1][0]))
     if wide:
@@ -337,36 +345,50 @@ def build_packed_instances(
         s_w = sel(rect_w)
         s_h = sel(rect_h)
         s_depth = sel(depth_q)
-        s_rows = tuple(sel(r) for r in rows10)
+        s_rows = tuple(sel(r) for r in rows9)
         s_area = sel(area)
         s_valid = sel(valid)
         s_r2max = sel(r2max_all)
-        pos = jnp.arange(k_sel, dtype=jnp.int32)
 
-        # Widest class first: its window is the sorted prefix.
+        # Class populations and segment starts (device scalars). Class c of
+        # tier (m_hi, k_c) is area ∈ (m_lo, m_hi]; its segment starts after
+        # every wider class in the descending-area order.
         lo_list = [m for m, _ in ([(m0, 0)] + list(wide[:-1]))]
-        cum = jnp.int32(0)  # running count of wider-class members
-        end = 0
-        for (m_hi, k), m_lo in zip(reversed(wide), reversed(lo_list)):
-            end = min(end + k, k_sel)
+        cls_count = [
+            jnp.sum((valid & (area > m_lo) & (area <= m_hi)).astype(jnp.int32))
+            for (m_hi, _), m_lo in zip(wide, lo_list)
+        ]
+        cls_start = [None] * len(wide)
+        acc = jnp.int32(0)
+        for c in range(len(wide) - 1, -1, -1):  # widest class sorts first
+            cls_start[c] = acc
+            acc = acc + cls_count[c]
+
+        for c, ((m_hi, k), m_lo) in enumerate(zip(wide, lo_list)):
+            k_c = min(k, k_sel)
+            start = cls_start[c]
+            start_cl = jnp.clip(start, 0, k_sel - k_c)
+
+            def dsl(a, start_cl=start_cl, k_c=k_c):
+                return jax.lax.dynamic_slice_in_dim(a, start_cl, k_c)
+
+            gpos = start_cl + jnp.arange(k_c, dtype=jnp.int32)
+            in_class = (gpos >= start) & (gpos < start + cls_count[c])
             mask = (
-                s_valid
-                & (s_area > m_lo)
-                & (s_area <= m_hi)
-                & (pos < end)
+                dsl(s_valid)
+                & (dsl(s_area) > m_lo)
+                & (dsl(s_area) <= m_hi)
+                & in_class
             )
             kk, rr = emit(
-                s_tmin_x[:end], s_tmin_y[:end], s_w[:end], s_h[:end],
-                mask[:end], s_depth[:end],
-                tuple(r[:end] for r in s_rows), m_hi, s_r2max[:end],
+                dsl(s_tmin_x), dsl(s_tmin_y), dsl(s_w), dsl(s_h),
+                mask, dsl(s_depth),
+                tuple(dsl(r) for r in s_rows), m_hi, dsl(s_r2max),
             )
             keys.append(kk)
             rows_out.append(rr)
-            n_cls = jnp.sum(
-                (valid & (area > m_lo) & (area <= m_hi)).astype(jnp.int32)
-            )
-            cum = cum + n_cls
-            overflow |= cum > end
+            # Truncated iff the class extends past the emitted window.
+            overflow |= (start + cls_count[c]) > (start_cl + k_c)
 
     # Center-encoding saturation check (N-scale, elementwise): the most
     # extreme tile-local center over a Gaussian's rect is cx − tmin_x·tile_w
@@ -401,10 +423,25 @@ def build_packed_instances(
     # `total` above is the pre-prune AABB count, kept for the overflow math.
     emitted = jnp.sum((key != SENTINEL).astype(jnp.int32))
 
-    # ---- ONE single-key stable sort carrying the 8 packed rows -------------
+    if skip_sort:
+        # Profiling knob (tools/profile_stages2.py): emission-order output,
+        # attributing build time to emission vs sort. NOT a render path —
+        # tile_start/count are zeros, the compositor would draw nothing.
+        z = jnp.zeros((num_tiles,), jnp.int32)
+        return PackedInstances(
+            packed_feats=jnp.stack([key.astype(jnp.uint32), *rows[1:]], 0),
+            tile_start=z,
+            tile_count=z,
+            total_instances=emitted,
+            overflow=overflow,
+            center_clipped=center_clipped,
+            area_hist=area_hist,
+        )
+
+    # ---- ONE single-key stable sort carrying the 7 packed rows -------------
     sorted_ops = jax.lax.sort((key, *rows), num_keys=1, is_stable=True)
     key_sorted = sorted_ops[0]
-    packed = jnp.stack(sorted_ops[1:], axis=0)  # (8, C) u32
+    packed = jnp.stack(sorted_ops[1:], axis=0)  # (7, C) u32
 
     tile_sorted = (key_sorted >> depth_bits).astype(jnp.int32)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -4,10 +4,10 @@ Second-generation re-design of the reference hot loop ``renderGaussians``
 (``src/core/cuda/render.cu:266-367``), informed by v5e microbenchmarks
 (tools/micro_bench*.py):
 
-* Features arrive PACKED: 8 uint32 rows per instance (vs 16 f32) — half the
-  sort payload and half the chunk DMA bytes. Layout (one row per field,
-  instances on lanes; fixed-point decodes are 2-3 integer VPU ops, no
-  transcendentals):
+* Features arrive PACKED: 7 uint32 rows per instance (vs 16 f32) — less
+  than half the sort payload and chunk DMA bytes. Layout (one row per
+  field, instances on lanes; fixed-point decodes are 2-3 integer VPU ops;
+  the only transcendental is one (1, K) log per chunk):
 
     row 0: center, tile-local 13.3 fixed point with +4096 offset (covers
            whole-screen-relative centers at ≤4K output):
@@ -15,11 +15,12 @@ Second-generation re-design of the reference hot loop ``renderGaussians``
     row 1: conic A   f32 bits
     row 2: conic B   f32 bits
     row 3: conic C   f32 bits
-    row 4: q0        f32 bits — constant term of the quadratic, with
-                     −2·ln(opacity) folded in (alpha = exp(−½·q))
-    row 5: u16(r·65535) << 16 | u16(g·65535)    (colors are clamped [0,1])
-    row 6: u16(b·65535) << 16 (low half spare)
-    row 7: aabb, tile-local u8: xmin | ymin<<8 | xmax<<16 | ymax<<24
+    row 4: u16(r·65535) << 16 | u16(g·65535)    (colors are clamped [0,1])
+    row 5: u16(b·65535) << 16 | u16(op·65535) — the kernel rebuilds the
+           quadratic constant q0 = −2·ln(op) from the 16-bit opacity
+           (quantization 1.5e-5 ≪ the 1e-3 alpha threshold), which drops
+           what used to be a full f32 q0 row from the frame sort
+    row 6: aabb, tile-local u8: xmin | ymin<<8 | xmax<<16 | ymax<<24
 
 * The Mahalanobis quadratic runs on the MXU: with tile-local pixel coords
   the per-pixel basis is (P, 8) = [x², y², xy, x, y, 1, 0, 0] and the
@@ -56,7 +57,13 @@ ALPHA_EPS = 1e-3
 T_EPS = 1e-3
 ALPHA_MAX = 0.99
 
-PACK_ROWS = 8
+PACK_ROWS = 7
+
+#: The kernel's HBM window and VMEM chunk keep a padded 8th row: Mosaic
+#: requires memref slices sublane-aligned to 8, so a (7, chunk) DMA is
+#: illegal on hardware. Only the DMA carries the dead row — the sort
+#: payload stays 7 rows (that's where row count costs ~11 ms each).
+DMA_ROWS = 8
 
 
 #: Fixed-point encodings (must match ops/instances.py): 13.3 fixed point,
@@ -123,11 +130,11 @@ def _tile_kernel(
     tile_start_ref,  # (T,) int32 SMEM
     tile_count_ref,  # (T,) int32 SMEM
     # inputs
-    feats_hbm,  # (PACK_ROWS, C + 2*chunk) uint32, stays in HBM
+    feats_hbm,  # (DMA_ROWS, C + 2*chunk) uint32, stays in HBM
     # outputs
     out_ref,  # (3, P) VMEM block for this tile
     # scratch
-    chunk_ref,  # (2, PACK_ROWS, chunk) uint32 VMEM double buffer
+    chunk_ref,  # (2, DMA_ROWS, chunk) uint32 VMEM double buffer
     sem_ref,  # (2,) DMA semaphores
     *,
     tile_w: int,
@@ -190,11 +197,15 @@ def _tile_kernel(
         ca = _f32_decode(raw[1:2, :])
         cb = _f32_decode(raw[2:3, :])
         cc = _f32_decode(raw[3:4, :])
-        q0 = _f32_decode(raw[4:5, :])
-        red = _color_decode(raw[5:6, :] >> 16)
-        grn = _color_decode(raw[5:6, :] & 0xFFFF)
-        blu = _color_decode(raw[6:7, :] >> 16)
-        aabb = raw[7:8, :]
+        red = _color_decode(raw[4:5, :] >> 16)
+        grn = _color_decode(raw[4:5, :] & 0xFFFF)
+        blu = _color_decode(raw[5:6, :] >> 16)
+        # q0 = −2·ln(op) rebuilt from the 16-bit opacity (the emitter
+        # guarantees op ≥ 1e-3 for real lanes; the max() guards padding
+        # lanes against ln(0) → −inf reaching the MXU).
+        op = jnp.maximum(_color_decode(raw[5:6, :] & 0xFFFF), 1e-6)
+        q0 = -2.0 * jnp.log(op)
+        aabb = raw[6:7, :]
         xmin = _u2f(aabb & 0xFF)
         ymin = _u2f((aabb >> 8) & 0xFF)
         xmax = _u2f((aabb >> 16) & 0xFF)
@@ -288,9 +299,11 @@ def composite_tiles_packed(
     """Composite all tiles from packed features; returns (3, H, W) f32."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
-    # Pad the instance axis so every aligned chunk window is in bounds.
-    pad = jnp.zeros((PACK_ROWS, 2 * chunk), dtype=packed_feats.dtype)
-    feats = jnp.concatenate([packed_feats, pad], axis=1)
+    # Pad the instance axis so every aligned chunk window is in bounds, and
+    # the row axis 7 → DMA_ROWS=8 (Mosaic sublane alignment; see DMA_ROWS).
+    c = packed_feats.shape[1]
+    feats = jnp.zeros((DMA_ROWS, c + 2 * chunk), dtype=packed_feats.dtype)
+    feats = jax.lax.dynamic_update_slice(feats, packed_feats, (0, 0))
 
     kernel = functools.partial(
         _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk
@@ -303,7 +316,7 @@ def composite_tiles_packed(
             (3, p), lambda t, *prefetch: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_ROWS, chunk), jnp.uint32),
+            pltpu.VMEM((2, DMA_ROWS, chunk), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -243,7 +243,11 @@ def parse_tiers(s: str):
 
 
 def calibrate_tiers(
-    area_hist, num_tiles: int = 1024, headroom: float = 1.5, min_k: int = 256
+    area_hist,
+    num_tiles: int = 1024,
+    headroom: float = 1.3,
+    min_k: int = 128,
+    max_tiers: int = 7,
 ):
     """Choose an area ladder from a frame's tile-area histogram.
 
@@ -272,46 +276,78 @@ def calibrate_tiers(
     n_valid = max(int(hist.sum()), 1)
 
     def round_up(x):
-        return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+        """Round up to 2 significant bits ({1, 1.25, 1.5, 1.75}·2^k): tight
+        enough that the pow2-style bucketing overhead is ≤25% (a plain
+        pow2 round after headroom wastes up to 2×), coarse enough that
+        nearby camera poses keep hitting the same jit cache entry."""
+        x = max(int(x), 1)
+        if x <= 4:
+            return x
+        k = x.bit_length() - 3  # quarter-granule exponent
+        return -(-x >> k) << k  # ceil to a multiple of 2^k
 
     def ladder_for(base_i: int):
         """Tier list with base area edges[base_i]; returns (tiers, lanes).
 
-        One tier per histogram edge above the base (fine ladders: a splat
-        pays at most 2× its true tile area in lanes, vs 4-8× with the
-        coarse every-other-edge ladders of round 1). The lane model
-        matches the emission exactly: tier i's emission array spans the
-        CUMULATIVE candidate window (its class plus every wider class),
-        because wide-tier selection is prefix-windowed on one
-        descending-area sort (ops/instances.py).
+        One tier per non-empty histogram edge above the base (fine ladders:
+        a splat pays at most 2× its true tile area in lanes, vs 4-8× with
+        the coarse every-other-edge ladders of round 1). The lane model
+        matches the emission exactly: each tier emits from an EXACT
+        dynamic-slice window of its class segment (ops/instances.py), so
+        its lane cost is m·k — no cumulative-window surcharge. An empty
+        bucket is skipped; its (empty) area range folds into the next
+        tier's class.
         """
         m0 = edges[base_i]
         tiers = [(m0, 0)]
         lanes = m0 * n_valid
-        ks = []
         for i in range(base_i + 1, len(edges)):
             count = int(hist[i])
+            if count == 0:
+                continue
             k = max(min_k, round_up(int(count * headroom)))
             tiers.append((edges[i], k))
-            ks.append((edges[i], k))
+            lanes += edges[i] * k
         if int(hist[-1]) > 0 and num_tiles > edges[-1]:
             # Splats covering more than 1024 tiles (up to the whole screen).
             m = round_up(num_tiles)
             k = max(64, round_up(int(hist[-1] * headroom)))
             tiers.append((m, k))
-            ks.append((m, k))
-        # Emission lane count: widest class first, cumulative windows.
-        end = 0
-        for m_hi, k in reversed(ks):
-            end += k
-            lanes += m_hi * min(end, n_valid)
+            lanes += m * k
         return tuple(tiers), lanes
+
+    def merge_down(tiers):
+        """Greedily merge adjacent wide tiers until ≤ max_tiers entries.
+
+        Merging (m_i, k_i) into the next-wider (m_j, k_j) costs exactly
+        k_i·(m_j − m_i) extra lanes (every class-i member now gets m_j
+        lanes); pick the cheapest pair each round. Caps the emission/sort
+        graph size — each tier adds a dynamic-slice + broadcast + concat
+        subgraph, and jit compile time scales with it (~60% more HLO for a
+        10-tier vs 4-tier ladder, measured on the c4 shapes).
+        """
+        tiers = list(tiers)
+        extra = 0
+        while len(tiers) > max_tiers and len(tiers) > 2:
+            costs = [
+                (tiers[i][1] * (tiers[i + 1][0] - tiers[i][0]), i)
+                for i in range(1, len(tiers) - 1)
+            ]
+            cost, i = min(costs)
+            m_hi = tiers[i + 1][0]
+            k_merged = round_up(tiers[i][1] + tiers[i + 1][1])
+            tiers[i + 1] = (m_hi, k_merged)
+            del tiers[i]
+            extra += cost
+        return tuple(tiers), extra
 
     # Pick the base tier that minimizes total sort lanes (the sort is the
     # scaling wall, so lanes ≈ cost).
     best = None
     for base_i in range(4):  # m0 ∈ {1, 2, 4, 8}
         tiers, lanes = ladder_for(base_i)
+        tiers, extra = merge_down(tiers)
+        lanes += extra
         if best is None or lanes < best[1]:
             best = (tiers, lanes)
     return best[0]

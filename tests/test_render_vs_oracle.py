@@ -46,6 +46,21 @@ def test_render_matches_oracle(compositor):
     assert score >= 40.0, f"PSNR {score:.2f} dB < 40 dB ({compositor})"
 
 
+def test_packed_16px_tiles_match_oracle():
+    """16×16 tiles (the tile-size trade the sort-cost work unlocks —
+    docs/sort_plan.md): 4× fewer pixel-instance pair tests per instance at
+    ~2× the instance count. Must be pixel-faithful like the 32×32 default."""
+    scene, cam, cfg = _setup(
+        compositor="packed", num_tile_x=8, num_tile_y=6
+    )  # 128×96 → 16×16-px tiles
+    assert (cfg.tile_w, cfg.tile_h) == (16, 16) and cfg.packed_compatible
+    golden = render_oracle(scene, cam, cfg)
+    fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert not bool(stats.overflow)
+    score = psnr(np.asarray(fb), golden)
+    assert score >= 40.0, f"16px-tile PSNR {score:.2f} dB < 40 dB"
+
+
 def test_unknown_compositor_rejected():
     scene, cam, cfg = _setup(compositor="pallas")  # v1 name was removed
     with pytest.raises(ValueError, match="unknown compositor"):

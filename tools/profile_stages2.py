@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--instance-multiplier", type=float, default=8.0)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--tiers", type=str, default=None,
+                    help="m:k,m:k ladder (bench wire format)")
     args = ap.parse_args()
 
     from gaussianrenderer_tpu.config import RenderConfig
@@ -65,11 +67,17 @@ def main():
     FLOOR = measure_floor()
     log(f"floor: {FLOOR:.1f} ms")
 
+    tiers = None
+    if args.tiers:
+        from gaussianrenderer_tpu.render import parse_tiers
+
+        tiers = parse_tiers(args.tiers)
     cfg = RenderConfig(
         height=args.height,
         width=args.width,
         compositor="packed",
         instance_multiplier=args.instance_multiplier,
+        tiers=tiers,
     )
     scene = make_random_scene(args.gaussians, seed=0).to_device()
     cam = Camera()
@@ -109,6 +117,16 @@ def main():
         capacity=capacity,
         near=0.2,
         far=100.0,
+        tiers=cfg.tiers,
+    )
+    # Emission-only (skip_sort): attributes build time to emission vs the
+    # C-lane sort + tile boundaries (full build minus this).
+    dt(
+        "emit only (skip_sort)",
+        functools.partial(build, skip_sort=True),
+        proj,
+        iters=args.iters,
+        perturb_ints=False,
     )
     # perturb_ints=False: XOR on tile rects / packed bits would change the
     # emission workload; the float fields (centers, conics) still perturb.
