@@ -74,7 +74,7 @@ class PackedInstances(NamedTuple):
     #: the saturating tiles. Never silent, per the project truncation rule.
     center_clipped: jnp.ndarray = None
     #: (len(AREA_BUCKETS)+1,) int32 — valid-Gaussian tile-area histogram
-    #: (≤1, ≤2, ≤4, ≤8, ≤16, ≤64, ≤256, ≤1024, >1024); drives calibration.
+    #: over the ~1.5×-step AREA_BUCKETS edges; drives tier calibration.
     area_hist: jnp.ndarray = None
 
 
@@ -94,8 +94,13 @@ def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 
 #: Area-histogram bucket edges reported in RenderStats.area_hist — used by
-#: the session-level tier calibrator (render.make_renderer).
-AREA_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+#: the session-level tier calibrator (render.make_renderer). Tier areas m
+#: need not be powers of two (lane r of a tier enumerates the rect
+#: linearly for ANY m), so the edges use ~1.5× steps: on small-splat
+#: scenes most lanes sit in the 1-8 range where a pow2 ladder wastes up
+#: to 33% (area-3 splats paying 4 lanes).
+AREA_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192,
+                256, 384, 512, 768, 1024)
 
 
 def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
@@ -337,18 +342,37 @@ def build_packed_instances(
         k_sel = min(sum(k for _, k in wide), n)
         sel_idx = idx_sorted[:k_sel]
 
-        def sel(a):  # small-K gather — cheap
-            return a[sel_idx]
-
-        s_tmin_x = sel(tmin_x)
-        s_tmin_y = sel(tmin_y)
-        s_w = sel(rect_w)
-        s_h = sel(rect_h)
-        s_depth = sel(depth_q)
-        s_rows = tuple(sel(r) for r in rows9)
-        s_area = sel(area)
-        s_valid = sel(valid)
-        s_r2max = sel(r2max_all)
+        # ONE (16, N) lane-axis gather instead of 16 separate 1-D gathers:
+        # measured 9× cheaper (~11 ns/row vs ~105 ns for 16 columns at
+        # k_sel=1M — tools/gather_bench.py). The stack materializes (16, N)
+        # once (~0.2 ms of bandwidth at 3M); the gather vectorizes the 16
+        # fields across sublanes.
+        sel_mat = jnp.stack(
+            (
+                tmin_x.astype(jnp.uint32),
+                tmin_y.astype(jnp.uint32),
+                rect_w.astype(jnp.uint32),
+                rect_h.astype(jnp.uint32),
+                depth_q,
+                *rows9,
+                area.astype(jnp.uint32),
+                valid.astype(jnp.uint32),
+                _f32_bits(r2max_all),
+            ),
+            axis=0,
+        )  # (17, N) u32
+        s_all = sel_mat[:, sel_idx]  # (17, k_sel)
+        s_tmin_x = s_all[0].astype(jnp.int32)
+        s_tmin_y = s_all[1].astype(jnp.int32)
+        s_w = s_all[2].astype(jnp.int32)
+        s_h = s_all[3].astype(jnp.int32)
+        s_depth = s_all[4]
+        s_rows = tuple(s_all[5 + i] for i in range(len(rows9)))
+        s_area = s_all[5 + len(rows9)].astype(jnp.int32)
+        s_valid = s_all[6 + len(rows9)] != 0
+        s_r2max = jax.lax.bitcast_convert_type(
+            s_all[7 + len(rows9)], jnp.float32
+        )
 
         # Class populations and segment starts (device scalars). Class c of
         # tier (m_hi, k_c) is area ∈ (m_lo, m_hi]; its segment starts after

@@ -46,8 +46,8 @@ class RenderStats(NamedTuple):
     num_culled: jnp.ndarray  # () int32 — Gaussians surviving the cull
     num_instances: jnp.ndarray  # () int32 — (gaussian, tile) pairs emitted
     overflow: jnp.ndarray  # () bool — instance capacity exceeded
-    #: (9,) int32 tile-area histogram (packed path only; None otherwise) —
-    #: feeds the auto_tier calibrator.
+    #: (len(AREA_BUCKETS)+1,) int32 tile-area histogram (packed path only;
+    #: None otherwise) — feeds the auto_tier calibrator.
     area_hist: Optional[jnp.ndarray] = None
     #: () bool (packed path only) — a tile-local center saturated the 13.3
     #: fixed-point encode; affected splats render with a clamped center.
@@ -286,17 +286,35 @@ def calibrate_tiers(
         k = x.bit_length() - 3  # quarter-granule exponent
         return -(-x >> k) << k  # ceil to a multiple of 2^k
 
-    def ladder_for(base_i: int):
-        """Tier list with base area edges[base_i]; returns (tiers, lanes).
+    def eff_headroom(count):
+        """Adaptive slack: class-count fluctuation across nearby camera
+        poses scales like 1/√count, so big classes (100k+) need only a
+        few % of slack while small ones keep the full margin. Overflow
+        recalibration (make_renderer auto_tier) is the safety net."""
+        rel = min(max((50_000.0 / max(count, 1)) ** 0.5, 0.25), 1.0)
+        return 1.0 + (headroom - 1.0) * rel
 
-        One tier per non-empty histogram edge above the base (fine ladders:
-        a splat pays at most 2× its true tile area in lanes, vs 4-8× with
-        the coarse every-other-edge ladders of round 1). The lane model
-        matches the emission exactly: each tier emits from an EXACT
-        dynamic-slice window of its class segment (ops/instances.py), so
-        its lane cost is m·k — no cumulative-window surcharge. An empty
-        bucket is skipped; its (empty) area range folds into the next
-        tier's class.
+    #: Cost model (measured, v5e): a sort lane costs ~9 ns (8-row stable
+    #: lax.sort, PERF_NOTES.md); a wide-tier SELECTED Gaussian costs
+    #: ~15 ns through the single (17, N) lane-axis selection gather
+    #: (tools/gather_bench.py — 16 separate 1-D gathers cost ~105 ns/row,
+    #: which is why the selection is one stacked matrix gather). The
+    #: optimizer weighs both: moving a class out of the base saves
+    #: (m0 − true area)·9 ns per splat against 15 ns of selection.
+    SORT_NS_PER_LANE = 9.0
+    SEL_NS_PER_ROW = 15.0
+
+    def ladder_for(base_i: int):
+        """Tier list with base area edges[base_i]; returns (tiers, cost).
+
+        One tier per non-empty histogram edge above the base (a splat pays
+        at most ~1.5× its true tile area in lanes with the fine
+        AREA_BUCKETS). The lane model matches the emission exactly: each
+        tier emits from an EXACT dynamic-slice window of its class segment
+        (ops/instances.py), so its lane cost is m·k — no cumulative-window
+        surcharge. An empty bucket is skipped; its (empty) area range folds
+        into the next tier's class. The returned cost is in ns-equivalents
+        (lanes·SORT_NS + selected·SEL_NS), not raw lanes.
         """
         m0 = edges[base_i]
         tiers = [(m0, 0)]
@@ -305,16 +323,19 @@ def calibrate_tiers(
             count = int(hist[i])
             if count == 0:
                 continue
-            k = max(min_k, round_up(int(count * headroom)))
+            k = max(min_k, round_up(int(count * eff_headroom(count))))
             tiers.append((edges[i], k))
             lanes += edges[i] * k
         if int(hist[-1]) > 0 and num_tiles > edges[-1]:
             # Splats covering more than 1024 tiles (up to the whole screen).
             m = round_up(num_tiles)
-            k = max(64, round_up(int(hist[-1] * headroom)))
+            count = int(hist[-1])
+            k = max(64, round_up(int(count * eff_headroom(count))))
             tiers.append((m, k))
             lanes += m * k
-        return tuple(tiers), lanes
+        k_sel = sum(k for _, k in tiers[1:])
+        cost = lanes * SORT_NS_PER_LANE + k_sel * SEL_NS_PER_ROW
+        return tuple(tiers), cost
 
     def merge_down(tiers):
         """Greedily merge adjacent wide tiers until ≤ max_tiers entries.
@@ -338,18 +359,18 @@ def calibrate_tiers(
             k_merged = round_up(tiers[i][1] + tiers[i + 1][1])
             tiers[i + 1] = (m_hi, k_merged)
             del tiers[i]
-            extra += cost
+            extra += cost * SORT_NS_PER_LANE
         return tuple(tiers), extra
 
-    # Pick the base tier that minimizes total sort lanes (the sort is the
-    # scaling wall, so lanes ≈ cost).
+    # Pick the base tier that minimizes the modeled frame cost (sort lanes
+    # + selection gather — see the cost model above).
     best = None
-    for base_i in range(4):  # m0 ∈ {1, 2, 4, 8}
-        tiers, lanes = ladder_for(base_i)
+    for base_i in range(6):  # m0 ∈ {1, 2, 3, 4, 6, 8}
+        tiers, cost = ladder_for(base_i)
         tiers, extra = merge_down(tiers)
-        lanes += extra
-        if best is None or lanes < best[1]:
-            best = (tiers, lanes)
+        cost += extra
+        if best is None or cost < best[1]:
+            best = (tiers, cost)
     return best[0]
 
 

@@ -122,9 +122,12 @@ def test_calibrate_tiers_shapes():
 
     from gaussianrenderer_tpu.render import calibrate_tiers
 
-    # mostly tiny splats (buckets: ≤1,2,4,8,16,32,64,128,256,512,1024,>1024)
+    from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS
+
+    nb = len(AREA_BUCKETS) + 1
+    # mostly tiny splats: geometric-ish decay across the fine buckets
     hist = np.array(
-        [900_000, 80_000, 15_000, 4_000, 800, 300, 150, 60, 30, 12, 5, 0]
+        [900_000] + [max(80_000 >> i, 1) for i in range(nb - 2)] + [0]
     )
     tiers = calibrate_tiers(hist, num_tiles=2040)
     ms = [m for m, _ in tiers]
@@ -134,7 +137,9 @@ def test_calibrate_tiers_shapes():
     assert ms[-1] >= 1024
 
     # wide-splat heavy histogram → wider base or big tiers, never invalid
-    hist2 = np.array([10, 20, 100, 400, 1500, 1200, 900, 500, 200, 90, 40, 3])
+    hist2 = np.array(
+        [10, 20] + [min(100 << i, 1500) for i in range(nb - 3)] + [3]
+    )
     tiers2 = calibrate_tiers(hist2, num_tiles=2040)
     ms2 = [m for m, _ in tiers2]
     assert ms2 == sorted(ms2)

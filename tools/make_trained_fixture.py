@@ -43,7 +43,7 @@ def main():
     h, w = 128, 160
     n_target = 4000
     n_fit = 2500
-    steps = 400
+    steps = 250
     n_views = 6
 
     cfg = RenderConfig(height=h, width=w, compositor="diff", sh_degree=1)

@@ -79,7 +79,7 @@ def main():
         instance_multiplier=args.instance_multiplier,
         tiers=tiers,
     )
-    scene = make_random_scene(args.gaussians, seed=0).to_device()
+    scene = make_random_scene(args.gaussians, seed=0).prepared()
     cam = Camera()
     cam.set_position([0.0, 0.0, 6.0])
     cam.set_look_at([0.0, 0.0, 0.0])
