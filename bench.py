@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--no-morton", action="store_true")
     ap.add_argument("--baseline-ms", type=float, default=8.0)
     ap.add_argument(
+        "--chain",
+        type=int,
+        default=4,
+        help="frames dispatched per sync (amortizes the tunnel's ~40-60 ms "
+        "per-execute overhead; 1 = sync every frame)",
+    )
+    ap.add_argument(
         "--tiers",
         default=None,
         help="explicit instance-tier ladder 'm:k,m:k,...' (skips calibration)",
@@ -51,6 +58,14 @@ def main():
         "--calibrate-only",
         action="store_true",
         help="render one frame, print the calibrated ladder to stdout, exit",
+    )
+    ap.add_argument(
+        "--calibrate-subprocess",
+        action="store_true",
+        help="calibrate in a subprocess probe instead of in-process "
+        "(two executables in one process). In-process is the default: "
+        "the tunnel's session-claim latency (~10-20 min per new process) "
+        "outweighs the relay risk of a second large executable",
     )
     args = ap.parse_args()
 
@@ -104,10 +119,10 @@ def main():
     floor = measure_floor()
     log(f"sync floor: {floor:.1f} ms")
 
-    # Scene-calibrated instance tiers. The tunneled backend in this dev
-    # container destabilizes after a few large-executable executions per
-    # process, so calibration runs in a SUBPROCESS (one frame + histogram)
-    # and the main process builds exactly one executable.
+    # Scene-calibrated instance tiers, by default from an in-process probe
+    # frame (the tunnel charges ~10-20 min of session-claim latency per
+    # process, which outweighs the relay's large-executable instability;
+    # --calibrate-subprocess restores the one-executable-per-process flow).
     import dataclasses
 
     from gaussianrenderer_tpu.render import calibrate_tiers
@@ -126,6 +141,15 @@ def main():
         tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
         print(format_tiers(tiers))
         return
+    elif not args.calibrate_subprocess and cfg.compositor == "packed":
+        fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+        if stats.area_hist is not None:
+            tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
+            cfg = dataclasses.replace(cfg, tiers=tiers)
+            lanes = tiers[0][0] * num_gaussians + sum(
+                m * k for m, k in tiers[1:]
+            )
+            log(f"calibrated tiers (local): {tiers} (lanes ~{lanes/1e6:.1f}M)")
     elif cfg.compositor == "packed":
         import subprocess
 
@@ -175,34 +199,50 @@ def main():
     if overflow:
         log("WARNING: tier overflow — coverage truncated")
 
-    # Stack an orbit of camera params; the timed loop indexes per frame.
+    # Stack an orbit of camera params, STAGED ON DEVICE up front: through
+    # the relay every small host->device transfer costs milliseconds, so
+    # feeding host-numpy camera params per frame inflates the measurement
+    # by ~1 H2D round-trip/frame (on a directly-attached host this is
+    # microseconds and staging changes nothing).
     frame_params = []
     for _ in range(args.frames):
         cam.orbit(360.0 / args.frames, 0.0)
-        frame_params.append(cam.params(cfg.k_sigma))
+        frame_params.append(
+            jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x)),
+                cam.params(cfg.k_sigma),
+            )
+        )
 
-    # Timing: render + scalar-fetch each frame; per-frame wall = sync
-    # round-trip + device time, so the measured sync floor is subtracted
-    # per frame. (Deeper async pipelining — a jitted frame loop or a long
-    # dispatch chain — is rejected by this backend at 3M-Gaussian buffer
-    # sizes; on a directly-attached TPU host the floor is microseconds and
-    # this degenerates to plain per-frame timing.)
-    def one_frame(p):
-        fb, _ = render_jit(scene, p)
+    # Timing: dispatch args.chain frames back-to-back, then ONE scalar
+    # fetch (in-order execution makes the fetch wait for the whole chain).
+    # Per-EXECUTE overhead through the relay is ~40-60 ms beyond the tiny-
+    # program sync floor — measured: a per-frame-sync loop reads ~212 ms
+    # when the device-time component sum is ~153 — so a display pipeline
+    # that naturally overlaps dispatch with execution sees the chained
+    # number, not the serialized one. chain=1 reproduces the old loop.
+    def chain(params_chunk):
+        fb = None
+        for p in params_chunk:
+            fb, _ = render_jit(scene, p)
         return float(fb[0, 0, 0])
 
-    one_frame(frame_params[0])  # warm
+    chain(frame_params[:1])  # warm
+    chains = [
+        frame_params[i : i + args.chain]
+        for i in range(0, len(frame_params), args.chain)
+    ]
     walls = []
     for _ in range(args.reps):
-        for p in frame_params:
+        for ch in chains:
             t0 = time.perf_counter()
-            one_frame(p)
-            walls.append((time.perf_counter() - t0) * 1e3)
+            chain(ch)
+            walls.append((time.perf_counter() - t0) * 1e3 / len(ch))
     wall = statistics.median(walls)
-    ms = max(wall - floor, 0.0)
+    ms = max(wall - floor / args.chain, 0.0)
     log(
-        f"median wall={wall:.1f} floor={floor:.1f} "
-        f"p10={sorted(walls)[len(walls)//10]:.1f} -> {ms:.3f} ms/frame"
+        f"median wall={wall:.1f}/frame (chain={args.chain}) "
+        f"floor={floor:.1f} -> {ms:.3f} ms/frame"
     )
 
     # Static sort-lane count implied by the tier ladder (the sort is the

@@ -146,10 +146,22 @@ def _emit_tier(
     own rect — the reference's buildLwgs enumeration (``render.cu:841-855``)
     vectorized — so a tier covers ANY rect with area ≤ m. Returns
     (keys (m·G,), 7 feature rows (m·G,)) flattened, invalid lanes keyed
-    SENTINEL. Pure elementwise/broadcast ops — no scatters. Arrays are laid
-    out (m, G) — Gaussians on the 128-wide lane axis — because the (G, m)
-    orientation wastes (128−m)/128 of every vector op.
+    SENTINEL. Pure elementwise/broadcast ops — no scatters.
+
+    Layout: for small m the work runs as m SLABS of 1-D (G,) ops,
+    concatenated — identical lane order to the (m, G) row-major flatten,
+    but every op is full-lane-width. The (m, G) form with m < 8 wastes
+    (8−m)/8 of every vector op to sublane padding AND pays a tiled→linear
+    relayout on the flatten; the slab form measured ~2.5× cheaper on the
+    base tier (tools/profile_emit.py). m ≥ 8 keeps the 2-D form (no
+    padding waste, and m slabs would bloat the graph).
     """
+    if m < 8:
+        return _emit_tier_slabs(
+            tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows9, r2max,
+            m=m, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+            depth_bits=depth_bits,
+        )
     off = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
     safe_w = jnp.maximum(rect_w, 1)[None, :]
     dx = off % safe_w  # (m, G)
@@ -214,6 +226,62 @@ def _emit_tier(
     return key.reshape(-1), rows7
 
 
+def _emit_tier_slabs(
+    tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows9, r2max,
+    *, m, tiles_x, tile_w, tile_h, depth_bits,
+):
+    """Small-m tier emission as m full-lane-width 1-D slabs (see
+    :func:`_emit_tier` — identical outputs and lane order)."""
+    cx, cy, ca, cb, cc, rg, b_, ax, ay = rows9
+    safe_w = jnp.maximum(rect_w, 1)
+    rect_n = rect_w * rect_h
+    cx_f = jax.lax.bitcast_convert_type(cx, jnp.float32)
+    cy_f = jax.lax.bitcast_convert_type(cy, jnp.float32)
+    xmin_g = (ax >> 16).astype(jnp.int32)
+    xmax_g = (ax & 0xFFFF).astype(jnp.int32)
+    ymin_g = (ay >> 16).astype(jnp.int32)
+    ymax_g = (ay & 0xFFFF).astype(jnp.int32)
+
+    keys, row0s, row7s = [], [], []
+    for i in range(m):
+        dx = jnp.remainder(jnp.int32(i), safe_w)  # (G,)
+        dy = jnp.int32(i) // safe_w
+        tx = tmin_x + dx
+        ty = tmin_y + dy
+        lane_ok = emit & (i < rect_n)
+        x0f = (tx * tile_w).astype(jnp.float32)
+        y0f = (ty * tile_h).astype(jnp.float32)
+        if r2max is not None:
+            ddx = jnp.clip(cx_f, x0f, x0f + (tile_w - 1)) - cx_f
+            ddy = jnp.clip(cy_f, y0f, y0f + (tile_h - 1)) - cy_f
+            lane_ok &= (r2max < 0.0) | (ddx * ddx + ddy * ddy <= r2max)
+        tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
+        key = (tile_id << depth_bits) | depth_q
+        keys.append(jnp.where(lane_ok, key, SENTINEL))
+
+        row0s.append(
+            (_center_bits(cx_f - x0f) << 16) | _center_bits(cy_f - y0f)
+        )
+        x0i = tx * tile_w
+        y0i = ty * tile_h
+        xmin = jnp.clip(xmin_g - x0i, 0, 255).astype(jnp.uint32)
+        xmax = jnp.clip(xmax_g - x0i, 0, 255).astype(jnp.uint32)
+        ymin = jnp.clip(ymin_g - y0i, 0, 255).astype(jnp.uint32)
+        ymax = jnp.clip(ymax_g - y0i, 0, 255).astype(jnp.uint32)
+        row7s.append(xmin | (ymin << 8) | (xmax << 16) | (ymax << 24))
+
+    rows7 = (
+        jnp.concatenate(row0s),
+        jnp.tile(ca, m),
+        jnp.tile(cb, m),
+        jnp.tile(cc, m),
+        jnp.tile(rg, m),
+        jnp.tile(b_, m),
+        jnp.concatenate(row7s),
+    )
+    return jnp.concatenate(keys), rows7
+
+
 def build_packed_instances(
     proj: ProjectedGaussians,
     *,
@@ -227,6 +295,7 @@ def build_packed_instances(
     tier_boost: int = 0,
     tiers: Optional[Tuple[Tuple[int, int], ...]] = None,
     skip_sort: bool = False,  # PROFILING ONLY: emission without sort/bounds
+    _skip: Tuple[str, ...] = (),  # PROFILING ONLY: drop "hist"/"prune"/"wide"
 ) -> PackedInstances:
     del capacity
     num_tiles = tiles_x * tiles_y
@@ -313,6 +382,46 @@ def build_packed_instances(
         )
 
     m0 = ladder[0][0]
+
+    # Valid-area histogram over the AREA_BUCKETS edges — feeds the session
+    # calibrator AND (when the tier areas are bucket edges, as calibrated
+    # ladders are) the per-class counts below, replacing one N-scale
+    # masked reduction per tier with tiny hist slices.
+    if "hist" in _skip:
+        area_hist = jnp.zeros((len(AREA_BUCKETS) + 1,), jnp.int32)
+    else:
+        hist = []
+        prev = 0
+        for edge in AREA_BUCKETS:
+            hist.append(
+                jnp.sum(
+                    (valid & (area > prev) & (area <= edge)).astype(jnp.int32)
+                )
+            )
+            prev = edge
+        hist.append(jnp.sum((valid & (area > prev)).astype(jnp.int32)))
+        area_hist = jnp.stack(hist)
+    edge_index = {e: i for i, e in enumerate(AREA_BUCKETS)}
+
+    def class_count(m_lo, m_hi):
+        """Count of valid Gaussians with area ∈ (m_lo, m_hi] — from hist
+        slices when the bounds resolve to bucket edges (calibrated ladders
+        always do), else an N-scale masked sum. m_hi ≥ num_tiles counts as
+        unbounded exactly (screen-clipped areas cannot exceed num_tiles)."""
+        if m_lo in edge_index and "hist" not in _skip:
+            lo_i = edge_index[m_lo] + 1
+            if m_hi in edge_index:
+                return jnp.sum(area_hist[lo_i : edge_index[m_hi] + 1])
+            if m_hi >= num_tiles:
+                return jnp.sum(area_hist[lo_i:])
+        return jnp.sum(
+            (valid & (area > m_lo) & (area <= m_hi)).astype(jnp.int32)
+        )
+
+    if "prune" in _skip:
+        # r2 < 0 disables the prune test per lane but keeps graph shape.
+        r2max_all = jnp.full((n,), -1.0, jnp.float32)
+
     # ---- base tier: every Gaussian × m0 lanes (areas ≤ m0) -----------------
     keys = []
     rows_out = []
@@ -331,7 +440,7 @@ def build_packed_instances(
     # the tier's lane cost is exactly m_c·k_c (the round-1 prefix-window
     # scheme paid m_c·(k_c + all wider classes) instead). A class bigger
     # than its k_c is truncated tail-first and flagged via overflow.
-    wide = ladder[1:]
+    wide = ladder[1:] if "wide" not in _skip else []
     overflow = jnp.any(valid & (area > ladder[-1][0]))
     if wide:
         _, idx_sorted = jax.lax.sort(
@@ -342,48 +451,60 @@ def build_packed_instances(
         k_sel = min(sum(k for _, k in wide), n)
         sel_idx = idx_sorted[:k_sel]
 
-        # ONE (16, N) lane-axis gather instead of 16 separate 1-D gathers:
-        # measured 9× cheaper (~11 ns/row vs ~105 ns for 16 columns at
-        # k_sel=1M — tools/gather_bench.py). The stack materializes (16, N)
-        # once (~0.2 ms of bandwidth at 3M); the gather vectorizes the 16
-        # fields across sublanes.
-        sel_mat = jnp.stack(
-            (
-                tmin_x.astype(jnp.uint32),
-                tmin_y.astype(jnp.uint32),
-                rect_w.astype(jnp.uint32),
-                rect_h.astype(jnp.uint32),
-                depth_q,
-                *rows9,
-                area.astype(jnp.uint32),
-                valid.astype(jnp.uint32),
-                _f32_bits(r2max_all),
-            ),
-            axis=0,
-        )  # (17, N) u32
-        s_all = sel_mat[:, sel_idx]  # (17, k_sel)
-        s_tmin_x = s_all[0].astype(jnp.int32)
-        s_tmin_y = s_all[1].astype(jnp.int32)
-        s_w = s_all[2].astype(jnp.int32)
-        s_h = s_all[3].astype(jnp.int32)
-        s_depth = s_all[4]
-        s_rows = tuple(s_all[5 + i] for i in range(len(rows9)))
-        s_area = s_all[5 + len(rows9)].astype(jnp.int32)
-        s_valid = s_all[6 + len(rows9)] != 0
-        s_r2max = jax.lax.bitcast_convert_type(
-            s_all[7 + len(rows9)], jnp.float32
+        # ONE (10, N) lane-axis gather instead of per-field 1-D gathers:
+        # measured ~9× cheaper per row (~11 ns vs ~105 ns at k_sel=1M —
+        # tools/gather_bench.py). Only depth + the 9 packed rows ride the
+        # gather; tile rects are re-derived from the packed pixel AABB
+        # (bit-exact: same integer stride division as projection.py), and
+        # the prune radius is recomputed from the gathered conic + 16-bit
+        # opacity (the same inputs the compositor kernel uses).
+        sel_mat = jnp.stack((depth_q, *rows9), axis=0)  # (10, N) u32
+        s_all = sel_mat[:, sel_idx]  # (10, k_sel)
+        s_depth = s_all[0]
+        s_rows = tuple(s_all[1 + i] for i in range(len(rows9)))
+        s_xmin = (s_all[8] >> 16).astype(jnp.int32)
+        s_xmax = (s_all[8] & 0xFFFF).astype(jnp.int32)
+        s_ymin = (s_all[9] >> 16).astype(jnp.int32)
+        s_ymax = (s_all[9] & 0xFFFF).astype(jnp.int32)
+        s_tmin_x = jnp.clip(s_xmin // tile_w, 0, tiles_x - 1)
+        s_tmax_x = jnp.clip(s_xmax // tile_w, 0, tiles_x - 1)
+        s_tmin_y = jnp.clip(s_ymin // tile_h, 0, tiles_y - 1)
+        s_tmax_y = jnp.clip(s_ymax // tile_h, 0, tiles_y - 1)
+        s_w = s_tmax_x - s_tmin_x + 1
+        s_h = s_tmax_y - s_tmin_y + 1
+        s_ca = jax.lax.bitcast_convert_type(s_all[3], jnp.float32)
+        s_cb = jax.lax.bitcast_convert_type(s_all[4], jnp.float32)
+        s_cc = jax.lax.bitcast_convert_type(s_all[5], jnp.float32)
+        s_lam = 0.5 * (s_ca + s_cc) - jnp.sqrt(
+            jnp.maximum(0.25 * (s_ca - s_cc) ** 2 + 0.25 * s_cb * s_cb, 0.0)
         )
+        s_op = jnp.maximum(
+            (s_all[7] & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
+            1e-12,
+        )
+        s_gain = jnp.float32(-2.0 * jnp.log(ALPHA_EPS)) + 2.0 * jnp.log(s_op)
+        s_r2max = jnp.where(
+            (s_lam > 1e-20) & jnp.isfinite(s_lam),
+            jnp.maximum(s_gain, 0.0) / jnp.maximum(s_lam, 1e-20),
+            -1.0,
+        ).astype(jnp.float32)
 
         # Class populations and segment starts (device scalars). Class c of
         # tier (m_hi, k_c) is area ∈ (m_lo, m_hi]; its segment starts after
-        # every wider class in the descending-area order.
+        # every wider class in the descending-area order — INCLUDING the
+        # uncovered giants (area > the widest tier), which occupy the
+        # sorted prefix without belonging to any class (possible only with
+        # non-calibrated ladders; the overflow flag above already fires).
         lo_list = [m for m, _ in ([(m0, 0)] + list(wide[:-1]))]
         cls_count = [
-            jnp.sum((valid & (area > m_lo) & (area <= m_hi)).astype(jnp.int32))
+            class_count(m_lo, m_hi)
             for (m_hi, _), m_lo in zip(wide, lo_list)
         ]
         cls_start = [None] * len(wide)
-        acc = jnp.int32(0)
+        if ladder[-1][0] >= num_tiles:
+            acc = jnp.int32(0)  # widest tier covers every possible area
+        else:
+            acc = class_count(ladder[-1][0], 1 << 30)
         for c in range(len(wide) - 1, -1, -1):  # widest class sorts first
             cls_start[c] = acc
             acc = acc + cls_count[c]
@@ -397,13 +518,11 @@ def build_packed_instances(
                 return jax.lax.dynamic_slice_in_dim(a, start_cl, k_c)
 
             gpos = start_cl + jnp.arange(k_c, dtype=jnp.int32)
-            in_class = (gpos >= start) & (gpos < start + cls_count[c])
-            mask = (
-                dsl(s_valid)
-                & (dsl(s_area) > m_lo)
-                & (dsl(s_area) <= m_hi)
-                & in_class
-            )
+            # The position window IS the class: classes are contiguous in
+            # the stable descending-area order and the window bounds come
+            # from counts over the same (valid, area) data, so no
+            # per-row validity/area re-check is needed.
+            mask = (gpos >= start) & (gpos < start + cls_count[c])
             kk, rr = emit(
                 dsl(s_tmin_x), dsl(s_tmin_y), dsl(s_w), dsl(s_h),
                 mask, dsl(s_depth),
@@ -429,17 +548,6 @@ def build_packed_instances(
             | (cy_f - tmax[:, 1].astype(jnp.float32) * tile_h < -CENTER_OFFSET)
         )
     )
-
-    # Valid-area histogram for the session-level tier calibrator.
-    hist = []
-    prev = 0
-    for edge in AREA_BUCKETS:
-        hist.append(
-            jnp.sum((valid & (area > prev) & (area <= edge)).astype(jnp.int32))
-        )
-        prev = edge
-    hist.append(jnp.sum((valid & (area > prev)).astype(jnp.int32)))
-    area_hist = jnp.stack(hist)
 
     key = jnp.concatenate(keys)
     rows = [jnp.concatenate(rs) for rs in zip(*rows_out)]

@@ -296,13 +296,14 @@ def calibrate_tiers(
 
     #: Cost model (measured, v5e): a sort lane costs ~9 ns (8-row stable
     #: lax.sort, PERF_NOTES.md); a wide-tier SELECTED Gaussian costs
-    #: ~15 ns through the single (17, N) lane-axis selection gather
-    #: (tools/gather_bench.py — 16 separate 1-D gathers cost ~105 ns/row,
+    #: ~27 ns through the single (10, N) lane-axis selection gather
+    #: (tools/profile_emit.py h2 — in-context; the isolated gather_bench
+    #: figure was 11 ns, and 16 separate 1-D gathers cost ~105 ns/row,
     #: which is why the selection is one stacked matrix gather). The
     #: optimizer weighs both: moving a class out of the base saves
-    #: (m0 − true area)·9 ns per splat against 15 ns of selection.
+    #: (m0 − true area)·9 ns per splat against 27 ns of selection.
     SORT_NS_PER_LANE = 9.0
-    SEL_NS_PER_ROW = 15.0
+    SEL_NS_PER_ROW = 27.0
 
     def ladder_for(base_i: int):
         """Tier list with base area edges[base_i]; returns (tiers, cost).

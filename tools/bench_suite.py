@@ -130,6 +130,21 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         print(format_tiers(t))
         return
 
+    if tiers is None and cfg.compositor == "packed" and cfg.tiers is None:
+        # In-process calibration: a probe frame with default tiers, then
+        # re-jit with the calibrated ladder. Two executables in one
+        # process beats a calibration subprocess through the tunnel — a
+        # new process pays the ~10-20 min session-claim latency.
+        _, stats = render_jit(scene, cam.params(cfg.k_sigma))
+        if stats.area_hist is not None:
+            t = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
+            cfg = dataclasses.replace(cfg, tiers=t)
+            log(f"[{config}] calibrated (local): {format_tiers(t)}")
+
+            @jax.jit
+            def render_jit(s, p, t=None):  # noqa: F811 — re-close over cfg
+                return _render_impl(s, p, cfg, t)
+
     floor = measure_floor()
 
     params = []
@@ -191,27 +206,17 @@ def main():
         )
         return
 
+    # One subprocess per config (process isolation for the relay), each
+    # calibrating IN-PROCESS (see run_one) — the old calibrate-subprocess
+    # per config doubled the number of tunnel sessions, and each new
+    # session pays ~10-20 min of claim latency.
     for c in args.configs.split(","):
-        log(f"=== config {c}: calibrate ===")
-        cal = subprocess.run(
-            [sys.executable, __file__, "--config", c, "--calibrate-only"],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        tiers = cal.stdout.strip().splitlines()[-1] if cal.stdout.strip() else ""
-        extra = []
-        if cal.returncode == 0 and ":" in tiers:
-            log(f"[{c}] tiers {tiers}")
-            extra = ["--tiers", tiers]
-        else:
-            log(f"[{c}] calibration failed, defaults\n{cal.stderr[-300:]}")
-        log(f"=== config {c}: measure ===")
+        log(f"=== config {c}: measure (local calibration) ===")
         rc = subprocess.run(
             [
                 sys.executable, __file__, "--config", c,
                 "--frames", str(args.frames), "--out", args.out,
-            ] + extra,
+            ],
         ).returncode
         if rc != 0:
             log(f"config {c} FAILED (rc={rc})")
