@@ -14,10 +14,13 @@ So instead of the reference's count → prefix-sum → scatter expansion
 (``render.cu:767-857``), every Gaussian is given a FIXED number of
 instance lanes by broadcasting — no data-dependent placement at all:
 
-  tier 1: all N Gaussians × 4 lanes     (covers tile rects ≤ 2×2 — the
-          overwhelming majority at 32×32-pixel tiles)
-  tier 2: top-K₂ Gaussians by tile count × 64 lanes   (rects ≤ 8×8)
-  tier 3: top-K₃ Gaussians × 1024 lanes               (rects ≤ 32×32)
+  base tier: all N Gaussians × m₀ lanes (covers tile areas ≤ m₀ — the
+             overwhelming majority at 32×32-pixel tiles);
+  wide tiers: an area ladder (m, k) — the k members of each tile-area
+             class get m lanes each, selected via exact per-class
+             windows over one descending-area order. Ladders come from
+             ``render.calibrate_tiers`` (cost-model driven) or
+             :func:`default_tiers`.
 
 Lanes beyond a Gaussian's actual rect (and all lanes of culled Gaussians)
 get the all-ones sentinel key and sort to the end. Wide-tier membership
