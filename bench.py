@@ -8,12 +8,14 @@ Prints ONE JSON line:
 measured frame time — ≥ 1.0 means the target is met, higher is better.
 
 Measurement methodology: this host reaches the TPU through a tunnel whose
-device sync costs ~30 ms and whose ``block_until_ready`` does not actually
-block. Each orbit frame (per-frame work equivalent to the reference's
-interactive loop, ``cull_sort_test.cpp:52-64``) is rendered and then forced
-with a scalar fetch; the measured sync-floor round trip is subtracted from
-each frame's wall time and the median is reported. On a directly-attached
-TPU host the floor is microseconds and this is plain per-frame timing.
+device sync costs ~30 ms, whose ``block_until_ready`` does not actually
+block, and whose every EXECUTE costs ~45 ms of host round-trip. Orbit
+frames (per-frame work equivalent to the reference's interactive loop,
+``cull_sort_test.cpp:52-64``) are dispatched in chains of ``--chain`` with
+one scalar fetch per chain; the sync floor is subtracted per chain. Tier
+calibration runs as a CPU-only projection probe in a subprocess. On a
+directly-attached TPU host use ``--in-jit-orbit`` for pure device time
+(the tunnel rejects that loop at 3M-Gaussian buffer sizes).
 
 All human-readable progress goes to stderr; stdout carries only the JSON.
 Per-stage details land in bench_details.json.
@@ -50,6 +52,13 @@ def main():
         "per-execute overhead; 1 = sync every frame)",
     )
     ap.add_argument(
+        "--in-jit-orbit",
+        action="store_true",
+        help="measure with the whole orbit inside one jitted fori_loop "
+        "(pure device time; REJECTED by the tunneled backend at 3M "
+        "buffer sizes — use only on a directly-attached host)",
+    )
+    ap.add_argument(
         "--tiers",
         default=None,
         help="explicit instance-tier ladder 'm:k,m:k,...' (skips calibration)",
@@ -57,19 +66,20 @@ def main():
     ap.add_argument(
         "--calibrate-only",
         action="store_true",
-        help="render one frame, print the calibrated ladder to stdout, exit",
-    )
-    ap.add_argument(
-        "--calibrate-subprocess",
-        action="store_true",
-        help="calibrate in a subprocess probe instead of in-process "
-        "(two executables in one process). In-process is the default: "
-        "the tunnel's session-claim latency (~10-20 min per new process) "
-        "outweighs the relay risk of a second large executable",
+        help="CPU-only projection probe: print the calibrated ladder to "
+        "stdout and exit (no TPU session, no compositor executable)",
     )
     args = ap.parse_args()
 
     import jax
+
+    if args.calibrate_only:
+        # The probe needs only the projection pass — run it on CPU so the
+        # calibration subprocess neither waits on a TPU session claim nor
+        # adds a second large executable to the measuring process (both
+        # failure modes were observed; PERF_NOTES.md methodology).
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from gaussianrenderer_tpu.utils import enable_compilation_cache
@@ -94,6 +104,7 @@ def main():
     if not args.no_morton:
         scene = scene.morton_sorted()
     num_gaussians = scene.num_gaussians
+    scene_raw = scene  # (N, ...) row-major — the calibration probe subsamples this
     scene = scene.prepared()  # render layout once; saves ~6 ms/frame at 3M
     log(f"scene: {num_gaussians} gaussians")
 
@@ -119,10 +130,9 @@ def main():
     floor = measure_floor()
     log(f"sync floor: {floor:.1f} ms")
 
-    # Scene-calibrated instance tiers, by default from an in-process probe
-    # frame (the tunnel charges ~10-20 min of session-claim latency per
-    # process, which outweighs the relay's large-executable instability;
-    # --calibrate-subprocess restores the one-executable-per-process flow).
+    # Scene-calibrated instance tiers from a CPU-only projection probe in a
+    # subprocess (seconds; no TPU session claim, no second large executable
+    # in this process — both were observed to break the tunneled backend).
     import dataclasses
 
     from gaussianrenderer_tpu.render import calibrate_tiers
@@ -134,22 +144,15 @@ def main():
         cfg = dataclasses.replace(cfg, tiers=tiers)
         log(f"tiers (explicit): {tiers}")
     elif args.calibrate_only:
-        fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
-        if stats.area_hist is None:
-            log("no area histogram (non-packed path) — cannot calibrate")
-            return 1
-        tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
+        # CPU projection-only probe on a 1/8 subsample (histogram shape is
+        # preserved; counts scale back up x8).
+        from gaussianrenderer_tpu.render import area_histogram
+
+        sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
+        hist8 = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
+        tiers = calibrate_tiers(hist8, num_tiles=cfg.num_tiles)
         print(format_tiers(tiers))
         return
-    elif not args.calibrate_subprocess and cfg.compositor == "packed":
-        fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
-        if stats.area_hist is not None:
-            tiers = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
-            cfg = dataclasses.replace(cfg, tiers=tiers)
-            lanes = tiers[0][0] * num_gaussians + sum(
-                m * k for m, k in tiers[1:]
-            )
-            log(f"calibrated tiers (local): {tiers} (lanes ~{lanes/1e6:.1f}M)")
     elif cfg.compositor == "packed":
         import subprocess
 
@@ -214,13 +217,54 @@ def main():
             )
         )
 
-    # Timing: dispatch args.chain frames back-to-back, then ONE scalar
-    # fetch (in-order execution makes the fetch wait for the whole chain).
-    # Per-EXECUTE overhead through the relay is ~40-60 ms beyond the tiny-
-    # program sync floor — measured: a per-frame-sync loop reads ~212 ms
-    # when the device-time component sum is ~153 — so a display pipeline
-    # that naturally overlaps dispatch with execution sees the chained
-    # number, not the serialized one. chain=1 reproduces the old loop.
+    # Primary metric: the orbit loop INSIDE one jit (lax.fori_loop over
+    # device-stacked camera params, each frame's framebuffer consumed into
+    # a scalar) — ONE dispatch and ONE sync for the whole orbit, so the
+    # measurement is pure device time. Through this tunnel every EXECUTE
+    # costs ~45 ms of host round-trip beyond the sync floor (measured:
+    # per-frame dispatch reads ~188 ms when the in-loop device time sum is
+    # ~145), which would otherwise dominate the metric; on a directly-
+    # attached host the two coincide.
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *frame_params
+    )
+    n_frames = len(frame_params)
+
+    @jax.jit
+    def orbit_loop(scene, stacked):
+        def body(i, acc):
+            p = jax.tree_util.tree_map(lambda x: x[i], stacked)
+            fb, _ = _render_impl(scene, p, cfg)
+            return acc + fb[0, 0, 0]
+
+        return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
+
+    ms = None
+    if args.in_jit_orbit:
+        # NOTE: this tunnel's backend REJECTS the fori_loop orbit at
+        # 3M-Gaussian buffer sizes (confirmed again in round 2: the loop
+        # compiles, then dies at execute with INVALID_ARGUMENT and leaves
+        # the relay unable to serve the fallback) — only use on a
+        # directly-attached host, where it gives pure device time.
+        try:
+            t0 = time.time()
+            float(orbit_loop(scene, stacked))  # compile + warm
+            log(f"orbit loop compile+run: {time.time()-t0:.1f}s")
+            loop_walls = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                float(orbit_loop(scene, stacked))
+                loop_walls.append((time.perf_counter() - t0) * 1e3)
+            wall = statistics.median(loop_walls)
+            ms = max(wall - floor, 0.0) / n_frames
+            log(f"in-jit orbit: {wall:.1f} ms / {n_frames} frames "
+                f"-> {ms:.3f} ms/frame")
+        except Exception as e:  # backend rejected the loop — fall back
+            log(f"in-jit orbit loop unavailable ({type(e).__name__}); "
+                "falling back to chained dispatch")
+
+    # Secondary/interactive metric (and the fallback): dispatch args.chain
+    # frames back-to-back, one scalar fetch per chain.
     def chain(params_chunk):
         fb = None
         for p in params_chunk:
@@ -239,11 +283,13 @@ def main():
             chain(ch)
             walls.append((time.perf_counter() - t0) * 1e3 / len(ch))
     wall = statistics.median(walls)
-    ms = max(wall - floor / args.chain, 0.0)
+    dispatch_ms = max(wall - floor / args.chain, 0.0)
     log(
-        f"median wall={wall:.1f}/frame (chain={args.chain}) "
-        f"floor={floor:.1f} -> {ms:.3f} ms/frame"
+        f"per-dispatch: median wall={wall:.1f}/frame (chain={args.chain}) "
+        f"floor={floor:.1f} -> {dispatch_ms:.3f} ms/frame"
     )
+    if ms is None:
+        ms = dispatch_ms
 
     # Static sort-lane count implied by the tier ladder (the sort is the
     # scaling wall; lanes ≈ cost — VERDICT r1 asks for this per frame).
@@ -269,6 +315,7 @@ def main():
         "tiers": list(cfg.tiers) if cfg.tiers else None,
         "overflow": overflow,
         "median_ms": ms,
+        "per_dispatch_ms": dispatch_ms,
         "walls_ms": walls,
         "sync_floor_ms": floor,
     }

@@ -242,6 +242,43 @@ def parse_tiers(s: str):
     return tuple(tuple(int(v) for v in part.split(":")) for part in s.split(","))
 
 
+def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
+    """Projection-only tile-area histogram over AREA_BUCKETS — the input
+    :func:`calibrate_tiers` needs, WITHOUT compositing. Cheap enough to run
+    on the CPU backend (projection at a 1/8-subsampled scene takes
+    seconds), which lets calibration probes avoid both a TPU session claim
+    and a second large TPU executable in the measuring process."""
+    import numpy as np
+
+    from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS
+
+    proj = preprocess_gaussians(
+        scene,
+        cam_params,
+        width=cfg.width,
+        height=cfg.height,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree,
+        quantize_centers=cfg.quantize_centers,
+    )
+    tmin = np.asarray(proj.tile_min)
+    tmax = np.asarray(proj.tile_max)
+    valid = np.asarray(proj.valid) & (np.asarray(proj.opacity) >= 1e-3)
+    area = np.where(
+        valid, (tmax[:, 0] - tmin[:, 0] + 1) * (tmax[:, 1] - tmin[:, 1] + 1), 0
+    )
+    hist = []
+    prev = 0
+    for edge in AREA_BUCKETS:
+        hist.append(int(((area > prev) & (area <= edge) & valid).sum()))
+        prev = edge
+    hist.append(int(((area > prev) & valid).sum()))
+    return np.asarray(hist, dtype=np.int64)
+
+
 def calibrate_tiers(
     area_hist,
     num_tiles: int = 1024,

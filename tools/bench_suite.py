@@ -109,6 +109,7 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     if tiers:
         cfg = dataclasses.replace(cfg, tiers=parse_tiers(tiers))
     num_gaussians = scene.num_gaussians
+    scene_raw = scene  # (N, ...) row-major; the calibration probe subsamples it
     scene = scene.prepared()  # render layout once (saves ~6 ms/frame at 3M)
     cam = Camera()
     cam.set_position(list(pos))
@@ -125,32 +126,30 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         return _render_impl(s, p, cfg, t)
 
     if calibrate_only:
-        _, stats = render_jit(scene, cam.params(cfg.k_sigma))
-        t = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
+        # CPU projection-only probe on a 1/8 subsample (main() forced the
+        # CPU platform before jax initialized) — no TPU session claim, no
+        # compositor executable.
+        from gaussianrenderer_tpu.render import area_histogram
+
+        sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
+        hist8 = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
+        t = calibrate_tiers(hist8, num_tiles=cfg.num_tiles)
         print(format_tiers(t))
         return
-
-    if tiers is None and cfg.compositor == "packed" and cfg.tiers is None:
-        # In-process calibration: a probe frame with default tiers, then
-        # re-jit with the calibrated ladder. Two executables in one
-        # process beats a calibration subprocess through the tunnel — a
-        # new process pays the ~10-20 min session-claim latency.
-        _, stats = render_jit(scene, cam.params(cfg.k_sigma))
-        if stats.area_hist is not None:
-            t = calibrate_tiers(stats.area_hist, num_tiles=cfg.num_tiles)
-            cfg = dataclasses.replace(cfg, tiers=t)
-            log(f"[{config}] calibrated (local): {format_tiers(t)}")
-
-            @jax.jit
-            def render_jit(s, p, t=None):  # noqa: F811 — re-close over cfg
-                return _render_impl(s, p, cfg, t)
 
     floor = measure_floor()
 
     params = []
     for _ in range(frames):
         cam.orbit(360.0 / frames, 0.0)
-        params.append(cam.params(cfg.k_sigma))
+        # Device-staged: per-frame host->device uploads cost a relay
+        # round-trip each through the tunnel.
+        params.append(
+            jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x)),
+                cam.params(cfg.k_sigma),
+            )
+        )
 
     t0 = time.time()
     if tvals is None:
@@ -162,16 +161,24 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     compile_s = time.time() - t0
     log(f"[{config}] compile+first {compile_s:.0f}s inst={n_inst} overflow={overflow}")
 
+    # Chained dispatch (4 frames per sync): the tunnel charges ~40-60 ms
+    # per-execute beyond the sync floor; a pipelined display loop sees the
+    # chained number (same convention as bench.py).
+    chain = 4
+    batches = [
+        list(range(i, min(i + chain, frames))) for i in range(0, frames, chain)
+    ]
     walls = []
-    for i, p in enumerate(params):
+    for batch in batches:
         t0 = time.perf_counter()
-        if tvals is None:
-            fb, _ = render_jit(scene, p)
-        else:
-            fb, _ = render_jit(scene, p, tvals[i])
+        for i in batch:
+            if tvals is None:
+                fb, _ = render_jit(scene, params[i])
+            else:
+                fb, _ = render_jit(scene, params[i], tvals[i])
         float(fb[0, 0, 0])
-        walls.append((time.perf_counter() - t0) * 1e3)
-    ms = max(statistics.median(walls) - floor, 0.0)
+        walls.append((time.perf_counter() - t0) * 1e3 / len(batch))
+    ms = max(statistics.median(walls) - floor / chain, 0.0)
 
     JsonlWriter(out).write(
         config=f"c{config}",
@@ -196,6 +203,12 @@ def main():
     ap.add_argument("--calibrate-only", action="store_true")
     args = ap.parse_args()
 
+    if args.calibrate_only:
+        # The probe needs only projection — run on CPU (see bench.py).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     if args.config:
         run_one(
             args.config,
@@ -206,17 +219,30 @@ def main():
         )
         return
 
-    # One subprocess per config (process isolation for the relay), each
-    # calibrating IN-PROCESS (see run_one) — the old calibrate-subprocess
-    # per config doubled the number of tunnel sessions, and each new
-    # session pays ~10-20 min of claim latency.
+    # Per config: a CPU-only calibration subprocess (projection probe on a
+    # 1/8 subsample — seconds, no TPU session), then ONE measuring
+    # subprocess that builds exactly one TPU executable.
     for c in args.configs.split(","):
-        log(f"=== config {c}: measure (local calibration) ===")
+        log(f"=== config {c}: calibrate (CPU probe) ===")
+        cal = subprocess.run(
+            [sys.executable, __file__, "--config", c, "--calibrate-only"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        tiers = cal.stdout.strip().splitlines()[-1] if cal.stdout.strip() else ""
+        extra = []
+        if cal.returncode == 0 and ":" in tiers:
+            log(f"[{c}] tiers {tiers}")
+            extra = ["--tiers", tiers]
+        else:
+            log(f"[{c}] calibration failed, defaults\n{cal.stderr[-300:]}")
+        log(f"=== config {c}: measure ===")
         rc = subprocess.run(
             [
                 sys.executable, __file__, "--config", c,
                 "--frames", str(args.frames), "--out", args.out,
-            ],
+            ] + extra,
         ).returncode
         if rc != 0:
             log(f"config {c} FAILED (rc={rc})")
