@@ -150,7 +150,7 @@ def main():
 
         sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
         hist8 = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
-        tiers = calibrate_tiers(hist8, num_tiles=cfg.num_tiles)
+        tiers = calibrate_tiers(hist8, num_tiles=cfg.num_tiles, count_scale=8)
         print(format_tiers(tiers))
         return
     elif cfg.compositor == "packed":
@@ -184,6 +184,10 @@ def main():
             log(f"calibrated tiers: {tiers} (sort lanes ~{lanes/1e6:.1f}M)")
         else:
             log(f"calibration subprocess failed; using defaults\n{sub.stderr[-500:]}")
+
+    # Only the prepared copy should stay device-resident for the measured
+    # run (scene_raw + prepared = two full HBM copies at 3M splats).
+    del scene_raw
 
     # ONE executable for the whole run (see stability note above).
     import functools
@@ -281,9 +285,13 @@ def main():
         for ch in chains:
             t0 = time.perf_counter()
             chain(ch)
-            walls.append((time.perf_counter() - t0) * 1e3 / len(ch))
+            # One sync per chain: subtract the floor share of THIS chain's
+            # length (the last chain may be short).
+            walls.append(
+                ((time.perf_counter() - t0) * 1e3 - floor) / len(ch)
+            )
     wall = statistics.median(walls)
-    dispatch_ms = max(wall - floor / args.chain, 0.0)
+    dispatch_ms = max(wall, 0.0)
     log(
         f"per-dispatch: median wall={wall:.1f}/frame (chain={args.chain}) "
         f"floor={floor:.1f} -> {dispatch_ms:.3f} ms/frame"

@@ -31,7 +31,11 @@ def _lib_path() -> str:
 
 
 def _build(lib_path: str) -> None:
-    tmp = lib_path + ".tmp"
+    # Per-process tmp name: two processes building the same digest
+    # concurrently (fresh checkout + parallel pytest/bench subprocesses)
+    # must not os.replace each other's half-written output — the in-module
+    # threading.Lock only serializes within one process.
+    tmp = f"{lib_path}.{os.getpid()}.tmp"
     subprocess.run(
         [
             "g++",

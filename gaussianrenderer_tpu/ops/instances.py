@@ -82,7 +82,7 @@ class PackedInstances(NamedTuple):
 
 
 def _center_bits(x_rel: jnp.ndarray) -> jnp.ndarray:
-    """Tile-local coordinate → 12.4 fixed point u16 (as u32)."""
+    """Tile-local coordinate → 13.3 fixed point u16 (as u32)."""
     q = jnp.round((x_rel + CENTER_OFFSET) * CENTER_SCALE)
     return jnp.clip(q, 0, 65535).astype(jnp.uint32)
 
@@ -125,6 +125,25 @@ def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
         (128, min(n, max(32, n // 128) * scale)),
         (1024, min(n, max(16, n // 2048) * scale)),
     )
+
+
+def _prune_r2(conic_a, conic_b, conic_c, opacity):
+    """Conservative ellipse-prune radius² (see _emit_tier): r² such that a
+    tile farther than r from the center cannot pass the α ≥ ALPHA_EPS
+    blend test. λ_min of the conic [[A, B/2], [B/2, C]]; < 0 disables."""
+    lam = 0.5 * (conic_a + conic_c) - jnp.sqrt(
+        jnp.maximum(
+            0.25 * (conic_a - conic_c) ** 2 + 0.25 * conic_b * conic_b, 0.0
+        )
+    )
+    gain = jnp.float32(-2.0 * jnp.log(ALPHA_EPS)) + 2.0 * jnp.log(
+        jnp.maximum(opacity, 1e-12)
+    )
+    return jnp.where(
+        (lam > 1e-20) & jnp.isfinite(lam),
+        jnp.maximum(gain, 0.0) / jnp.maximum(lam, 1e-20),
+        -1.0,
+    ).astype(jnp.float32)
 
 
 def _emit_tier(
@@ -306,12 +325,11 @@ def build_packed_instances(
     depth_bits = min(32 - tile_bits, 24)
 
     # ---- per-Gaussian pre-packing (N-scale, elementwise) -------------------
-    color = proj.color
-    op = jnp.maximum(proj.opacity, 1e-12)
-    q0 = -2.0 * jnp.log(op)  # quadratic constant (prune math below); the
-    # KERNEL recomputes it from the 16-bit opacity in row 5's low half —
-    # quantization 1.5e-5, far below the 1e-3 alpha threshold — which
+    # The quadratic constant q0 = -2 ln(op) is NOT packed: the KERNEL
+    # recomputes it from the 16-bit opacity in row 5's low half
+    # (quantization 1.5e-5, far below the 1e-3 alpha threshold), which
     # drops one u32 payload row from the frame sort (was row 4 of 8).
+    color = proj.color
     rg = (_color_bits(color[:, 0]) << 16) | _color_bits(color[:, 1])
     b_ = (_color_bits(color[:, 2]) << 16) | _color_bits(proj.opacity)
     ax4 = proj.aabb_px  # (N, 4) xmin, ymin, xmax, ymax in pixels
@@ -359,20 +377,10 @@ def build_packed_instances(
     tmin_x = tmin[:, 0].astype(jnp.int32)
     tmin_y = tmin[:, 1].astype(jnp.int32)
 
-    # Conservative per-Gaussian prune radius² (see _emit_tier):
-    # λ_min of the conic matrix [[A, B/2], [B/2, C]].
-    c_a = proj.conic[:, 0]
-    c_b = proj.conic[:, 1]
-    c_c = proj.conic[:, 2]
-    lam_min = 0.5 * (c_a + c_c) - jnp.sqrt(
-        jnp.maximum(0.25 * (c_a - c_c) ** 2 + 0.25 * c_b * c_b, 0.0)
+    # Conservative per-Gaussian prune radius² (see _prune_r2/_emit_tier).
+    r2max_all = _prune_r2(
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2], proj.opacity
     )
-    ln_gain = jnp.float32(-2.0 * jnp.log(ALPHA_EPS)) - q0  # 2·ln(op/1e-3)
-    r2max_all = jnp.where(
-        (lam_min > 1e-20) & jnp.isfinite(lam_min),
-        jnp.maximum(ln_gain, 0.0) / jnp.maximum(lam_min, 1e-20),
-        -1.0,
-    ).astype(jnp.float32)
 
     def emit(tx, ty, w, h, ok, dq, rows, m, r2):
         return _emit_tier(
@@ -475,22 +483,13 @@ def build_packed_instances(
         s_tmax_y = jnp.clip(s_ymax // tile_h, 0, tiles_y - 1)
         s_w = s_tmax_x - s_tmin_x + 1
         s_h = s_tmax_y - s_tmin_y + 1
-        s_ca = jax.lax.bitcast_convert_type(s_all[3], jnp.float32)
-        s_cb = jax.lax.bitcast_convert_type(s_all[4], jnp.float32)
-        s_cc = jax.lax.bitcast_convert_type(s_all[5], jnp.float32)
-        s_lam = 0.5 * (s_ca + s_cc) - jnp.sqrt(
-            jnp.maximum(0.25 * (s_ca - s_cc) ** 2 + 0.25 * s_cb * s_cb, 0.0)
-        )
-        s_op = jnp.maximum(
+        s_r2max = _prune_r2(
+            jax.lax.bitcast_convert_type(s_all[3], jnp.float32),
+            jax.lax.bitcast_convert_type(s_all[4], jnp.float32),
+            jax.lax.bitcast_convert_type(s_all[5], jnp.float32),
+            # 16-bit opacity — the same value the compositor kernel uses.
             (s_all[7] & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
-            1e-12,
         )
-        s_gain = jnp.float32(-2.0 * jnp.log(ALPHA_EPS)) + 2.0 * jnp.log(s_op)
-        s_r2max = jnp.where(
-            (s_lam > 1e-20) & jnp.isfinite(s_lam),
-            jnp.maximum(s_gain, 0.0) / jnp.maximum(s_lam, 1e-20),
-            -1.0,
-        ).astype(jnp.float32)
 
         # Class populations and segment starts (device scalars). Class c of
         # tier (m_hi, k_c) is area ∈ (m_lo, m_hi]; its segment starts after
@@ -521,11 +520,25 @@ def build_packed_instances(
                 return jax.lax.dynamic_slice_in_dim(a, start_cl, k_c)
 
             gpos = start_cl + jnp.arange(k_c, dtype=jnp.int32)
-            # The position window IS the class: classes are contiguous in
-            # the stable descending-area order and the window bounds come
-            # from counts over the same (valid, area) data, so no
-            # per-row validity/area re-check is needed.
-            mask = (gpos >= start) & (gpos < start + cls_count[c])
+            # Position window + class-area re-check (from the re-derived
+            # rects — free). In the no-overflow regime the window alone IS
+            # the class (contiguous segments, counts over the same data);
+            # the area mask is defense-in-depth for the overflow regime:
+            # when a WIDER class exceeds its k, its surplus members occupy
+            # sorted positions this class's clamped window can cover, and
+            # without the mask they would emit at the wrong tier width
+            # (silently truncating their rects). With it they are masked
+            # out; the starved class's own members beyond k_sel stay
+            # dropped — but that frame already raises `overflow`, and the
+            # session response (auto_tier recalibration) resizes the
+            # ladder. Truncation is flagged, never silent.
+            s_area_w = dsl(s_w) * dsl(s_h)
+            mask = (
+                (gpos >= start)
+                & (gpos < start + cls_count[c])
+                & (s_area_w > m_lo)
+                & (s_area_w <= m_hi)
+            )
             kk, rr = emit(
                 dsl(s_tmin_x), dsl(s_tmin_y), dsl(s_w), dsl(s_h),
                 mask, dsl(s_depth),
@@ -562,9 +575,11 @@ def build_packed_instances(
         # Profiling knob (tools/profile_stages2.py): emission-order output,
         # attributing build time to emission vs sort. NOT a render path —
         # tile_start/count are zeros, the compositor would draw nothing.
+        # ALL 7 rows are stacked (and the key stays live through `emitted`)
+        # so no emission work is dead-code-eliminated from the measurement.
         z = jnp.zeros((num_tiles,), jnp.int32)
         return PackedInstances(
-            packed_feats=jnp.stack([key.astype(jnp.uint32), *rows[1:]], 0),
+            packed_feats=jnp.stack(rows, 0),
             tile_start=z,
             tile_count=z,
             total_instances=emitted,

@@ -80,7 +80,7 @@ def _u2f(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def _center_decode(bits_u16: jnp.ndarray) -> jnp.ndarray:
-    """12.4 fixed-point tile-local coordinate with +2048 offset → f32."""
+    """13.3 fixed-point tile-local coordinate with +4096 offset → f32."""
     return _u2f(bits_u16) * (1.0 / CENTER_SCALE) - CENTER_OFFSET
 
 
@@ -190,7 +190,7 @@ def _tile_kernel(
             chunk_dma(next_slot, i + 1).start()
 
         chunk_dma(slot, i).wait()
-        raw = chunk_ref[slot]  # (PACK_ROWS, K) u32
+        raw = chunk_ref[slot]  # (DMA_ROWS, K) u32 — row 7 is DMA padding
 
         cx = _center_decode(raw[0:1, :] >> 16)  # (1, K) tile-local center
         cy = _center_decode(raw[0:1, :] & 0xFFFF)

@@ -283,8 +283,9 @@ def calibrate_tiers(
     area_hist,
     num_tiles: int = 1024,
     headroom: float = 1.3,
-    min_k: int = 128,
+    min_k: int = 256,
     max_tiers: int = 7,
+    count_scale: int = 1,
 ):
     """Choose an area ladder from a frame's tile-area histogram.
 
@@ -325,10 +326,14 @@ def calibrate_tiers(
 
     def eff_headroom(count):
         """Adaptive slack: class-count fluctuation across nearby camera
-        poses scales like 1/√count, so big classes (100k+) need only a
-        few % of slack while small ones keep the full margin. Overflow
+        poses scales like 1/√count, so big classes (100k+) need only part
+        of the margin while small ones keep all of it. ``count_scale`` > 1
+        says the histogram came from a 1/count_scale-subsampled probe
+        (bench.py's CPU projection probe), whose sampling noise scales the
+        same way — judge fluctuation by the OBSERVED count. Overflow
         recalibration (make_renderer auto_tier) is the safety net."""
-        rel = min(max((50_000.0 / max(count, 1)) ** 0.5, 0.25), 1.0)
+        observed = max(count, 1) / max(count_scale, 1)
+        rel = min(max((50_000.0 / observed) ** 0.5, 0.4), 1.0)
         return 1.0 + (headroom - 1.0) * rel
 
     #: Cost model (measured, v5e): a sort lane costs ~9 ns (8-row stable

@@ -90,7 +90,7 @@ class Canvas:
         # Keep the UI fov in sync with the camera default (45°) — otherwise
         # the first set_fov() call would jump the view (ADVICE r1).
         self.settings.fov_y = self.camera.fov_y
-        self.scene: Optional[GaussianScene] = None
+        self._scene: Optional[GaussianScene] = None
         self._prepared = None  # render-layout cache (scene.prepared())
         self.timer = FrameTimer()
         self.controls = OrbitControls()
@@ -121,14 +121,26 @@ class Canvas:
         return cfg
 
     # --------------------------------------------------------------- loading
+    @property
+    def scene(self) -> Optional[GaussianScene]:
+        """The loaded scene (host/row-major form). Assigning refreshes the
+        device-resident render-layout cache — rendering always uses the
+        prepared copy, and only ONE device copy stays resident (the raw
+        scene is kept un-transferred; a 3M-splat SH block alone is
+        hundreds of MB of HBM)."""
+        return self._scene
+
+    @scene.setter
+    def scene(self, scene: Optional[GaussianScene]) -> None:
+        self._scene = scene
+        self._prepared = None if scene is None else scene.prepared()
+
     def load_gaussians(self, path: str) -> None:
         """Hot-swap the scene (reference drag-drop, ``canvas.cpp:280-296``)."""
-        self.scene = load_ply(path).to_device()
-        self._prepared = self.scene.prepared()
+        self.scene = load_ply(path)
 
     def set_scene(self, scene: GaussianScene) -> None:
-        self.scene = scene.to_device()
-        self._prepared = self.scene.prepared()
+        self.scene = scene
 
     def drop_file(self, path: str) -> None:
         """GLFW drop-callback analog: remembers and loads the last path."""

@@ -133,11 +133,12 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
 
         sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
         hist8 = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
-        t = calibrate_tiers(hist8, num_tiles=cfg.num_tiles)
+        t = calibrate_tiers(hist8, num_tiles=cfg.num_tiles, count_scale=8)
         print(format_tiers(t))
         return
 
     floor = measure_floor()
+    del scene_raw  # keep ONE device copy resident for the measured run
 
     params = []
     for _ in range(frames):
@@ -177,8 +178,10 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
             else:
                 fb, _ = render_jit(scene, params[i], tvals[i])
         float(fb[0, 0, 0])
-        walls.append((time.perf_counter() - t0) * 1e3 / len(batch))
-    ms = max(statistics.median(walls) - floor / chain, 0.0)
+        # One sync per batch: subtract the floor share of THIS batch's
+        # length (the last batch may be short).
+        walls.append(((time.perf_counter() - t0) * 1e3 - floor) / len(batch))
+    ms = max(statistics.median(walls), 0.0)
 
     JsonlWriter(out).write(
         config=f"c{config}",

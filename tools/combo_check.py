@@ -54,16 +54,9 @@ def main():
     )
     render_jit = jax.jit(functools.partial(_render_impl, cfg=cfg))
 
-    # floor
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8, 128))
-    float(jnp.sum(f(x)))
-    ts = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        float(jnp.sum(f(x)))
-        ts.append((time.perf_counter() - t0) * 1e3)
-    floor = statistics.median(ts)
+    from gaussianrenderer_tpu.utils.timing import measure_floor
+
+    floor = measure_floor()
     log(f"floor: {floor:.1f} ms")
 
     t0 = time.time()

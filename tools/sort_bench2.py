@@ -24,16 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_floor(reps=7):
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8, 128))
-    float(jnp.sum(f(x)))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(jnp.sum(f(x)))
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return statistics.median(ts)
+from gaussianrenderer_tpu.utils.timing import measure_floor  # noqa: E402
 
 
 FLOOR = None
