@@ -175,3 +175,57 @@ def test_fast_exp_accuracy():
     # underflow flushes to zero, never negative/NaN
     y = np.asarray(_fast_exp(jnp.asarray([-200.0, -1000.0])))
     assert (y == 0).all()
+
+
+def test_wide_overflow_does_not_emit_wrong_tier():
+    """Overflow-regime window semantics (r2 code-review finding): when a
+    WIDER class exceeds its k, its surplus members slide into narrower
+    classes' clamped windows — the class-area mask must reject them there
+    (emitting them at a narrower tier would silently truncate their
+    rects), and the frame must raise overflow. The starved narrower class
+    may emit nothing; auto_tier recalibration is the recovery path."""
+    import numpy as np
+
+    from gaussianrenderer_tpu.ops.instances import build_packed_instances
+    from gaussianrenderer_tpu.ops.projection import ProjectedGaussians
+
+    # 10 splats of tile area 16 (4x4 rects) + 4 splats of area 8 (4x2),
+    # laid out on disjoint tiles; tiers provision only 4 slots per class.
+    n = 14
+    tile_w = tile_h = 32
+    tmin_x = np.arange(n, dtype=np.int32) * 5
+    tmin_y = np.zeros(n, dtype=np.int32)
+    w = np.array([4] * 10 + [4] * 4, dtype=np.int32)
+    h = np.array([4] * 10 + [2] * 4, dtype=np.int32)
+    xmin = tmin_x * tile_w
+    xmax = (tmin_x + w) * tile_w - 1
+    ymin = tmin_y * tile_h
+    ymax = (tmin_y + h) * tile_h - 1
+    proj = ProjectedGaussians(
+        valid=jnp.ones(n, bool),
+        depth=jnp.linspace(1.0, 2.0, n),
+        color=jnp.full((n, 3), 0.5),
+        opacity=jnp.ones(n),
+        center_px=jnp.stack(
+            [(xmin + xmax) / 2.0, (ymin + ymax) / 2.0], axis=1
+        ).astype(jnp.float32),
+        # Tiny conic -> huge prune radius: the ellipse prune never masks.
+        conic=jnp.full((n, 3), 1e-6) * jnp.array([1.0, 0.0, 1.0]),
+        aabb_px=jnp.stack([xmin, ymin, xmax, ymax], 1).astype(jnp.float32),
+        tile_min=jnp.stack([tmin_x, tmin_y], 1),
+        tile_max=jnp.stack([tmin_x + w - 1, tmin_y + h - 1], 1),
+    )
+    inst = build_packed_instances(
+        proj,
+        tiles_x=128,
+        tiles_y=8,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        tiers=((1, 0), (8, 4), (16, 4)),
+    )
+    assert bool(inst.overflow), "wider-class overflow must be flagged"
+    # Only 4 of the 10 area-16 splats fit their class (4x16 = 64 lanes);
+    # the area-8 class is starved (its members lie beyond k_sel) — but
+    # CRUCIALLY no area-16 surplus may emit at the width-8 tier (that
+    # would truncate their rects silently). Emitted == 64 exactly.
+    assert int(inst.total_instances) == 64, int(inst.total_instances)
