@@ -145,11 +145,17 @@ def main():
         log(f"tiers (explicit): {tiers}")
     elif args.calibrate_only:
         # CPU projection-only probe on a 1/8 subsample (histogram shape is
-        # preserved; counts scale back up x8).
+        # preserved; counts scale back up x8). Probed at FOUR orbit angles
+        # with a per-class max: the measured loop orbits 360 deg and class
+        # populations drift far more than sampling noise across poses.
         from gaussianrenderer_tpu.render import area_histogram
 
         sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
-        hist8 = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
+        hist8 = None
+        for _ in range(4):
+            h = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
+            hist8 = h if hist8 is None else __import__("numpy").maximum(hist8, h)
+            cam.orbit(90.0, 0.0)
         tiers = calibrate_tiers(hist8, num_tiles=cfg.num_tiles, count_scale=8)
         print(format_tiers(tiers))
         return

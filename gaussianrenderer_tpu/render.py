@@ -414,7 +414,23 @@ def calibrate_tiers(
         cost += extra
         if best is None or cost < best[1]:
             best = (tiers, cost)
-    return best[0]
+    tiers = best[0]
+
+    # Tail guard: the histogram only sees the PROBED pose(s); a pose the
+    # probe missed can produce splats wider than the observed maximum
+    # (e.g. the camera orbits closer). One spare tier at ≥2× the widest
+    # observed class (a bucket edge when possible, so class counts stay
+    # hist-sliced) costs a few k lanes and turns that case from truncation
+    # into coverage. Splats beyond even this still flag overflow.
+    last_m = tiers[-1][0]
+    if last_m < num_tiles:
+        guard_m = next(
+            (e for e in edges if e >= 2 * last_m), round_up(num_tiles)
+        )
+        guard_m = min(guard_m, round_up(num_tiles))
+        if guard_m > last_m:
+            tiers = tiers + ((guard_m, max(64, min_k)),)
+    return tiers
 
 
 def make_renderer(

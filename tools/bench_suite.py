@@ -128,11 +128,19 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     if calibrate_only:
         # CPU projection-only probe on a 1/8 subsample (main() forced the
         # CPU platform before jax initialized) — no TPU session claim, no
-        # compositor executable.
+        # compositor executable. Probed at FOUR orbit angles with a
+        # per-class max: the measured loop orbits 360 deg and class
+        # populations drift far more than sampling noise across poses.
+        import numpy as np
+
         from gaussianrenderer_tpu.render import area_histogram
 
         sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
-        hist8 = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
+        hist8 = None
+        for _ in range(4):
+            h = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
+            hist8 = h if hist8 is None else np.maximum(hist8, h)
+            cam.orbit(90.0, 0.0)
         t = calibrate_tiers(hist8, num_tiles=cfg.num_tiles, count_scale=8)
         print(format_tiers(t))
         return
