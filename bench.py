@@ -235,22 +235,23 @@ def main():
     # per-frame dispatch reads ~188 ms when the in-loop device time sum is
     # ~145), which would otherwise dominate the metric; on a directly-
     # attached host the two coincide.
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *frame_params
-    )
     n_frames = len(frame_params)
-
-    @jax.jit
-    def orbit_loop(scene, stacked):
-        def body(i, acc):
-            p = jax.tree_util.tree_map(lambda x: x[i], stacked)
-            fb, _ = _render_impl(scene, p, cfg)
-            return acc + fb[0, 0, 0]
-
-        return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
 
     ms = None
     if args.in_jit_orbit:
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *frame_params
+        )
+
+        @jax.jit
+        def orbit_loop(scene, stacked):
+            def body(i, acc):
+                p = jax.tree_util.tree_map(lambda x: x[i], stacked)
+                fb, _ = _render_impl(scene, p, cfg)
+                return acc + fb[0, 0, 0]
+
+            return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
+
         # NOTE: this tunnel's backend REJECTS the fori_loop orbit at
         # 3M-Gaussian buffer sizes (confirmed again in round 2: the loop
         # compiles, then dies at execute with INVALID_ARGUMENT and leaves

@@ -1,6 +1,9 @@
 """App-level smokes — the reference's executable suite, exercised via main()."""
 
+import os
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 import pytest
 
@@ -96,3 +99,32 @@ def test_radix_test_bench(monkeypatch, capsys, tmp_path):
         rec["nondecreasing"] and rec["matches_oracle"] and rec["radix_matches"]
         for rec in lines
     )
+
+
+def test_bench_calibrate_probe_cpu(tmp_path):
+    """bench.py --calibrate-only is the CPU-only projection probe every
+    bench run spawns; smoke it end-to-end (multi-angle orbit max + 1/8
+    subsample + tail guard) at small scale."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--calibrate-only",
+            "--gaussians", "50000",
+            "--height", "256",
+            "--width", "320",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    ladder = out.stdout.strip().splitlines()[-1]
+    tiers = [tuple(map(int, p.split(":"))) for p in ladder.split(",")]
+    ms = [m for m, _ in tiers]
+    assert ms == sorted(ms) and len(ms) >= 2
