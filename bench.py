@@ -144,19 +144,20 @@ def main():
         cfg = dataclasses.replace(cfg, tiers=tiers)
         log(f"tiers (explicit): {tiers}")
     elif args.calibrate_only:
-        # CPU projection-only probe on a 1/8 subsample (histogram shape is
-        # preserved; counts scale back up x8). Probed at FOUR orbit angles
-        # with a per-class max: the measured loop orbits 360 deg and class
-        # populations drift far more than sampling noise across poses.
+        # CPU projection-only probe on the FULL scene (subsampling misses
+        # the big-splat tail that defines the wide tiers), at the SAME
+        # orbit poses the bench measures, per-class max: class populations
+        # drift across poses, and coarser probe angles alias with scene
+        # symmetry (a 90-deg probe of an axis-aligned box sees exactly the
+        # low-count poses).
         from gaussianrenderer_tpu.render import area_histogram
 
-        sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
-        hist8 = None
-        for _ in range(4):
-            h = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
-            hist8 = h if hist8 is None else __import__("numpy").maximum(hist8, h)
-            cam.orbit(90.0, 0.0)
-        tiers = calibrate_tiers(hist8, num_tiles=cfg.num_tiles, count_scale=8)
+        hist = None
+        for _ in range(args.frames):
+            cam.orbit(360.0 / args.frames, 0.0)
+            h = area_histogram(scene_raw, cam.params(cfg.k_sigma), cfg)
+            hist = h if hist is None else __import__("numpy").maximum(hist, h)
+        tiers = calibrate_tiers(hist, num_tiles=cfg.num_tiles)
         print(format_tiers(tiers))
         return
     elif cfg.compositor == "packed":
@@ -171,6 +172,7 @@ def main():
                     ("--height", str(args.height)),
                     ("--width", str(args.width)),
                     ("--compositor", args.compositor),
+                    ("--frames", str(args.frames)),
                 )
                 for a in pair
             ]

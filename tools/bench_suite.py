@@ -126,22 +126,22 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         return _render_impl(s, p, cfg, t)
 
     if calibrate_only:
-        # CPU projection-only probe on a 1/8 subsample (main() forced the
+        # CPU projection-only probe on the FULL scene (main() forced the
         # CPU platform before jax initialized) — no TPU session claim, no
-        # compositor executable. Probed at FOUR orbit angles with a
-        # per-class max: the measured loop orbits 360 deg and class
-        # populations drift far more than sampling noise across poses.
+        # compositor executable. Full N because subsampling misses the
+        # big-splat tail that defines the wide tiers; probed at the SAME
+        # orbit poses the bench measures (coarser angles alias with scene
+        # symmetry and see only the low-count poses).
         import numpy as np
 
         from gaussianrenderer_tpu.render import area_histogram
 
-        sub = jax.tree_util.tree_map(lambda x: x[::8], scene_raw)
-        hist8 = None
-        for _ in range(4):
-            h = area_histogram(sub, cam.params(cfg.k_sigma), cfg) * 8
-            hist8 = h if hist8 is None else np.maximum(hist8, h)
-            cam.orbit(90.0, 0.0)
-        t = calibrate_tiers(hist8, num_tiles=cfg.num_tiles, count_scale=8)
+        hist = None
+        for _ in range(frames):
+            cam.orbit(360.0 / frames, 0.0)
+            h = area_histogram(scene_raw, cam.params(cfg.k_sigma), cfg)
+            hist = h if hist is None else np.maximum(hist, h)
+        t = calibrate_tiers(hist, num_tiles=cfg.num_tiles)
         print(format_tiers(t))
         return
 
@@ -236,7 +236,8 @@ def main():
     for c in args.configs.split(","):
         log(f"=== config {c}: calibrate (CPU probe) ===")
         cal = subprocess.run(
-            [sys.executable, __file__, "--config", c, "--calibrate-only"],
+            [sys.executable, __file__, "--config", c, "--calibrate-only",
+             "--frames", str(args.frames)],
             capture_output=True,
             text=True,
             timeout=1800,
