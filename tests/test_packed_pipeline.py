@@ -229,3 +229,18 @@ def test_wide_overflow_does_not_emit_wrong_tier():
     # CRUCIALLY no area-16 surplus may emit at the width-8 tier (that
     # would truncate their rects silently). Emitted == 64 exactly.
     assert int(inst.total_instances) == 64, int(inst.total_instances)
+
+
+def test_area_histogram_matches_render_stats():
+    """render.area_histogram (the CPU calibration probe's projection-only
+    histogram) must agree exactly with the histogram the packed render
+    path reports — both drive calibrate_tiers, and a drift between them
+    would calibrate ladders for a different distribution than the one
+    rendered."""
+    from gaussianrenderer_tpu.render import area_histogram
+
+    scene, cam = _setup(n=3000, seed=9)
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    _, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    probe = area_histogram(scene, cam.params(cfg.k_sigma), cfg)
+    np.testing.assert_array_equal(probe, np.asarray(stats.area_hist))
