@@ -1,14 +1,29 @@
 """Packed-instance pipeline: tiered broadcast expansion → single-key sort.
 
-Produces the (7, C) uint32 feature layout consumed by the v2 Pallas
+Produces the (5, C) uint32 feature layout consumed by the v3 Pallas
 compositor (``ops/pallas/tile_render2.py``). The design is driven by v5e
 microbenchmarks (tools/micro_bench*.py, tools/profile_sub.py):
 
 * every instance-scale gather is scalar-core bound (~70-136 ms for 6M rows
   at N=3M), and so is every scatter (~8 ns/element — 24 ms to scatter 3M
   values), so the frame loop may contain NEITHER;
-* ``lax.sort`` with one 32-bit key + u32 payload rows is fast (~1.6 ms for
-  800k × 9 operands) and is the only data-movement primitive used.
+* ``lax.sort`` with one 32-bit key + u32 payload rows is fast and is the
+  only data-movement primitive used — and every payload row costs
+  ~11-13 ms at the 12M-lane production shape (PERF_NOTES.md), which is
+  why the features are quantized down to FIVE rows (v2 used 7):
+
+    row 0: tile-local center, 13.3 fixed point (16 bits per axis)
+    row 1: conic A | conic C   (e6m10 custom 16-bit floats)
+    row 2: conic B | opacity   (s1e6m9 | u16)
+    row 3: r | g | b           (10 bits each, 2 spare)
+    row 4: tile-local AABB     (u8 × 4)
+
+  The conic encodings keep ≤2^-11 relative error (≤2^-10 for B): the
+  worst-case alpha deviation is ~op·md²·ε·e^(−md²/2) ≤ 7e-4, far below
+  the 1e-3 blend threshold and the ≥40 dB PSNR gate (tests pin >60 dB).
+  The quantized-conic/10-bit-color deviation from the reference's f32
+  path is a recorded exception to the bit-compat rule (CLAUDE.md),
+  alongside the quantized centers and 16-bit opacity.
 
 So instead of the reference's count → prefix-sum → scatter expansion
 (``render.cu:767-857``), every Gaussian is given a FIXED number of
@@ -28,17 +43,16 @@ comes from ONE descending-area ``lax.sort`` (measured: ``lax.top_k`` is
 much slower than sort-then-slice on v5e — see PERF_NOTES.md); each tier
 then emits from an EXACT dynamic-slice window over its class's contiguous
 segment of that order, so a tier's lane cost is exactly m·k. The K
-selected rows are gathered once — K is small, so that gather is cheap.
-Coverage beyond tier 3 (splats spanning > 32×32 tiles) is truncated and
-reported via the overflow flag; the reference sizes its buffer dynamically
-from a mid-frame device→host readback instead (``render.cu:962-971``),
-which static TPU shapes forbid.
+selected rows are gathered once as a single (7, N) stacked matrix — K is
+small, so that gather is cheap. Coverage beyond the widest tier is
+truncated and reported via the overflow flag; the reference sizes its
+buffer dynamically from a mid-frame device→host readback instead
+(``render.cu:962-971``), which static TPU shapes forbid.
 
 The (tile, depth) sort key is ONE u32 — tile-major, quantized depth minor
 (the reference's 64-bit ``(tile << 32) | uint32(-Z·1e6)`` key,
-``render.cu:850``, reshaped for 32-bit lanes), and the 7 feature rows ride
-the sort as payloads (opacity travels as 16 bits inside the color rows; the
-kernel rebuilds the quadratic constant q0 = -2 ln(op) itself).
+``render.cu:850``, reshaped for 32-bit lanes), and the 5 feature rows ride
+the sort as payloads.
 """
 
 from __future__ import annotations
@@ -62,29 +76,37 @@ ALPHA_EPS = 1e-3
 CENTER_OFFSET = 4096.0
 CENTER_SCALE = 8.0
 COLOR_SCALE = 65535.0
+RGB_SCALE = 1023.0
+
+#: Screen-fixed 13.3 center carrier (emission-internal, never seen by the
+#: kernel): q = round(c_px·8) + CQ_BIAS as u16 — covers centers in
+#: [−2048, +6143.875] px (off-screen margins around ≤4K outputs).
+#: Saturation is folded into the ``center_clipped`` flag.
+CQ_BIAS = 16384
+#: Tile-local rebias: row0 = q + REL_ADJ − 8·tile_origin (see _emit_tier).
+REL_ADJ = int(CENTER_OFFSET * CENTER_SCALE) - CQ_BIAS  # 16384
+
+#: Conic 16-bit float window: f32 exponents [80, 143] → values in
+#: [2^-47, ~2^17). A/C are e6m10 (rel err ≤ 2^-11), B is s1e6m9 (2^-10).
+CONIC_EXP_BIAS = 80
 
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
 class PackedInstances(NamedTuple):
-    packed_feats: jnp.ndarray  # (7, C) uint32 — kernel feature rows
+    packed_feats: jnp.ndarray  # (5, C) uint32 — kernel feature rows
     tile_start: jnp.ndarray  # (T,) int32
     tile_count: jnp.ndarray  # (T,) int32
     total_instances: jnp.ndarray  # () int32 — instances actually emitted
     overflow: jnp.ndarray  # () bool — some coverage was truncated
-    #: () bool — a tile-local center exceeded the 13.3 fixed-point range
-    #: (±4096 px) and was clamped; the affected splat's alpha is wrong in
-    #: the saturating tiles. Never silent, per the project truncation rule.
+    #: () bool — a center exceeded a fixed-point range (screen-fixed u16
+    #: carrier or the ±4096 px tile-local 13.3 encode) and was clamped;
+    #: the affected splat's alpha is wrong in the saturating tiles.
+    #: Never silent, per the project truncation rule.
     center_clipped: jnp.ndarray = None
     #: (len(AREA_BUCKETS)+1,) int32 — valid-Gaussian tile-area histogram
     #: over the ~1.5×-step AREA_BUCKETS edges; drives tier calibration.
     area_hist: jnp.ndarray = None
-
-
-def _center_bits(x_rel: jnp.ndarray) -> jnp.ndarray:
-    """Tile-local coordinate → 13.3 fixed point u16 (as u32)."""
-    q = jnp.round((x_rel + CENTER_OFFSET) * CENTER_SCALE)
-    return jnp.clip(q, 0, 65535).astype(jnp.uint32)
 
 
 def _color_bits(c: jnp.ndarray) -> jnp.ndarray:
@@ -94,6 +116,54 @@ def _color_bits(c: jnp.ndarray) -> jnp.ndarray:
 
 def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+
+
+def _enc_e6m10(x: jnp.ndarray) -> jnp.ndarray:
+    """Non-negative f32 → 16-bit e6m10 float (round-to-nearest mantissa).
+
+    The +0x1000 rounds the dropped 13 mantissa bits; a carry into the
+    exponent field is IEEE-correct by construction. Out-of-window values
+    clamp (≤2^-47 → 0 ≈ 2^-47 on decode; ≥2^17 → max ≈ 1.31e5)."""
+    bits = _f32_bits(x)
+    u = ((bits + 0x1000) >> 13).astype(jnp.int32) - (CONIC_EXP_BIAS << 10)
+    return jnp.clip(u, 0, 65535).astype(jnp.uint32)
+
+
+def _dec_e6m10(e: jnp.ndarray) -> jnp.ndarray:
+    bits = (e.astype(jnp.uint32) + (CONIC_EXP_BIAS << 10)) << 13
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _enc_s1e6m9(x: jnp.ndarray) -> jnp.ndarray:
+    """Signed f32 → 16-bit s1e6m9 float (sign in bit 15)."""
+    bits = _f32_bits(x)
+    mag = bits & 0x7FFFFFFF
+    u = ((mag + 0x2000) >> 14).astype(jnp.int32) - (CONIC_EXP_BIAS << 9)
+    mag9 = jnp.clip(u, 0, 0x7FFF).astype(jnp.uint32)
+    return mag9 | ((bits >> 31) << 15)
+
+
+def _dec_s1e6m9(e: jnp.ndarray) -> jnp.ndarray:
+    bits = (((e & 0x7FFF) + (CONIC_EXP_BIAS << 9)) << 14) | ((e >> 15) << 31)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _center_q(c_px: jnp.ndarray) -> jnp.ndarray:
+    """Screen pixel coordinate → screen-fixed 13.3 carrier (int32 in
+    [0, 65535]); exact for the default integer-quantized centers."""
+    q = jnp.round(c_px * CENTER_SCALE).astype(jnp.int32) + CQ_BIAS
+    return jnp.clip(q, 0, 65535)
+
+
+def _rgb10_bits(color: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) [0,1] colors → r10|g10<<10|b10<<20 (kernel row 3)."""
+
+    def q(c):
+        return jnp.clip(jnp.round(c * RGB_SCALE), 0, RGB_SCALE).astype(
+            jnp.uint32
+        )
+
+    return q(color[:, 0]) | (q(color[:, 1]) << 10) | (q(color[:, 2]) << 20)
 
 
 #: Area-histogram bucket edges reported in RenderStats.area_hist — used by
@@ -130,7 +200,10 @@ def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
 def _prune_r2(conic_a, conic_b, conic_c, opacity):
     """Conservative ellipse-prune radius² (see _emit_tier): r² such that a
     tile farther than r from the center cannot pass the α ≥ ALPHA_EPS
-    blend test. λ_min of the conic [[A, B/2], [B/2, C]]; < 0 disables."""
+    blend test. λ_min of the conic [[A, B/2], [B/2, C]]; < 0 disables.
+
+    Callers pass the QUANTIZED conic/opacity (the exact values the
+    compositor kernel rebuilds), so prune and kernel are consistent."""
     lam = 0.5 * (conic_a + conic_c) - jnp.sqrt(
         jnp.maximum(
             0.25 * (conic_a - conic_c) ** 2 + 0.25 * conic_b * conic_b, 0.0
@@ -153,7 +226,7 @@ def _emit_tier(
     rect_h: jnp.ndarray,
     emit: jnp.ndarray,  # (G,) bool — this tier is responsible for the Gaussian
     depth_q: jnp.ndarray,  # (G,) uint32
-    rows9: Tuple[jnp.ndarray, ...],  # 9× (G,) u32 pre-packed fields
+    rows6: Tuple[jnp.ndarray, ...],  # 6× (G,) u32 pre-packed fields
     r2max: Optional[jnp.ndarray],  # (G,) f32 prune radius², <0 = no prune
     *,
     m: int,
@@ -166,9 +239,12 @@ def _emit_tier(
 
     Lane r maps to tile (tmin_x + r % w, tmin_y + r ÷ w) of the Gaussian's
     own rect — the reference's buildLwgs enumeration (``render.cu:841-855``)
-    vectorized — so a tier covers ANY rect with area ≤ m. Returns
-    (keys (m·G,), 7 feature rows (m·G,)) flattened, invalid lanes keyed
-    SENTINEL. Pure elementwise/broadcast ops — no scatters.
+    vectorized — so a tier covers ANY rect with area ≤ m. ``rows6`` =
+    (center_q, A|C, B|op, rgb10, aabb_x, aabb_y): the first four are the
+    final kernel rows 1-3 plus the screen-fixed center; the last two are
+    the screen-pixel AABB halves the per-lane rows 0/4 are derived from.
+    Returns (keys (m·G,), 5 feature rows (m·G,)) flattened, invalid lanes
+    keyed SENTINEL. Pure elementwise/broadcast ops — no scatters.
 
     Layout: for small m the work runs as m SLABS of 1-D (G,) ops,
     concatenated — identical lane order to the (m, G) row-major flatten,
@@ -180,10 +256,11 @@ def _emit_tier(
     """
     if m < 8:
         return _emit_tier_slabs(
-            tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows9, r2max,
+            tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, r2max,
             m=m, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
             depth_bits=depth_bits,
         )
+    cq, ac, bop, rgb, ax, ay = rows6
     off = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
     safe_w = jnp.maximum(rect_w, 1)[None, :]
     dx = off % safe_w  # (m, G)
@@ -193,16 +270,25 @@ def _emit_tier(
     ty = tmin_y[None, :] + dy
     lane_ok = emit[None, :] & (off < (rect_w * rect_h)[None, :])
 
+    qx = (cq >> 16).astype(jnp.int32)  # (G,) screen-fixed 13.3
+    qy = (cq & 0xFFFF).astype(jnp.int32)
+
     # Ellipse prune (exact-safe): md² ≥ λ_min(conic)·d², so a tile whose
     # closest pixel to the center is farther than r²_max = 2·ln(op/1e-3)/λ_min
     # can never pass the α ≥ 1e-3 blend test — the instance contributes
     # nothing in the reference semantics either (render.cu:334), only the
     # axis-aligned AABB emitted it. r2max < 0 disables the prune (λ_min ≤ 0).
+    # The distance uses the 13.3-quantized center — exactly the center the
+    # kernel decodes.
+    x0f = (tx * tile_w).astype(jnp.float32)
+    y0f = (ty * tile_h).astype(jnp.float32)
     if r2max is not None:
-        cx_g = jax.lax.bitcast_convert_type(rows9[0], jnp.float32)[None, :]
-        cy_g = jax.lax.bitcast_convert_type(rows9[1], jnp.float32)[None, :]
-        x0f = (tx * tile_w).astype(jnp.float32)
-        y0f = (ty * tile_h).astype(jnp.float32)
+        cx_g = ((qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE))[
+            None, :
+        ]
+        cy_g = ((qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE))[
+            None, :
+        ]
         ddx = jnp.clip(cx_g, x0f, x0f + (tile_w - 1)) - cx_g
         ddy = jnp.clip(cy_g, y0f, y0f + (tile_h - 1)) - cy_g
         d2 = ddx * ddx + ddy * ddy
@@ -213,20 +299,17 @@ def _emit_tier(
     key = jnp.where(lane_ok, key, SENTINEL)
 
     # Tile-local recode of center and AABB (lane-dependent: tile origin).
-    cx, cy, ca, cb, cc, rg, b_, ax, ay = rows9
-    x0 = (tx * tile_w).astype(jnp.float32)
-    y0 = (ty * tile_h).astype(jnp.float32)
-    cx_rel = jax.lax.bitcast_convert_type(cx, jnp.float32)[None, :] - x0
-    cy_rel = jax.lax.bitcast_convert_type(cy, jnp.float32)[None, :] - y0
-    row0 = (_center_bits(cx_rel) << 16) | _center_bits(cy_rel)
-
     x0i = tx * tile_w
     y0i = ty * tile_h
+    relx = jnp.clip(qx[None, :] + REL_ADJ - x0i * int(CENTER_SCALE), 0, 65535)
+    rely = jnp.clip(qy[None, :] + REL_ADJ - y0i * int(CENTER_SCALE), 0, 65535)
+    row0 = (relx.astype(jnp.uint32) << 16) | rely.astype(jnp.uint32)
+
     xmin = jnp.clip((ax >> 16).astype(jnp.int32)[None, :] - x0i, 0, 255)
     xmax = jnp.clip((ax & 0xFFFF).astype(jnp.int32)[None, :] - x0i, 0, 255)
     ymin = jnp.clip((ay >> 16).astype(jnp.int32)[None, :] - y0i, 0, 255)
     ymax = jnp.clip((ay & 0xFFFF).astype(jnp.int32)[None, :] - y0i, 0, 255)
-    row7 = (
+    row4 = (
         xmin.astype(jnp.uint32)
         | (ymin.astype(jnp.uint32) << 8)
         | (xmax.astype(jnp.uint32) << 16)
@@ -236,44 +319,46 @@ def _emit_tier(
     def bc(row):  # broadcast a (G,) u32 over the M sublane copies
         return jnp.broadcast_to(row[None, :], key.shape).reshape(-1)
 
-    rows7 = (
+    rows5 = (
         row0.reshape(-1),
-        bc(ca),
-        bc(cb),
-        bc(cc),
-        bc(rg),
-        bc(b_),
-        row7.reshape(-1),
+        bc(ac),
+        bc(bop),
+        bc(rgb),
+        row4.reshape(-1),
     )
-    return key.reshape(-1), rows7
+    return key.reshape(-1), rows5
 
 
 def _emit_tier_slabs(
-    tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows9, r2max,
+    tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, r2max,
     *, m, tiles_x, tile_w, tile_h, depth_bits,
 ):
     """Small-m tier emission as m full-lane-width 1-D slabs (see
     :func:`_emit_tier` — identical outputs and lane order)."""
-    cx, cy, ca, cb, cc, rg, b_, ax, ay = rows9
+    cq, ac, bop, rgb, ax, ay = rows6
     safe_w = jnp.maximum(rect_w, 1)
     rect_n = rect_w * rect_h
-    cx_f = jax.lax.bitcast_convert_type(cx, jnp.float32)
-    cy_f = jax.lax.bitcast_convert_type(cy, jnp.float32)
+    qx = (cq >> 16).astype(jnp.int32)
+    qy = (cq & 0xFFFF).astype(jnp.int32)
+    cx_f = (qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
+    cy_f = (qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
     xmin_g = (ax >> 16).astype(jnp.int32)
     xmax_g = (ax & 0xFFFF).astype(jnp.int32)
     ymin_g = (ay >> 16).astype(jnp.int32)
     ymax_g = (ay & 0xFFFF).astype(jnp.int32)
 
-    keys, row0s, row7s = [], [], []
+    keys, row0s, row4s = [], [], []
     for i in range(m):
         dx = jnp.remainder(jnp.int32(i), safe_w)  # (G,)
         dy = jnp.int32(i) // safe_w
         tx = tmin_x + dx
         ty = tmin_y + dy
         lane_ok = emit & (i < rect_n)
-        x0f = (tx * tile_w).astype(jnp.float32)
-        y0f = (ty * tile_h).astype(jnp.float32)
+        x0i = tx * tile_w
+        y0i = ty * tile_h
         if r2max is not None:
+            x0f = x0i.astype(jnp.float32)
+            y0f = y0i.astype(jnp.float32)
             ddx = jnp.clip(cx_f, x0f, x0f + (tile_w - 1)) - cx_f
             ddy = jnp.clip(cy_f, y0f, y0f + (tile_h - 1)) - cy_f
             lane_ok &= (r2max < 0.0) | (ddx * ddx + ddy * ddy <= r2max)
@@ -281,27 +366,25 @@ def _emit_tier_slabs(
         key = (tile_id << depth_bits) | depth_q
         keys.append(jnp.where(lane_ok, key, SENTINEL))
 
+        relx = jnp.clip(qx + REL_ADJ - x0i * int(CENTER_SCALE), 0, 65535)
+        rely = jnp.clip(qy + REL_ADJ - y0i * int(CENTER_SCALE), 0, 65535)
         row0s.append(
-            (_center_bits(cx_f - x0f) << 16) | _center_bits(cy_f - y0f)
+            (relx.astype(jnp.uint32) << 16) | rely.astype(jnp.uint32)
         )
-        x0i = tx * tile_w
-        y0i = ty * tile_h
         xmin = jnp.clip(xmin_g - x0i, 0, 255).astype(jnp.uint32)
         xmax = jnp.clip(xmax_g - x0i, 0, 255).astype(jnp.uint32)
         ymin = jnp.clip(ymin_g - y0i, 0, 255).astype(jnp.uint32)
         ymax = jnp.clip(ymax_g - y0i, 0, 255).astype(jnp.uint32)
-        row7s.append(xmin | (ymin << 8) | (xmax << 16) | (ymax << 24))
+        row4s.append(xmin | (ymin << 8) | (xmax << 16) | (ymax << 24))
 
-    rows7 = (
+    rows5 = (
         jnp.concatenate(row0s),
-        jnp.tile(ca, m),
-        jnp.tile(cb, m),
-        jnp.tile(cc, m),
-        jnp.tile(rg, m),
-        jnp.tile(b_, m),
-        jnp.concatenate(row7s),
+        jnp.tile(ac, m),
+        jnp.tile(bop, m),
+        jnp.tile(rgb, m),
+        jnp.concatenate(row4s),
     )
-    return jnp.concatenate(keys), rows7
+    return jnp.concatenate(keys), rows5
 
 
 def build_packed_instances(
@@ -325,13 +408,21 @@ def build_packed_instances(
     depth_bits = min(32 - tile_bits, 24)
 
     # ---- per-Gaussian pre-packing (N-scale, elementwise) -------------------
-    # The quadratic constant q0 = -2 ln(op) is NOT packed: the KERNEL
-    # recomputes it from the 16-bit opacity in row 5's low half
-    # (quantization 1.5e-5, far below the 1e-3 alpha threshold), which
-    # drops one u32 payload row from the frame sort (was row 4 of 8).
-    color = proj.color
-    rg = (_color_bits(color[:, 0]) << 16) | _color_bits(color[:, 1])
-    b_ = (_color_bits(color[:, 2]) << 16) | _color_bits(proj.opacity)
+    # Everything downstream (emission prune, kernel blend) reads the
+    # QUANTIZED values, so they are computed once here. The kernel rebuilds
+    # q0 = −2 ln(op) from the 16-bit opacity; conic and colors decode from
+    # the 16/10-bit fields (error budget: module docstring).
+    op16 = _color_bits(proj.opacity)
+    op_q = op16.astype(jnp.float32) * (1.0 / COLOR_SCALE)
+    enc_a = _enc_e6m10(proj.conic[:, 0])
+    enc_b = _enc_s1e6m9(proj.conic[:, 1])
+    enc_c = _enc_e6m10(proj.conic[:, 2])
+    ac = (enc_a << 16) | enc_c
+    bop = (enc_b << 16) | op16
+    rgb = _rgb10_bits(proj.color)
+    cq_x = _center_q(proj.center_px[:, 0])
+    cq_y = _center_q(proj.center_px[:, 1])
+    cq = (cq_x.astype(jnp.uint32) << 16) | cq_y.astype(jnp.uint32)
     ax4 = proj.aabb_px  # (N, 4) xmin, ymin, xmax, ymax in pixels
     aabb_x = (
         jnp.clip(ax4[:, 0], 0, 65535).astype(jnp.uint32) << 16
@@ -339,24 +430,15 @@ def build_packed_instances(
     aabb_y = (
         jnp.clip(ax4[:, 1], 0, 65535).astype(jnp.uint32) << 16
     ) | jnp.clip(ax4[:, 3], 0, 65535).astype(jnp.uint32)
-    rows9 = (
-        _f32_bits(proj.center_px[:, 0]),
-        _f32_bits(proj.center_px[:, 1]),
-        _f32_bits(proj.conic[:, 0]),
-        _f32_bits(proj.conic[:, 1]),
-        _f32_bits(proj.conic[:, 2]),
-        rg,
-        b_,
-        aabb_x,
-        aabb_y,
-    )
+    rows6 = (cq, ac, bop, rgb, aabb_x, aabb_y)
 
     tmin = proj.tile_min
     tmax = proj.tile_max
     rect_w = (tmax[:, 0] - tmin[:, 0] + 1).astype(jnp.int32)
     rect_h = (tmax[:, 1] - tmin[:, 1] + 1).astype(jnp.int32)
     # Opacity below the blend threshold can never contribute (alpha ≤ op).
-    valid = proj.valid & (proj.opacity >= ALPHA_EPS)
+    # Uses the QUANTIZED opacity — the value the kernel's threshold sees.
+    valid = proj.valid & (op_q >= ALPHA_EPS)
     counts = jnp.where(valid, rect_w * rect_h, 0).astype(jnp.int32)
     total = jnp.sum(counts)
 
@@ -377,9 +459,11 @@ def build_packed_instances(
     tmin_x = tmin[:, 0].astype(jnp.int32)
     tmin_y = tmin[:, 1].astype(jnp.int32)
 
-    # Conservative per-Gaussian prune radius² (see _prune_r2/_emit_tier).
+    # Conservative per-Gaussian prune radius² from the QUANTIZED conic and
+    # opacity — the exact inputs the compositor kernel rebuilds, so prune
+    # and kernel agree bit-for-bit (see _prune_r2/_emit_tier).
     r2max_all = _prune_r2(
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2], proj.opacity
+        _dec_e6m10(enc_a), _dec_s1e6m9(enc_b), _dec_e6m10(enc_c), op_q
     )
 
     def emit(tx, ty, w, h, ok, dq, rows, m, r2):
@@ -438,7 +522,7 @@ def build_packed_instances(
     rows_out = []
     k1, r1 = emit(
         tmin_x, tmin_y, rect_w, rect_h,
-        valid & (area <= m0), depth_q, rows9, m0, r2max_all,
+        valid & (area <= m0), depth_q, rows6, m0, r2max_all,
     )
     keys.append(k1)
     rows_out.append(r1)
@@ -462,21 +546,21 @@ def build_packed_instances(
         k_sel = min(sum(k for _, k in wide), n)
         sel_idx = idx_sorted[:k_sel]
 
-        # ONE (10, N) lane-axis gather instead of per-field 1-D gathers:
+        # ONE (7, N) lane-axis gather instead of per-field 1-D gathers:
         # measured ~9× cheaper per row (~11 ns vs ~105 ns at k_sel=1M —
-        # tools/gather_bench.py). Only depth + the 9 packed rows ride the
+        # tools/gather_bench.py). Only depth + the 6 packed rows ride the
         # gather; tile rects are re-derived from the packed pixel AABB
         # (bit-exact: same integer stride division as projection.py), and
-        # the prune radius is recomputed from the gathered conic + 16-bit
-        # opacity (the same inputs the compositor kernel uses).
-        sel_mat = jnp.stack((depth_q, *rows9), axis=0)  # (10, N) u32
-        s_all = sel_mat[:, sel_idx]  # (10, k_sel)
+        # the prune radius is recomputed from the gathered quantized conic
+        # + 16-bit opacity (the same inputs the compositor kernel uses).
+        sel_mat = jnp.stack((depth_q, *rows6), axis=0)  # (7, N) u32
+        s_all = sel_mat[:, sel_idx]  # (7, k_sel)
         s_depth = s_all[0]
-        s_rows = tuple(s_all[1 + i] for i in range(len(rows9)))
-        s_xmin = (s_all[8] >> 16).astype(jnp.int32)
-        s_xmax = (s_all[8] & 0xFFFF).astype(jnp.int32)
-        s_ymin = (s_all[9] >> 16).astype(jnp.int32)
-        s_ymax = (s_all[9] & 0xFFFF).astype(jnp.int32)
+        s_rows = tuple(s_all[1 + i] for i in range(len(rows6)))
+        s_xmin = (s_all[5] >> 16).astype(jnp.int32)
+        s_xmax = (s_all[5] & 0xFFFF).astype(jnp.int32)
+        s_ymin = (s_all[6] >> 16).astype(jnp.int32)
+        s_ymax = (s_all[6] & 0xFFFF).astype(jnp.int32)
         s_tmin_x = jnp.clip(s_xmin // tile_w, 0, tiles_x - 1)
         s_tmax_x = jnp.clip(s_xmax // tile_w, 0, tiles_x - 1)
         s_tmin_y = jnp.clip(s_ymin // tile_h, 0, tiles_y - 1)
@@ -484,11 +568,11 @@ def build_packed_instances(
         s_w = s_tmax_x - s_tmin_x + 1
         s_h = s_tmax_y - s_tmin_y + 1
         s_r2max = _prune_r2(
-            jax.lax.bitcast_convert_type(s_all[3], jnp.float32),
-            jax.lax.bitcast_convert_type(s_all[4], jnp.float32),
-            jax.lax.bitcast_convert_type(s_all[5], jnp.float32),
+            _dec_e6m10(s_all[2] >> 16),
+            _dec_s1e6m9(s_all[3] >> 16),
+            _dec_e6m10(s_all[2] & 0xFFFF),
             # 16-bit opacity — the same value the compositor kernel uses.
-            (s_all[7] & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
+            (s_all[3] & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
         )
 
         # Class populations and segment starts (device scalars). Class c of
@@ -549,16 +633,23 @@ def build_packed_instances(
             # Truncated iff the class extends past the emitted window.
             overflow |= (start + cls_count[c]) > (start_cl + k_c)
 
-    # Center-encoding saturation check (N-scale, elementwise): the most
-    # extreme tile-local center over a Gaussian's rect is cx − tmin_x·tile_w
-    # (max) / cx − tmax_x·tile_w (min). The 13.3 encode covers ±CENTER_OFFSET.
+    # Center-encoding saturation checks (N-scale, elementwise):
+    # (a) the screen-fixed u16 carrier clips (center outside
+    #     [−2048, +6143.875] px);
+    # (b) the most extreme tile-local center over a Gaussian's rect
+    #     (cx − tmin_x·tile_w max / cx − tmax_x·tile_w min) exceeds the
+    #     13.3 encode range ±CENTER_OFFSET.
     cx_f = proj.center_px[:, 0]
     cy_f = proj.center_px[:, 1]
+    qx_raw = jnp.round(cx_f * CENTER_SCALE) + CQ_BIAS
+    qy_raw = jnp.round(cy_f * CENTER_SCALE) + CQ_BIAS
     enc_max = CENTER_OFFSET - 1.0 / CENTER_SCALE
     center_clipped = jnp.any(
         valid
         & (
-            (cx_f - tmin_x.astype(jnp.float32) * tile_w > enc_max)
+            (qx_raw < 0) | (qx_raw > 65535)
+            | (qy_raw < 0) | (qy_raw > 65535)
+            | (cx_f - tmin_x.astype(jnp.float32) * tile_w > enc_max)
             | (cx_f - tmax[:, 0].astype(jnp.float32) * tile_w < -CENTER_OFFSET)
             | (cy_f - tmin_y.astype(jnp.float32) * tile_h > enc_max)
             | (cy_f - tmax[:, 1].astype(jnp.float32) * tile_h < -CENTER_OFFSET)
@@ -575,7 +666,7 @@ def build_packed_instances(
         # Profiling knob (tools/profile_stages2.py): emission-order output,
         # attributing build time to emission vs sort. NOT a render path —
         # tile_start/count are zeros, the compositor would draw nothing.
-        # ALL 7 rows are stacked (and the key stays live through `emitted`)
+        # ALL 5 rows are stacked (and the key stays live through `emitted`)
         # so no emission work is dead-code-eliminated from the measurement.
         z = jnp.zeros((num_tiles,), jnp.int32)
         return PackedInstances(
@@ -588,10 +679,10 @@ def build_packed_instances(
             area_hist=area_hist,
         )
 
-    # ---- ONE single-key stable sort carrying the 7 packed rows -------------
+    # ---- ONE single-key stable sort carrying the 5 packed rows -------------
     sorted_ops = jax.lax.sort((key, *rows), num_keys=1, is_stable=True)
     key_sorted = sorted_ops[0]
-    packed = jnp.stack(sorted_ops[1:], axis=0)  # (7, C) u32
+    packed = jnp.stack(sorted_ops[1:], axis=0)  # (5, C) u32
 
     tile_sorted = (key_sorted >> depth_bits).astype(jnp.int32)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -245,12 +245,14 @@ def parse_tiers(s: str):
 def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
     """Projection-only tile-area histogram over AREA_BUCKETS — the input
     :func:`calibrate_tiers` needs, WITHOUT compositing. Cheap enough to run
-    on the CPU backend (projection at a 1/8-subsampled scene takes
-    seconds), which lets calibration probes avoid both a TPU session claim
-    and a second large TPU executable in the measuring process."""
+    on the CPU backend (full-scene projection takes seconds), which lets
+    calibration probes avoid both a TPU session claim and a second large
+    TPU executable in the measuring process. Must agree exactly with the
+    histogram the packed render path reports (pinned by
+    tests/test_packed_pipeline.py)."""
     import numpy as np
 
-    from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS
+    from gaussianrenderer_tpu.ops.instances import ALPHA_EPS, AREA_BUCKETS
 
     proj = preprocess_gaussians(
         scene,
@@ -266,7 +268,9 @@ def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
     )
     tmin = np.asarray(proj.tile_min)
     tmax = np.asarray(proj.tile_max)
-    valid = np.asarray(proj.valid) & (np.asarray(proj.opacity) >= 1e-3)
+    # Same 16-bit-quantized opacity threshold as the packed emitter.
+    op_q = np.round(np.asarray(proj.opacity) * 65535.0) / 65535.0
+    valid = np.asarray(proj.valid) & (op_q >= ALPHA_EPS)
     area = np.where(
         valid, (tmax[:, 0] - tmin[:, 0] + 1) * (tmax[:, 1] - tmin[:, 1] + 1), 0
     )
@@ -285,7 +289,6 @@ def calibrate_tiers(
     headroom: float = 1.3,
     min_k: int = 256,
     max_tiers: int = 7,
-    count_scale: int = 1,
 ):
     """Choose an area ladder from a frame's tile-area histogram.
 
@@ -327,12 +330,9 @@ def calibrate_tiers(
     def eff_headroom(count):
         """Adaptive slack: class-count fluctuation across nearby camera
         poses scales like 1/√count, so big classes (100k+) need only part
-        of the margin while small ones keep all of it. ``count_scale`` > 1
-        says the histogram came from a 1/count_scale-subsampled probe
-        (bench.py's CPU projection probe), whose sampling noise scales the
-        same way — judge fluctuation by the OBSERVED count. Overflow
+        of the margin while small ones keep all of it. Overflow
         recalibration (make_renderer auto_tier) is the safety net."""
-        observed = max(count, 1) / max(count_scale, 1)
+        observed = max(count, 1)
         rel = min(max((50_000.0 / observed) ** 0.5, 0.4), 1.0)
         return 1.0 + (headroom - 1.0) * rel
 

@@ -75,14 +75,18 @@ def test_compositors_agree_closely():
     fb_pak, _ = render_frame(
         scene, cam.params(cfg.k_sigma), RenderConfig(**{**cfg.__dict__, "compositor": "packed"})
     )
-    # Packed features quantize colors to 16 bits and use _fast_exp
-    # (2.6e-6 relative): a marginal alpha can cross the 1e-3 blend
-    # threshold differently, flipping one splat on one pixel — so the
-    # worst-pixel bound is threshold-granular (~1e-3·color) while the
-    # mean must stay at quantization scale.
+    # Packed features quantize the conic to 16-bit floats (≤2^-10 rel),
+    # colors to 10 bits, opacity to 16 bits, and use _fast_exp (2.6e-6
+    # relative): per-splat alpha deviates by ≤~7e-4 (ops/instances.py
+    # error budget), a marginal alpha can cross the 1e-3 blend threshold
+    # differently, and a couple of such deviations can stack on one
+    # pixel — so the worst-pixel bound is a few threshold granules while
+    # the mean must stay at quantization scale.
     d = np.abs(np.asarray(fb_xla) - np.asarray(fb_pak))
-    assert d.max() < 2e-3, d.max()
-    assert d.mean() < 1e-5, d.mean()
+    assert d.max() < 5e-3, d.max()
+    # 10-bit color: mean |err| on a covered pixel ≈ (1/1023)/4 ≈ 2.4e-4;
+    # at this scene's ~10% coverage the image mean sits near 2.4e-5.
+    assert d.mean() < 5e-5, d.mean()
 
 
 def test_clustered_scene_matches_oracle():

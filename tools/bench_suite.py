@@ -230,9 +230,9 @@ def main():
         )
         return
 
-    # Per config: a CPU-only calibration subprocess (projection probe on a
-    # 1/8 subsample — seconds, no TPU session), then ONE measuring
-    # subprocess that builds exactly one TPU executable.
+    # Per config: a CPU-only calibration subprocess (full-scene projection
+    # probe — seconds, no TPU session), then ONE measuring subprocess that
+    # builds exactly one TPU executable.
     for c in args.configs.split(","):
         log(f"=== config {c}: calibrate (CPU probe) ===")
         cal = subprocess.run(

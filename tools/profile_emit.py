@@ -109,7 +109,8 @@ def main():
     # revision measured ~0 for exactly that reason).
     iota = jnp.arange(N, dtype=jnp.int32)
     area_f = args_np["area"].astype(jnp.float32)
-    mat10 = jnp.stack([args_np["depth_q"]] + list(rows9), axis=0)
+    # v3 select matrix: depth + 6 packed rows (ops/instances.py).
+    mat7 = jnp.stack([args_np["depth_q"]] + list(rows9[:6]), axis=0)
 
     def sel_sort_only(area_f, iota):
         a = area_f.astype(jnp.int32)
@@ -123,7 +124,7 @@ def main():
         _, idx = jax.lax.sort((-a, iota), num_keys=1, is_stable=True)
         return mat[:, idx[:947_200]]
 
-    dt("h2: selection sort + (10,N) gather", sel_sort_gather, area_f, iota, mat10)
+    dt("h2: selection sort + (7,N) gather", sel_sort_gather, area_f, iota, mat7)
 
     build_sorted = functools.partial(
         build_packed_instances,

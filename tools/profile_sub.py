@@ -117,9 +117,9 @@ def main():
             __import__("numpy").asarray(inst.packed_feats[0]).view("uint32")
         )
     )
-    rows = [inst.packed_feats[i].copy() for i in range(8)]
+    rows = [inst.packed_feats[i].copy() for i in range(inst.packed_feats.shape[0])]
 
-    t("sort 1key+8rows (C)", lambda k: jax.lax.sort((k, *rows), num_keys=1, is_stable=True), key_unsorted, iters=5)
+    t("sort 1key+payload rows (C)", lambda k: jax.lax.sort((k, *rows), num_keys=1, is_stable=True), key_unsorted, iters=5)
     t("sort 1key+1row (C)", lambda k: jax.lax.sort((k, rows[0]), num_keys=1, is_stable=True), key_unsorted, iters=5)
     t("sort 1key only (C)", lambda k: jax.lax.sort((k,), num_keys=1, is_stable=True)[0], key_unsorted, iters=5)
 
