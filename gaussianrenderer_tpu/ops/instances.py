@@ -90,7 +90,16 @@ REL_ADJ = int(CENTER_OFFSET * CENTER_SCALE) - CQ_BIAS  # 16384
 #: [2^-47, ~2^17). A/C are e6m10 (rel err ≤ 2^-11), B is s1e6m9 (2^-10).
 CONIC_EXP_BIAS = 80
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+#: Invalid-lane key. A NumPy scalar on purpose: a module-level ``jnp``
+#: array is a concrete device array that jitted code CLOSES OVER — jax 0.9
+#: hoists such captured constants into an extra executable parameter that
+#: the C++ jit fast path then fails to supply on re-dispatch
+#: ("Execution supplied N buffers but compiled program expected N+1") —
+#: the root cause of the render_frame arity workaround. NumPy scalars are
+#: embedded as HLO literals instead.
+import numpy as _np
+
+SENTINEL = _np.uint32(0xFFFFFFFF)
 
 
 class PackedInstances(NamedTuple):

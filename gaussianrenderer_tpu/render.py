@@ -212,10 +212,13 @@ def render_frame(
     try:
         return fn(*args)
     except ValueError as e:  # pragma: no cover - jax 0.9 fastpath bug
-        # Rare jax fast-path miscount: an executable compiled against one
-        # set of concrete arrays can report an input-buffer arity mismatch
-        # when re-invoked with different (same-shape) arrays. Clearing the
-        # trace cache and recompiling is safe and idempotent. Scoped: warn
+        # ROOT CAUSE (fixed in ops/instances.py): a module-level jnp array
+        # (the old SENTINEL) closed over by the trace is hoisted into an
+        # extra executable parameter that jax 0.9's C++ jit fast path
+        # fails to supply on re-dispatch. No such captured-device-array
+        # constants remain, so this should never fire; it is kept as
+        # defense-in-depth against the same bug class (clearing the trace
+        # cache and recompiling is safe and idempotent). Scoped: warn
         # loudly (so a genuine arity bug is not silently recompiled away)
         # and only handle the exact message this jax version emits.
         if "buffers but compiled program expected" not in str(e):

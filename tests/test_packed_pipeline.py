@@ -231,6 +231,27 @@ def test_wide_overflow_does_not_emit_wrong_tier():
     assert int(inst.total_instances) == 64, int(inst.total_instances)
 
 
+def test_no_jit_arity_workaround_fires():
+    """Regression: jax 0.9's C++ jit fast path drops hoisted
+    captured-constant parameters on re-dispatch ("Execution supplied N
+    buffers but compiled program expected N+1"). Root cause was the
+    module-level jnp SENTINEL array closed over by the trace
+    (ops/instances.py); with it gone, the static→time→time sequence that
+    deterministically reproduced the miscount must run without the
+    render_frame workaround firing its RuntimeWarning."""
+    import warnings
+
+    scene_s = make_random_scene(800, seed=3)
+    scene_t = make_random_scene(700, seed=4, spacetime=True)
+    _, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        render_frame(scene_s, cam.params(3.0), cfg)
+        render_frame(scene_t, cam.params(3.0), cfg, jnp.float32(0.0))
+        render_frame(scene_t, cam.params(3.0), cfg, jnp.float32(1.0))
+
+
 def test_area_histogram_matches_render_stats():
     """render.area_histogram (the CPU calibration probe's projection-only
     histogram) must agree exactly with the histogram the packed render
