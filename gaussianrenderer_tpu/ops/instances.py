@@ -27,15 +27,20 @@ microbenchmarks (tools/micro_bench*.py, tools/profile_sub.py):
 
 So instead of the reference's count → prefix-sum → scatter expansion
 (``render.cu:767-857``), every Gaussian is given a FIXED number of
-instance lanes by broadcasting — no data-dependent placement at all:
+instance lanes by broadcasting — no data-dependent placement at all.
+An area ladder ((m, k), …) assigns the k members of each tile-area
+class m lanes each via exact per-class windows over one descending-area
+order; ladders come from ``render.calibrate_tiers`` (cost-model driven)
+or :func:`default_tiers`. Two emission modes (chosen by the ladder
+shape, see build_packed_instances):
 
-  base tier: all N Gaussians × m₀ lanes (covers tile areas ≤ m₀ — the
-             overwhelming majority at 32×32-pixel tiles);
-  wide tiers: an area ladder (m, k) — the k members of each tile-area
-             class get m lanes each, selected via exact per-class
-             windows over one descending-area order. Ladders come from
-             ``render.calibrate_tiers`` (cost-model driven) or
-             :func:`default_tiers`.
+  BASE mode (ladder[0] = (m₀, 0)): all N Gaussians get m₀ broadcast
+             lanes; only wider tiers are windowed (selection gather).
+             Robust without calibration.
+  FULLY-WINDOWED mode (every k > 0): every tier windowed; the payload
+             rides the area sort itself (no gather), and total lanes ≈
+             the true instance count — which keeps the frame sort under
+             its measured ~8M-lane cost knee on 3M-splat scenes.
 
 Lanes beyond a Gaussian's actual rect (and all lanes of culled Gaussians)
 get the all-ones sentinel key and sort to the end. Wide-tier membership
@@ -186,9 +191,11 @@ AREA_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192,
 
 
 def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
-    """((m, k), ...) area ladder: every Gaussian gets m₀ lanes; the k widest
-    (by tile area) get the wider tiers. Lane r enumerates the rect linearly
-    so a tier covers any rect with area ≤ its m.
+    """((m, k), ...) area ladder: every Gaussian gets m₀ lanes (the k = 0
+    of the first tier marks the all-N broadcast base — see the emission
+    modes in :func:`build_packed_instances`); the k widest (by tile area)
+    get the wider tiers. Lane r enumerates the rect linearly so a tier
+    covers any rect with area ≤ its m.
 
     Scaled with N so small scenes don't pay fixed tier costs. ``boost``
     (0-3) quadruples the K's per step — the session-level response to an
@@ -199,7 +206,7 @@ def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
     """
     scale = 4 ** min(boost, 3)
     return (
-        (4, n),
+        (4, 0),
         (16, min(n, max(64, n // 8) * scale)),
         (128, min(n, max(32, n // 128) * scale)),
         (1024, min(n, max(16, n // 2048) * scale)),
@@ -510,10 +517,12 @@ def build_packed_instances(
     def class_count(m_lo, m_hi):
         """Count of valid Gaussians with area ∈ (m_lo, m_hi] — from hist
         slices when the bounds resolve to bucket edges (calibrated ladders
-        always do), else an N-scale masked sum. m_hi ≥ num_tiles counts as
-        unbounded exactly (screen-clipped areas cannot exceed num_tiles)."""
-        if m_lo in edge_index and "hist" not in _skip:
-            lo_i = edge_index[m_lo] + 1
+        always do), else an N-scale masked sum. m_lo = 0 means 'from the
+        smallest class' (fully-windowed ladders); m_hi ≥ num_tiles counts
+        as unbounded exactly (screen-clipped areas cannot exceed
+        num_tiles)."""
+        if (m_lo == 0 or m_lo in edge_index) and "hist" not in _skip:
+            lo_i = 0 if m_lo == 0 else edge_index[m_lo] + 1
             if m_hi in edge_index:
                 return jnp.sum(area_hist[lo_i : edge_index[m_hi] + 1])
             if m_hi >= num_tiles:
@@ -526,17 +535,30 @@ def build_packed_instances(
         # r2 < 0 disables the prune test per lane but keeps graph shape.
         r2max_all = jnp.full((n,), -1.0, jnp.float32)
 
-    # ---- base tier: every Gaussian × m0 lanes (areas ≤ m0) -----------------
+    # ---- emission modes ----------------------------------------------------
+    # BASE mode (ladder[0] = (m0, 0)): every Gaussian gets m0 broadcast
+    # lanes (lane cost m0·N regardless of class population) and only the
+    # wider tiers are windowed — robust without calibration, wasteful when
+    # most splats have area < m0.
+    # FULLY-WINDOWED mode (ladder[0] = (m0, k>0)): EVERY tier, including
+    # the narrowest, emits from an exact window of the descending-area
+    # order, so total lanes ≈ Σ m_c·k_c ≈ the true instance count — the
+    # measured v5e sort-cost knee (~5.8 ns/lane below ~8M lanes, +15 ms
+    # above — PERF_NOTES round 3) makes this the fast mode at 3M-splat
+    # scenes. calibrate_tiers picks the mode by measured cost model.
+    windowed = ladder[0][1] > 0
     keys = []
     rows_out = []
-    k1, r1 = emit(
-        tmin_x, tmin_y, rect_w, rect_h,
-        valid & (area <= m0), depth_q, rows6, m0, r2max_all,
-    )
-    keys.append(k1)
-    rows_out.append(r1)
+    if not windowed:
+        # base tier: every Gaussian × m0 lanes (areas ≤ m0)
+        k1, r1 = emit(
+            tmin_x, tmin_y, rect_w, rect_h,
+            valid & (area <= m0), depth_q, rows6, m0, r2max_all,
+        )
+        keys.append(k1)
+        rows_out.append(r1)
 
-    # ---- wide tiers: select the largest-area Gaussians with ONE sort -------
+    # ---- windowed tiers ----------------------------------------------------
     # Descending area ⇒ the classes occupy CONTIGUOUS segments of the
     # sorted order (widest first). Each tier emits from an EXACT window:
     # a dynamic_slice of size k_c starting at its class's (data-dependent)
@@ -544,32 +566,52 @@ def build_packed_instances(
     # the tier's lane cost is exactly m_c·k_c (the round-1 prefix-window
     # scheme paid m_c·(k_c + all wider classes) instead). A class bigger
     # than its k_c is truncated tail-first and flagged via overflow.
-    wide = ladder[1:] if "wide" not in _skip else []
+    if "wide" not in _skip:
+        wide = ladder if windowed else ladder[1:]
+    else:
+        wide = []
     overflow = jnp.any(valid & (area > ladder[-1][0]))
     if wide:
-        _, idx_sorted = jax.lax.sort(
-            (-area, jnp.arange(n, dtype=jnp.int32)),
-            num_keys=1,
-            is_stable=True,
-        )
-        k_sel = min(sum(k for _, k in wide), n)
-        sel_idx = idx_sorted[:k_sel]
+        if windowed:
+            # The 6 payload rows + depth RIDE the area sort directly (8
+            # stable operands @N) — no gather at all, and every window
+            # below slices the full-length sorted arrays (k_sel = n).
+            sorted_sel = jax.lax.sort(
+                (-area, depth_q, *rows6), num_keys=1, is_stable=True
+            )
+            k_sel = n
+            s_depth = sorted_sel[1]
+            s_rows = tuple(sorted_sel[2:])
+            s_ax, s_ay = s_rows[4], s_rows[5]
+            s_ac, s_bop = s_rows[1], s_rows[2]
+        else:
+            _, idx_sorted = jax.lax.sort(
+                (-area, jnp.arange(n, dtype=jnp.int32)),
+                num_keys=1,
+                is_stable=True,
+            )
+            k_sel = min(sum(k for _, k in wide), n)
+            sel_idx = idx_sorted[:k_sel]
 
-        # ONE (7, N) lane-axis gather instead of per-field 1-D gathers:
-        # measured ~9× cheaper per row (~11 ns vs ~105 ns at k_sel=1M —
-        # tools/gather_bench.py). Only depth + the 6 packed rows ride the
-        # gather; tile rects are re-derived from the packed pixel AABB
-        # (bit-exact: same integer stride division as projection.py), and
-        # the prune radius is recomputed from the gathered quantized conic
-        # + 16-bit opacity (the same inputs the compositor kernel uses).
-        sel_mat = jnp.stack((depth_q, *rows6), axis=0)  # (7, N) u32
-        s_all = sel_mat[:, sel_idx]  # (7, k_sel)
-        s_depth = s_all[0]
-        s_rows = tuple(s_all[1 + i] for i in range(len(rows6)))
-        s_xmin = (s_all[5] >> 16).astype(jnp.int32)
-        s_xmax = (s_all[5] & 0xFFFF).astype(jnp.int32)
-        s_ymin = (s_all[6] >> 16).astype(jnp.int32)
-        s_ymax = (s_all[6] & 0xFFFF).astype(jnp.int32)
+            # ONE (7, N) lane-axis gather instead of per-field 1-D
+            # gathers: measured ~9× cheaper per row (~11 ns vs ~105
+            # ns/row at k_sel=1M — tools/gather_bench.py). Only depth +
+            # the 6 packed rows ride the gather.
+            sel_mat = jnp.stack((depth_q, *rows6), axis=0)  # (7, N) u32
+            s_all = sel_mat[:, sel_idx]  # (7, k_sel)
+            s_depth = s_all[0]
+            s_rows = tuple(s_all[1 + i] for i in range(len(rows6)))
+            s_ax, s_ay = s_all[5], s_all[6]
+            s_ac, s_bop = s_all[2], s_all[3]
+
+        # Tile rects are re-derived from the packed pixel AABB (bit-exact:
+        # same integer stride division as projection.py), and the prune
+        # radius is recomputed from the quantized conic + 16-bit opacity
+        # (the same inputs the compositor kernel uses).
+        s_xmin = (s_ax >> 16).astype(jnp.int32)
+        s_xmax = (s_ax & 0xFFFF).astype(jnp.int32)
+        s_ymin = (s_ay >> 16).astype(jnp.int32)
+        s_ymax = (s_ay & 0xFFFF).astype(jnp.int32)
         s_tmin_x = jnp.clip(s_xmin // tile_w, 0, tiles_x - 1)
         s_tmax_x = jnp.clip(s_xmax // tile_w, 0, tiles_x - 1)
         s_tmin_y = jnp.clip(s_ymin // tile_h, 0, tiles_y - 1)
@@ -577,12 +619,14 @@ def build_packed_instances(
         s_w = s_tmax_x - s_tmin_x + 1
         s_h = s_tmax_y - s_tmin_y + 1
         s_r2max = _prune_r2(
-            _dec_e6m10(s_all[2] >> 16),
-            _dec_s1e6m9(s_all[3] >> 16),
-            _dec_e6m10(s_all[2] & 0xFFFF),
+            _dec_e6m10(s_ac >> 16),
+            _dec_s1e6m9(s_bop >> 16),
+            _dec_e6m10(s_ac & 0xFFFF),
             # 16-bit opacity — the same value the compositor kernel uses.
-            (s_all[3] & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
+            (s_bop & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
         )
+        if "prune" in _skip:
+            s_r2max = jnp.full((k_sel,), -1.0, jnp.float32)
 
         # Class populations and segment starts (device scalars). Class c of
         # tier (m_hi, k_c) is area ∈ (m_lo, m_hi]; its segment starts after
@@ -590,7 +634,10 @@ def build_packed_instances(
         # uncovered giants (area > the widest tier), which occupy the
         # sorted prefix without belonging to any class (possible only with
         # non-calibrated ladders; the overflow flag above already fires).
-        lo_list = [m for m, _ in ([(m0, 0)] + list(wide[:-1]))]
+        # In windowed mode the narrowest class reaches down to area 1
+        # (m_lo = 0).
+        first_lo = 0 if windowed else m0
+        lo_list = [m for m, _ in ([(first_lo, 0)] + list(wide[:-1]))]
         cls_count = [
             class_count(m_lo, m_hi)
             for (m_hi, _), m_lo in zip(wide, lo_list)

@@ -59,6 +59,36 @@ class ProjectedGaussians(NamedTuple):
     tile_max: jnp.ndarray  # (N, 2) int32
 
 
+def slice_spacetime(scene, time_value):
+    """4D spacetime-Gaussian time slicing (reference roadmap README.md:16;
+    BASELINE config 5): returns ``(scene', extra_opacity)`` for rendering
+    the scene at ``time_value``.
+
+    ``scene.time_params`` is (N, 2) ``(t_center, t_sigma)`` for temporal
+    opacity only, or (N, 5) ``(t_center, t_sigma, vx, vy, vz)`` with
+    per-splat linear motion — positions are sliced
+    ``p(t) = p + v·(t − t_center)`` BEFORE projection (the "position"
+    half of the opacity/position slicing north star). Works on both
+    GaussianScene and PreparedScene; returns the scene unchanged with
+    ``extra_opacity=None`` when the scene is static or ``time_value`` is
+    None (a static render of a spacetime scene).
+    """
+    if getattr(scene, "time_params", None) is None or time_value is None:
+        return scene, None
+    tp = scene.time_params.astype(jnp.float32).T  # (2|5, N) rows
+    dt = time_value - tp[0]
+    t_sigma = jnp.maximum(tp[1], 1e-6)
+    u = dt / t_sigma
+    extra_opacity = jnp.exp(-0.5 * u * u)
+    if tp.shape[0] >= 5:
+        delta = tp[2:5] * dt[None, :]  # (3, N)
+        if hasattr(scene, "pos_t"):
+            scene = scene._replace(pos_t=scene.pos_t + delta)
+        else:
+            scene = scene._replace(positions=scene.positions + delta.T)
+    return scene, extra_opacity
+
+
 def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
     """(N,4) w,x,y,z quaternions → (N,3,3) rotations (``math.cpp:138-149``).
 

@@ -102,6 +102,18 @@ def render_oracle(
 
     for i in range(n):
         pos = positions[i]
+        if (
+            time_params is not None
+            and time_value is not None
+            and time_params.shape[1] >= 5
+        ):
+            # 4D position slicing: p(t) = p + v·(t − t_center), mirroring
+            # ops/projection.slice_spacetime.
+            pos = (
+                pos
+                + time_params[i, 2:5]
+                * np.float32(time_value - float(time_params[i, 0]))
+            ).astype(np.float32)
         view_dir = pos - cam_pos
         norm = float(np.linalg.norm(view_dir))
         view_dir = view_dir / norm if norm > 1e-8 else np.zeros(3, np.float32)

@@ -44,7 +44,11 @@ from gaussianrenderer_tpu.ops.compositing import (
     composite_tiles_xla,
     gather_sorted_features,
 )
-from gaussianrenderer_tpu.ops.projection import ProjectedGaussians, preprocess_gaussians
+from gaussianrenderer_tpu.ops.projection import (
+    ProjectedGaussians,
+    preprocess_gaussians,
+    slice_spacetime,
+)
 from gaussianrenderer_tpu.ops.tiling import build_sorted_instances
 from gaussianrenderer_tpu.scene.camera import CameraParams
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
@@ -96,12 +100,10 @@ def _strip_render(
     tiles_y_local = cfg.tiles_y // num_devices
     strip_y0 = chip * tiles_y_local
 
-    extra_opacity = None
-    if scene_shard.time_params is not None and time_value is not None:
-        t_center = scene_shard.time_params[:, 0]
-        t_sigma = jnp.maximum(scene_shard.time_params[:, 1], 1e-6)
-        dt = (time_value - t_center) / t_sigma
-        extra_opacity = jnp.exp(-0.5 * dt * dt)
+    # 4D spacetime: time-conditioned opacity + position slicing (same
+    # helper as the single-chip path; runs shard-locally before the
+    # all_gather, so sliced positions ride the record exchange).
+    scene_shard, extra_opacity = slice_spacetime(scene_shard, time_value)
 
     # ---- local (gaussian-parallel) preprocessing on this chip's shard
     proj = preprocess_gaussians(

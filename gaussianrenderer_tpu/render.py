@@ -34,7 +34,10 @@ from gaussianrenderer_tpu.ops.compositing import (
     composite_tiles_xla,
     gather_sorted_features,
 )
-from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+from gaussianrenderer_tpu.ops.projection import (
+    preprocess_gaussians,
+    slice_spacetime,
+)
 from gaussianrenderer_tpu.ops.tiling import build_sorted_instances
 from gaussianrenderer_tpu.scene.camera import Camera, CameraParams
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
@@ -60,14 +63,9 @@ def _render_impl(
     cfg: RenderConfig,
     time_value: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, RenderStats]:
-    extra_opacity = None
-    if scene.time_params is not None and time_value is not None:
-        # 4D spacetime Gaussians: time-conditioned opacity slicing before
-        # projection (reference roadmap README.md:16; BASELINE config 5).
-        t_center = scene.time_params[:, 0]
-        t_sigma = jnp.maximum(scene.time_params[:, 1], 1e-6)
-        dt = (time_value - t_center) / t_sigma
-        extra_opacity = jnp.exp(-0.5 * dt * dt)
+    # 4D spacetime Gaussians: time-conditioned opacity AND position slicing
+    # before projection (reference roadmap README.md:16; BASELINE config 5).
+    scene, extra_opacity = slice_spacetime(scene, time_value)
 
     proj = preprocess_gaussians(
         scene,
@@ -319,15 +317,18 @@ def calibrate_tiers(
         )
     n_valid = max(int(hist.sum()), 1)
 
-    def round_up(x):
-        """Round up to 2 significant bits ({1, 1.25, 1.5, 1.75}·2^k): tight
-        enough that the pow2-style bucketing overhead is ≤25% (a plain
-        pow2 round after headroom wastes up to 2×), coarse enough that
-        nearby camera poses keep hitting the same jit cache entry."""
+    def round_up(x, sig_bits: int = 2):
+        """Round up to ``sig_bits`` significant bits (2 → {1, 1.25, 1.5,
+        1.75}·2^k): tight enough that the pow2-style bucketing overhead is
+        ≤25% (a plain pow2 round after headroom wastes up to 2×), coarse
+        enough that nearby camera poses keep hitting the same jit cache
+        entry. The fine-rounded windowed candidate uses sig_bits = 4
+        (≤6.25% overhead) to dip under the sort-cost knee — worth a few
+        extra recalibration cache keys."""
         x = max(int(x), 1)
-        if x <= 4:
+        if x <= (1 << sig_bits):
             return x
-        k = x.bit_length() - 3  # quarter-granule exponent
+        k = x.bit_length() - 1 - sig_bits
         return -(-x >> k) << k  # ceil to a multiple of 2^k
 
     def eff_headroom(count):
@@ -339,80 +340,117 @@ def calibrate_tiers(
         rel = min(max((50_000.0 / observed) ** 0.5, 0.4), 1.0)
         return 1.0 + (headroom - 1.0) * rel
 
-    #: Cost model (measured, v5e): a sort lane costs ~9 ns (8-row stable
-    #: lax.sort, PERF_NOTES.md); a wide-tier SELECTED Gaussian costs
-    #: ~27 ns through the single (10, N) lane-axis selection gather
-    #: (tools/profile_emit.py h2 — in-context; the isolated gather_bench
-    #: figure was 11 ns, and 16 separate 1-D gathers cost ~105 ns/row,
-    #: which is why the selection is one stacked matrix gather). The
-    #: optimizer weighs both: moving a class out of the base saves
-    #: (m0 − true area)·9 ns per splat against 27 ns of selection.
-    SORT_NS_PER_LANE = 9.0
-    SEL_NS_PER_ROW = 27.0
+    #: Cost model (measured, v5e, round 3 — tools sort6/ladder_ab probes).
+    #: The v3 6-operand frame sort costs ~5.8 ns/lane up to a hard knee at
+    #: ~8M lanes, then jumps +~15 ms (7.8M → 45.4 ms, 8.4M → 63.8 ms,
+    #: 12.3M → 85 ms). A wide-tier SELECTED Gaussian costs ~12 ns through
+    #: the single (7, N) lane-axis selection gather (+~6.5 ms for the
+    #: selection key sort); the fully-windowed mode replaces both with an
+    #: 8-operand payload-carrying area sort at ~8.5 ns per VALID splat.
+    SORT_NS_PER_LANE = 5.8
+    SORT_KNEE_LANES = 8_050_000
+    SORT_KNEE_NS = 15e6
+    SEL_NS_PER_ROW = 12.0
+    SEL_SORT_NS = 6.5e6
+    AREA_SORT_NS_PER_SPLAT = 7.0  # measured 20.1 ms @2.92M valid (8 ops)
+    #: Every emitted lane also pays broadcast-emission work.
+    EMIT_NS_PER_LANE = 1.5
 
-    def ladder_for(base_i: int):
-        """Tier list with base area edges[base_i]; returns (tiers, cost).
+    def sort_cost(lanes):
+        return (
+            lanes * (SORT_NS_PER_LANE + EMIT_NS_PER_LANE)
+            + (SORT_KNEE_NS if lanes > SORT_KNEE_LANES else 0.0)
+        )
 
-        One tier per non-empty histogram edge above the base (a splat pays
-        at most ~1.5× its true tile area in lanes with the fine
-        AREA_BUCKETS). The lane model matches the emission exactly: each
-        tier emits from an EXACT dynamic-slice window of its class segment
-        (ops/instances.py), so its lane cost is m·k — no cumulative-window
-        surcharge. An empty bucket is skipped; its (empty) area range folds
-        into the next tier's class. The returned cost is in ns-equivalents
-        (lanes·SORT_NS + selected·SEL_NS), not raw lanes.
-        """
-        m0 = edges[base_i]
-        tiers = [(m0, 0)]
-        lanes = m0 * n_valid
-        for i in range(base_i + 1, len(edges)):
+    def wide_tiers_from(start_i: int, sig_bits: int = 2):
+        """(tiers, lanes) for one windowed tier per non-empty histogram
+        edge from ``start_i`` up (a splat pays at most ~1.5× its true tile
+        area in lanes with the fine AREA_BUCKETS). The lane model matches
+        the emission exactly: each tier emits from an EXACT dynamic-slice
+        window of its class segment (ops/instances.py), so its lane cost
+        is m·k — no cumulative-window surcharge. An empty bucket is
+        skipped; its (empty) area range folds into the next tier's
+        class."""
+        tiers = []
+        lanes = 0
+        for i in range(start_i, len(edges)):
             count = int(hist[i])
             if count == 0:
                 continue
-            k = max(min_k, round_up(int(count * eff_headroom(count))))
+            k = max(min_k, round_up(int(count * eff_headroom(count)), sig_bits))
             tiers.append((edges[i], k))
             lanes += edges[i] * k
         if int(hist[-1]) > 0 and num_tiles > edges[-1]:
             # Splats covering more than 1024 tiles (up to the whole screen).
             m = round_up(num_tiles)
             count = int(hist[-1])
-            k = max(64, round_up(int(count * eff_headroom(count))))
+            k = max(64, round_up(int(count * eff_headroom(count)), sig_bits))
             tiers.append((m, k))
             lanes += m * k
-        k_sel = sum(k for _, k in tiers[1:])
-        cost = lanes * SORT_NS_PER_LANE + k_sel * SEL_NS_PER_ROW
+        return tiers, lanes
+
+    def ladder_for(base_i: int):
+        """BASE-mode candidate: all-N base tier of width edges[base_i]
+        (k = 0 marks the broadcast base — ops/instances.py) + windowed
+        wider tiers. Returns (tiers, cost in ns-equivalents)."""
+        m0 = edges[base_i]
+        wide, wide_lanes = wide_tiers_from(base_i + 1)
+        tiers = [(m0, 0)] + wide
+        lanes = m0 * n_valid + wide_lanes
+        k_sel = sum(k for _, k in wide)
+        cost = (
+            sort_cost(lanes)
+            + k_sel * SEL_NS_PER_ROW
+            + (SEL_SORT_NS if wide else 0.0)
+        )
+        return tuple(tiers), cost
+
+    def ladder_windowed(sig_bits: int = 2):
+        """FULLY-WINDOWED candidate (every tier k > 0): lanes ≈ the true
+        instance count; pays one 8-operand payload area sort over all N
+        instead of base broadcast + selection gather. The measured sort
+        knee (~8M lanes) is what makes this mode win on 3M-splat scenes."""
+        tiers, lanes = wide_tiers_from(0, sig_bits)
+        cost = sort_cost(lanes) + n_valid * AREA_SORT_NS_PER_SPLAT
         return tuple(tiers), cost
 
     def merge_down(tiers):
-        """Greedily merge adjacent wide tiers until ≤ max_tiers entries.
+        """Greedily merge adjacent windowed tiers until ≤ max_tiers entries.
 
         Merging (m_i, k_i) into the next-wider (m_j, k_j) costs exactly
         k_i·(m_j − m_i) extra lanes (every class-i member now gets m_j
         lanes); pick the cheapest pair each round. Caps the emission/sort
         graph size — each tier adds a dynamic-slice + broadcast + concat
         subgraph, and jit compile time scales with it (~60% more HLO for a
-        10-tier vs 4-tier ladder, measured on the c4 shapes).
+        10-tier vs 4-tier ladder, measured on the c4 shapes). A k = 0
+        first tier is the broadcast base (not windowed) and never merges.
         """
         tiers = list(tiers)
+        first = 0 if (tiers and tiers[0][1] > 0) else 1
         extra = 0
         while len(tiers) > max_tiers and len(tiers) > 2:
             costs = [
                 (tiers[i][1] * (tiers[i + 1][0] - tiers[i][0]), i)
-                for i in range(1, len(tiers) - 1)
+                for i in range(first, len(tiers) - 1)
             ]
             cost, i = min(costs)
             m_hi = tiers[i + 1][0]
             k_merged = round_up(tiers[i][1] + tiers[i + 1][1])
             tiers[i + 1] = (m_hi, k_merged)
             del tiers[i]
-            extra += cost * SORT_NS_PER_LANE
+            extra += cost * (SORT_NS_PER_LANE + EMIT_NS_PER_LANE)
         return tuple(tiers), extra
 
-    # Pick the base tier that minimizes the modeled frame cost (sort lanes
-    # + selection gather — see the cost model above).
+    # Pick the candidate minimizing the modeled frame cost: base-mode
+    # ladders for m0 ∈ {1, 2, 3, 4, 6, 8} plus the fully-windowed ladder
+    # (see the cost model above).
     best = None
-    for base_i in range(6):  # m0 ∈ {1, 2, 3, 4, 6, 8}
-        tiers, cost = ladder_for(base_i)
+    candidates = [ladder_for(base_i) for base_i in range(6)]
+    candidates.append(ladder_windowed())
+    candidates.append(ladder_windowed(sig_bits=4))
+    for tiers, cost in candidates:
+        if not tiers:
+            continue
         tiers, extra = merge_down(tiers)
         cost += extra
         if best is None or cost < best[1]:

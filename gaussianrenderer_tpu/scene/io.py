@@ -294,9 +294,16 @@ def make_clustered_scene(
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     time_params = None
     if spacetime:
+        # (t_center, t_sigma, vx, vy, vz): temporal opacity window plus
+        # per-splat linear motion, sliced by ops/projection.slice_spacetime
+        # (p(t) = p + v*(t - t_center)); velocities sized so a splat moves
+        # a visible fraction of the scene extent over t in [0, 1].
         t_centers = rng.uniform(0.0, 1.0, size=num).astype(np.float32)
         t_sigmas = rng.uniform(0.05, 0.3, size=num).astype(np.float32)
-        time_params = np.stack([t_centers, t_sigmas], axis=1)
+        vel = rng.normal(0.0, 0.08 * extent, size=(num, 3)).astype(np.float32)
+        time_params = np.concatenate(
+            [np.stack([t_centers, t_sigmas], axis=1), vel], axis=1
+        )
     return GaussianScene(
         positions=jnp.asarray(positions),
         sh=jnp.asarray(sh),
@@ -332,9 +339,13 @@ def make_random_scene(
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     time_params = None
     if spacetime:
+        # (t_center, t_sigma, vx, vy, vz) — see make_clustered_scene.
         centers = rng.uniform(0.0, 1.0, size=num).astype(np.float32)
         sigmas = rng.uniform(0.05, 0.3, size=num).astype(np.float32)
-        time_params = np.stack([centers, sigmas], axis=1)
+        vel = rng.normal(0.0, 0.08 * extent, size=(num, 3)).astype(np.float32)
+        time_params = np.concatenate(
+            [np.stack([centers, sigmas], axis=1), vel], axis=1
+        )
     return GaussianScene(
         positions=jnp.asarray(positions),
         sh=jnp.asarray(sh),

@@ -99,14 +99,55 @@ class Canvas:
         self._initialized = False
 
     # ------------------------------------------------------------- lifecycle
-    def init(self) -> None:
+    def init(self, prewarm: bool = True, resize_buckets=((720, 1280),)) -> None:
         """Reference ``Canvas::init`` — enables the persistent compilation
         cache (so warm sessions skip the first-frame compile) in place of
-        the reference's GL object allocation."""
+        the reference's GL object allocation.
+
+        ``prewarm``: once a scene is loaded, a background daemon thread
+        AOT-compiles the current resolution plus every ``(h, w)`` in
+        ``resize_buckets`` — populating both the in-memory and persistent
+        caches so the first render/resize of those buckets pays a cache
+        load instead of the full XLA compile (the reference resizes
+        instantly, ``canvas.cpp:198-224``; measured compile split in
+        tools/compile_profile.py)."""
         from gaussianrenderer_tpu.utils import enable_compilation_cache
 
         enable_compilation_cache()
+        self._prewarm_enabled = bool(prewarm)
+        self._prewarm_buckets = tuple(resize_buckets or ())
         self._initialized = True
+        if self._prepared is not None and self._prewarm_enabled:
+            self._start_prewarm()
+
+    def _start_prewarm(self) -> None:
+        """Best-effort background compile of the session's (H, W) buckets."""
+        import threading
+
+        t = getattr(self, "_prewarm_thread", None)
+        if t is not None and t.is_alive():
+            return
+        scene = self._prepared
+        cfgs = [self.cfg] + [
+            self.cfg.with_resolution(h, w) for h, w in self._prewarm_buckets
+        ]
+        params = self.camera.params(self.settings.k_sigma)
+
+        def work():
+            from gaussianrenderer_tpu.render import _render_frame_static
+
+            for c in cfgs:
+                try:
+                    # AOT lower+compile: populates the persistent cache
+                    # keyed by HLO, so the live render of this bucket
+                    # (same scene shapes + static cfg) loads from disk.
+                    _render_frame_static.lower(scene, params, c).compile()
+                except Exception:
+                    return  # prewarm must never break the session
+
+        th = threading.Thread(target=work, daemon=True, name="gr-prewarm")
+        th.start()
+        self._prewarm_thread = th
 
     @property
     def cfg(self) -> RenderConfig:
@@ -134,6 +175,12 @@ class Canvas:
     def scene(self, scene: Optional[GaussianScene]) -> None:
         self._scene = scene
         self._prepared = None if scene is None else scene.prepared()
+        if (
+            self._prepared is not None
+            and self._initialized
+            and getattr(self, "_prewarm_enabled", False)
+        ):
+            self._start_prewarm()
 
     def load_gaussians(self, path: str) -> None:
         """Hot-swap the scene (reference drag-drop, ``canvas.cpp:280-296``)."""

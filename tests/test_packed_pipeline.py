@@ -117,6 +117,85 @@ def test_packed_4d_time_slicing():
     assert not np.array_equal(a, b)  # time slicing changes the image
 
 
+def test_windowed_ladder_matches_base_mode():
+    """FULLY-WINDOWED emission (every tier k > 0 — payload rides the area
+    sort, no all-N base broadcast) must emit exactly the same instance
+    set as the equivalent base-mode ladder. Pixel values may differ only
+    where stable-sort ties (same tile, same quantized depth) blend in a
+    different order, so the comparison is PSNR + exact instance count."""
+    import dataclasses
+
+    scene = make_random_scene(3000, seed=11, scale_range=(0.02, 0.3))
+    _, cam = _setup()
+    base = RenderConfig(
+        height=128, width=160, compositor="packed",
+        tiers=((2, 0), (4, 2048), (6, 512), (12, 256), (20, 256)),
+    )
+    windowed = dataclasses.replace(
+        base,
+        tiers=((1, 512), (2, 1024), (4, 2048), (6, 512), (12, 256), (20, 256)),
+    )
+    fb_b, st_b = render_frame(scene, cam.params(3.0), base)
+    fb_w, st_w = render_frame(scene, cam.params(3.0), windowed)
+    assert not bool(st_b.overflow) and not bool(st_w.overflow)
+    assert int(st_b.num_instances) == int(st_w.num_instances)
+    assert psnr(np.asarray(fb_b), np.asarray(fb_w)) > 60.0
+    golden = render_oracle(scene, cam, windowed)
+    assert psnr(golden, np.asarray(fb_w)) > 60.0
+
+
+def test_windowed_ladder_overflow_flagged():
+    """A windowed narrow class bigger than its k must flag overflow (its
+    surplus members are dropped, never emitted at a wrong width)."""
+    scene = make_random_scene(3000, seed=11, scale_range=(0.02, 0.3))
+    _, cam = _setup()
+    cfg = RenderConfig(
+        height=128, width=160, compositor="packed",
+        # area-1 class at this scene is ~300 splats; k=64 starves it
+        tiers=((1, 64), (4, 4096), (20, 512)),
+    )
+    _, st = render_frame(scene, cam.params(3.0), cfg)
+    assert bool(st.overflow)
+
+
+def test_4d_position_slicing_matches_oracle():
+    """The position half of the spacetime north star: per-splat linear
+    motion p(t) = p + v·(t − t_center) sliced before projection must
+    match the oracle's mirror of the same math at a non-trivial time."""
+    scene = make_random_scene(1200, seed=8, spacetime=True)
+    assert scene.time_params.shape[1] == 5  # velocities present
+    _, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    t = 0.7
+    fb, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg, jnp.float32(t))
+    golden = render_oracle(scene, cam, cfg, time_value=t)
+    score = psnr(golden, np.asarray(fb))
+    assert score > 60.0, f"4D motion PSNR {score:.2f} dB"
+
+
+def test_4d_position_slicing_moves_splats():
+    """Motion must be visible independently of temporal opacity: with a
+    huge t_sigma (opacity window ≈ flat) and nonzero velocities, frames
+    at t=0 and t=1 must differ. And at t = t_center with flat opacity the
+    sliced render must equal the static (no-time) render exactly."""
+    scene = make_random_scene(1000, seed=9, spacetime=True)
+    tp = np.array(scene.time_params)  # writable copy
+    tp[:, 0] = 0.4  # common t_center
+    tp[:, 1] = 1e6  # flat temporal opacity
+    scene = scene._replace(time_params=jnp.asarray(tp))
+    _, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    fb0, _ = render_frame(scene, cam.params(3.0), cfg, jnp.float32(0.0))
+    fb1, _ = render_frame(scene, cam.params(3.0), cfg, jnp.float32(1.0))
+    assert not np.array_equal(np.asarray(fb0), np.asarray(fb1))
+    # t == t_center, flat window -> identical to the static render
+    fb_tc, _ = render_frame(scene, cam.params(3.0), cfg, jnp.float32(0.4))
+    fb_st, _ = render_frame(scene, cam.params(3.0), cfg)
+    np.testing.assert_allclose(
+        np.asarray(fb_tc), np.asarray(fb_st), atol=2e-6
+    )
+
+
 def test_calibrate_tiers_shapes():
     import numpy as np
 

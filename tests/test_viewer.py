@@ -119,3 +119,21 @@ def test_png_encode_decodes():
         np.testing.assert_array_equal(back, img)
     except ImportError:
         pass
+
+
+def test_prewarm_compiles_resize_buckets():
+    """Canvas.init(prewarm=True) AOT-compiles the configured resize
+    buckets in a background thread; the thread must finish cleanly and
+    the prewarmed bucket must render (compile-time attack, VERDICT r2 #3)."""
+    from gaussianrenderer_tpu.scene.io import make_random_scene
+    from gaussianrenderer_tpu.viewer import Canvas
+
+    cv = Canvas(height=96, width=128)
+    cv.init(prewarm=True, resize_buckets=((64, 96),))
+    cv.set_scene(make_random_scene(800, seed=3))
+    assert cv._prewarm_thread is not None
+    cv._prewarm_thread.join(timeout=600)
+    assert not cv._prewarm_thread.is_alive()
+    cv.on_resize(64, 96)
+    fb, _ = cv.render()
+    assert fb.shape == (3, 64, 96)

@@ -29,7 +29,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CONFIGS = ["1", "2", "3a", "3b", "4", "5", "6"]
+CONFIGS = ["1", "2", "3a", "3b", "3r", "4", "5", "6"]
 
 
 def build(config, frames):
@@ -61,6 +61,14 @@ def build(config, frames):
         )
         cfg = RenderConfig(height=1080, width=1920, sh_degree=3)
         pos = (0.0, 1.0, 8.0)
+    elif config == "3r":
+        # BASELINE config 3's *dynamic resize* dimension (the measured cfg
+        # is the 1080p bucket; run_resize derives the 720p one).
+        scene = make_random_scene(
+            500_000, seed=2, sh_degree=3, scale_range=(0.004, 0.05), extent=4.0
+        )
+        cfg = RenderConfig(height=1080, width=1920, sh_degree=3)
+        pos = (0.0, 1.0, 8.0)
     elif config == "4":
         scene = make_random_scene(
             3_000_000, seed=0, extent=4.0, scale_range=(0.004, 0.03)
@@ -85,7 +93,94 @@ def build(config, frames):
     return scene, cfg, pos, tvals
 
 
+def run_resize(frames, out, tiers=None):
+    """BASELINE config 3's *dynamic resize* over an orbit (VERDICT r2 #5):
+    120 frames switching between the 720p and 1080p buckets every 30, with
+    the persistent compilation cache enabled. Reports the FIRST-visit
+    compile latency of each bucket, the WARM re-visit switch latency
+    (bucket already jitted this process), and steady-state ms/frame per
+    bucket. Reference behavior: Canvas::onResize recomputes strides and
+    renders the next frame at the new size instantly (canvas.cpp:198-224).
+    """
+    import dataclasses
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianrenderer_tpu.render import parse_tiers, render_frame
+    from gaussianrenderer_tpu.scene.camera import Camera
+    from gaussianrenderer_tpu.utils import JsonlWriter, enable_compilation_cache
+    from gaussianrenderer_tpu.utils.timing import measure_floor
+
+    enable_compilation_cache()
+    scene, cfg_hi, pos, _ = build("3r", frames)
+    if tiers:
+        cfg_hi = dataclasses.replace(cfg_hi, tiers=parse_tiers(tiers))
+    # The 1080p-calibrated ladder covers 720p too (areas only shrink).
+    cfg_lo = cfg_hi.with_resolution(720, 1280)
+    scene = scene.prepared()
+    cam = Camera()
+    cam.set_position(list(pos))
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(70.0)
+    cam.set_clipping_planes(0.2, 100.0)
+
+    floor = measure_floor()
+    switch_every = max(frames // 4, 1)
+    cold_s = {}  # first-visit compile per bucket
+    warm_switch_ms = []  # re-visit switch latency (first frame after switch)
+    steady = {"720p": [], "1080p": []}
+    seen = set()
+    prev_bucket = None
+    overflow_any = False
+
+    for f in range(frames):
+        cfg = cfg_lo if (f // switch_every) % 2 == 0 else cfg_hi
+        bucket = "720p" if cfg is cfg_lo else "1080p"
+        cam.set_aspect_ratio(cfg.width / cfg.height)
+        cam.orbit(360.0 / frames, 0.0)
+        cam.update_camera_matrices()
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x)), cam.params(cfg.k_sigma)
+        )
+        t0 = time.perf_counter()
+        fb, stats = render_frame(scene, params, cfg)
+        float(fb[0, 0, 0])  # sync
+        dt_ms = (time.perf_counter() - t0) * 1e3 - floor
+        overflow_any |= bool(stats.overflow)
+        if bucket != prev_bucket:
+            if bucket not in seen:
+                cold_s[bucket] = round(dt_ms / 1e3, 1)
+                log(f"[3r] frame {f}: {bucket} FIRST visit {dt_ms/1e3:.1f}s")
+                seen.add(bucket)
+            else:
+                warm_switch_ms.append(dt_ms)
+                log(f"[3r] frame {f}: {bucket} warm switch {dt_ms:.1f}ms")
+        else:
+            steady[bucket].append(dt_ms)
+        prev_bucket = bucket
+
+    row = dict(
+        config="c3r",
+        resolution="1280x720<->1920x1080",
+        gaussians=scene.num_gaussians,
+        sh_degree=cfg_hi.sh_degree,
+        overflow=overflow_any,
+        cold_compile_s=cold_s,
+        warm_switch_ms=round(statistics.median(warm_switch_ms), 1)
+        if warm_switch_ms
+        else None,
+        ms_per_frame_720p=round(statistics.median(steady["720p"]), 1),
+        ms_per_frame_1080p=round(statistics.median(steady["1080p"]), 1),
+    )
+    JsonlWriter(out).write(**row)
+    log(f"[3r] {row}")
+
+
 def run_one(config, frames, out, tiers=None, calibrate_only=False):
+    if config == "3r" and not calibrate_only:
+        return run_resize(frames, out, tiers)
     import dataclasses
     import functools
 

@@ -13,13 +13,16 @@ README.md:23).
 CPU-friendly sizes; runs in minutes. Output: tests/fixtures/trained.ply
 """
 
+import argparse
+import hashlib
 import os
 import sys
 import time
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
@@ -30,6 +33,23 @@ def log(*a):
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n-target", type=int, default=4000)
+    ap.add_argument("--n-fit", type=int, default=2500)
+    ap.add_argument("--steps", type=int, default=250)
+    ap.add_argument("--views", type=int, default=6)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--sh-degree", type=int, default=1)
+    ap.add_argument("--out", default=None, help="output PLY path")
+    ap.add_argument(
+        "--tpu", action="store_true",
+        help="train on the TPU backend (the >=100k fixture recipe: "
+        "--tpu --n-target 150000 --n-fit 100000 --steps 300 "
+        "--height 256 --width 320 --out data/trained_100k.ply)",
+    )
+    args = ap.parse_args()
+
     from gaussianrenderer_tpu.config import RenderConfig
     from gaussianrenderer_tpu.render import render_frame
     from gaussianrenderer_tpu.scene.camera import Camera
@@ -40,13 +60,13 @@ def main():
         render_for_training,
     )
 
-    h, w = 128, 160
-    n_target = 4000
-    n_fit = 2500
-    steps = 250
-    n_views = 6
+    h, w = args.height, args.width
+    n_target = args.n_target
+    n_fit = args.n_fit
+    steps = args.steps
+    n_views = args.views
 
-    cfg = RenderConfig(height=h, width=w, compositor="diff", sh_degree=1)
+    cfg = RenderConfig(height=h, width=w, compositor="diff", sh_degree=args.sh_degree)
     target_scene = make_clustered_scene(n_target, seed=3, sh_degree=1)
 
     cams = []
@@ -98,12 +118,15 @@ def main():
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
     log(f"train PSNR view0: {psnr:.2f} dB")
 
-    out = os.path.join(
+    out = args.out or os.path.join(
         os.path.dirname(__file__), "..", "tests", "fixtures", "trained.ply"
     )
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     save_ply(params.to_scene(), out)
+    sha = hashlib.sha256(open(out, "rb").read()).hexdigest()
     log(f"wrote {os.path.abspath(out)} ({os.path.getsize(out)/1e6:.1f} MB)")
+    log(f"sha256 {sha}")
+    print(sha)
 
 
 if __name__ == "__main__":
