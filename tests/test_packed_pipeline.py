@@ -344,3 +344,43 @@ def test_area_histogram_matches_render_stats():
     _, stats = render_frame(scene, cam.params(cfg.k_sigma), cfg)
     probe = area_histogram(scene, cam.params(cfg.k_sigma), cfg)
     np.testing.assert_array_equal(probe, np.asarray(stats.area_hist))
+
+
+def test_conic_encoding_error_bounds():
+    """v3 16-bit conic floats: e6m10 (A/C) must stay within 2^-11 relative
+    error over the conic's dynamic range, s1e6m9 (B) within 2^-10 with
+    sign preserved; kernel-side and emitter-side decodes must agree
+    bit-for-bit (they are separate implementations of the same format)."""
+    from gaussianrenderer_tpu.ops.instances import (
+        _dec_e6m10,
+        _dec_s1e6m9,
+        _enc_e6m10,
+        _enc_s1e6m9,
+    )
+    from gaussianrenderer_tpu.ops.pallas import tile_render2 as tr
+
+    rng = np.random.default_rng(0)
+    v = np.float32(10.0 ** rng.uniform(-9, 4, 50_000))
+    enc = _enc_e6m10(jnp.asarray(v))
+    dec = np.asarray(_dec_e6m10(enc))
+    assert float(np.abs(dec - v).max() / v.min() >= 0)  # finite
+    rel = np.abs(dec - v) / v
+    assert float(rel.max()) <= 2.0**-11 + 1e-7, rel.max()
+    np.testing.assert_array_equal(np.asarray(tr._dec_e6m10(enc)), dec)
+
+    b = np.float32(
+        np.sign(rng.normal(size=50_000)) * 10.0 ** rng.uniform(-9, 4, 50_000)
+    )
+    encb = _enc_s1e6m9(jnp.asarray(b))
+    decb = np.asarray(_dec_s1e6m9(encb))
+    relb = np.abs(decb - b) / np.abs(b)
+    assert float(relb.max()) <= 2.0**-10 + 1e-7, relb.max()
+    assert (np.sign(decb) == np.sign(b)).all()
+    np.testing.assert_array_equal(np.asarray(tr._dec_s1e6m9(encb)), decb)
+
+    # out-of-window clamps are graceful (no inf/nan), zero decodes tiny
+    edges = np.asarray(
+        _dec_e6m10(_enc_e6m10(jnp.asarray(np.float32([0.0, 1e-30, 2e5]))))
+    )
+    assert np.isfinite(edges).all()
+    assert edges[0] < 1e-13 and edges[2] > 1e5
