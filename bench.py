@@ -137,7 +137,11 @@ def main():
 
     from gaussianrenderer_tpu.render import calibrate_tiers
 
-    from gaussianrenderer_tpu.render import format_tiers, parse_tiers
+    from gaussianrenderer_tpu.render import (
+        format_tiers,
+        ladder_lanes,
+        parse_tiers,
+    )
 
     if args.tiers:
         tiers = parse_tiers(args.tiers)
@@ -186,9 +190,7 @@ def main():
         if sub.returncode == 0 and tier_str and ":" in tier_str:
             tiers = parse_tiers(tier_str)
             cfg = dataclasses.replace(cfg, tiers=tiers)
-            lanes = tiers[0][0] * num_gaussians + sum(
-                m * k for m, k in tiers[1:]
-            )
+            lanes = ladder_lanes(tiers, num_gaussians)
             log(f"calibrated tiers: {tiers} (sort lanes ~{lanes/1e6:.1f}M)")
         else:
             log(f"calibration subprocess failed; using defaults\n{sub.stderr[-500:]}")
@@ -311,13 +313,11 @@ def main():
     # Static sort-lane count implied by the tier ladder (the sort is the
     # scaling wall; lanes ≈ cost — VERDICT r1 asks for this per frame).
     # Exact-window emission: each wide tier costs exactly m·k lanes.
-    if cfg.tiers is not None:
-        ladder = [(m, min(k, num_gaussians)) for m, k in cfg.tiers]
-        sort_lanes = ladder[0][0] * num_gaussians + sum(
-            m * k for m, k in ladder[1:]
-        )
-    else:
-        sort_lanes = None
+    sort_lanes = (
+        ladder_lanes(cfg.tiers, num_gaussians)
+        if cfg.tiers is not None
+        else None
+    )
 
     details = {
         "metric": "ms_per_frame",

@@ -13,17 +13,26 @@ microbenchmarks (tools/micro_bench*.py, tools/profile_sub.py):
   why the features are quantized down to FIVE rows (v2 used 7):
 
     row 0: tile-local center, 13.3 fixed point (16 bits per axis)
-    row 1: conic A | conic C   (e6m10 custom 16-bit floats)
-    row 2: conic B | opacity   (s1e6m9 | u16)
+    row 1: chol u | chol w     (e6m10 custom 16-bit floats)
+    row 2: chol v | opacity    (s1e6m9 | u16)
     row 3: r | g | b           (10 bits each, 2 spare)
     row 4: tile-local AABB     (u8 × 4)
 
-  The conic encodings keep ≤2^-11 relative error (≤2^-10 for B): the
-  worst-case alpha deviation is ~op·md²·ε·e^(−md²/2) ≤ 7e-4, far below
-  the 1e-3 blend threshold and the ≥40 dB PSNR gate (tests pin >60 dB).
-  The quantized-conic/10-bit-color deviation from the reference's f32
-  path is a recorded exception to the bit-compat rule (CLAUDE.md),
-  alongside the quantized centers and 16-bit opacity.
+  The conic rides as its CHOLESKY factors, conic = LᵀL with
+  L = [[u, v], [0, w]] (A = u², B = 2uv, C = v² + w²), NOT as rounded
+  (A, B, C): independent rounding of A/B/C can push the decoded det
+  A·C − B²/4 negative for anisotropic "needle" splats (condition
+  κ > ~2^10), making md² indefinite — alpha then EXPLODES to opaque
+  streaks along the degenerate axis. Every (u, v, w) bit pattern decodes
+  to a PSD conic by construction, and the ε·κ first-order error of
+  direct rounding becomes ~4ε²κ: measured over a needle sweep
+  (tests/test_packed_pipeline.py), worst-case alpha error 2.7e-3 vs
+  0.128 for rounded A/B/C; for the ≤64:1 ellipses real scenes produce
+  it stays ≤~2^-9, below the 1e-3 blend threshold and the ≥40 dB PSNR
+  gate (tests pin >60 dB). The quantized-conic/10-bit-color deviation
+  from the reference's f32 path is a recorded exception to the
+  bit-compat rule (CLAUDE.md), alongside the quantized centers and
+  16-bit opacity.
 
 So instead of the reference's count → prefix-sum → scatter expansion
 (``render.cu:767-857``), every Gaussian is given a FIXED number of
@@ -92,7 +101,9 @@ CQ_BIAS = 16384
 REL_ADJ = int(CENTER_OFFSET * CENTER_SCALE) - CQ_BIAS  # 16384
 
 #: Conic 16-bit float window: f32 exponents [80, 143] → values in
-#: [2^-47, ~2^17). A/C are e6m10 (rel err ≤ 2^-11), B is s1e6m9 (2^-10).
+#: [2^-47, ~2^17). u/w are e6m10 (rel err ≤ 2^-11), v is s1e6m9 (2^-10);
+#: the Cholesky factors have HALF the conic's exponent range, so the
+#: window holds them with wide margins (u = √A ∈ [2^-24, 2^9]).
 CONIC_EXP_BIAS = 80
 
 #: Invalid-lane key. A NumPy scalar on purpose: a module-level ``jnp``
@@ -160,6 +171,25 @@ def _enc_s1e6m9(x: jnp.ndarray) -> jnp.ndarray:
 def _dec_s1e6m9(e: jnp.ndarray) -> jnp.ndarray:
     bits = (((e & 0x7FFF) + (CONIC_EXP_BIAS << 9)) << 14) | ((e >> 15) << 31)
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _conic_chol(a, b, c):
+    """Conic (A, B, C) → upper Cholesky factors (u, v, w):
+    [[A, B/2], [B/2, C]] = LᵀL, L = [[u, v], [0, w]], i.e. u = √A,
+    v = B/(2u), w = √(C − v²). Safe on masked/degenerate lanes: u = 0
+    forces v = 0; C − v² clamps at 0 (f32 rounding can push B²/4
+    marginally above A·C on near-degenerate splats)."""
+    u = jnp.sqrt(jnp.maximum(a, 0.0))
+    v = jnp.where(u > 0.0, b / jnp.maximum(2.0 * u, 1e-30), 0.0)
+    w = jnp.sqrt(jnp.maximum(c - v * v, 0.0))
+    return u, v, w
+
+
+def _chol_conic(u, v, w):
+    """Cholesky factors → conic (A, B, C) = (u², 2uv, v² + w²). PSD for
+    every input, so the decoded md² is never indefinite. Must match the
+    kernel's decode (ops/pallas/tile_render2.py)."""
+    return u * u, 2.0 * u * v, v * v + w * w
 
 
 def _center_q(c_px: jnp.ndarray) -> jnp.ndarray:
@@ -430,11 +460,14 @@ def build_packed_instances(
     # the 16/10-bit fields (error budget: module docstring).
     op16 = _color_bits(proj.opacity)
     op_q = op16.astype(jnp.float32) * (1.0 / COLOR_SCALE)
-    enc_a = _enc_e6m10(proj.conic[:, 0])
-    enc_b = _enc_s1e6m9(proj.conic[:, 1])
-    enc_c = _enc_e6m10(proj.conic[:, 2])
-    ac = (enc_a << 16) | enc_c
-    bop = (enc_b << 16) | op16
+    ch_u, ch_v, ch_w = _conic_chol(
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    )
+    enc_u = _enc_e6m10(ch_u)
+    enc_v = _enc_s1e6m9(ch_v)
+    enc_w = _enc_e6m10(ch_w)
+    ac = (enc_u << 16) | enc_w
+    bop = (enc_v << 16) | op16
     rgb = _rgb10_bits(proj.color)
     cq_x = _center_q(proj.center_px[:, 0])
     cq_y = _center_q(proj.center_px[:, 1])
@@ -479,7 +512,10 @@ def build_packed_instances(
     # opacity — the exact inputs the compositor kernel rebuilds, so prune
     # and kernel agree bit-for-bit (see _prune_r2/_emit_tier).
     r2max_all = _prune_r2(
-        _dec_e6m10(enc_a), _dec_s1e6m9(enc_b), _dec_e6m10(enc_c), op_q
+        *_chol_conic(
+            _dec_e6m10(enc_u), _dec_s1e6m9(enc_v), _dec_e6m10(enc_w)
+        ),
+        op_q,
     )
 
     def emit(tx, ty, w, h, ok, dq, rows, m, r2):
@@ -619,9 +655,11 @@ def build_packed_instances(
         s_w = s_tmax_x - s_tmin_x + 1
         s_h = s_tmax_y - s_tmin_y + 1
         s_r2max = _prune_r2(
-            _dec_e6m10(s_ac >> 16),
-            _dec_s1e6m9(s_bop >> 16),
-            _dec_e6m10(s_ac & 0xFFFF),
+            *_chol_conic(
+                _dec_e6m10(s_ac >> 16),
+                _dec_s1e6m9(s_bop >> 16),
+                _dec_e6m10(s_ac & 0xFFFF),
+            ),
             # 16-bit opacity — the same value the compositor kernel uses.
             (s_bop & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
         )

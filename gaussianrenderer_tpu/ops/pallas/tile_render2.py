@@ -16,11 +16,17 @@ Third-generation re-design of the reference hot loop ``renderGaussians``
     row 0: center, tile-local 13.3 fixed point with +4096 offset (covers
            whole-screen-relative centers at ≤4K output):
            u16((cx_rel+4096)·8) << 16 | u16((cy_rel+4096)·8)
-    row 1: conic A (e6m10) << 16 | conic C (e6m10) — 16-bit floats with a
+    row 1: chol u (e6m10) << 16 | chol w (e6m10) — 16-bit floats with a
            6-bit exponent window (f32 exponents [80, 143]), rel err 2^-11
-    row 2: conic B (s1e6m9) << 16 | u16(op·65535) — the kernel rebuilds
+    row 2: chol v (s1e6m9) << 16 | u16(op·65535) — the kernel rebuilds
            the quadratic constant q0 = −2·ln(op) from the 16-bit opacity
            (quantization 1.5e-5 ≪ the 1e-3 alpha threshold)
+
+  (u, v, w) are the conic's upper Cholesky factors (A = u², B = 2uv,
+  C = v² + w² — see ops/instances.py:_conic_chol): every bit pattern
+  decodes to a PSD conic, so the MXU quadratic's md² is never
+  indefinite even for needle splats where independently-rounded
+  (A, B, C) would put det < 0 and explode alpha.
     row 3: r10 | g10 << 10 | b10 << 20   (colors are clamped [0,1])
     row 4: aabb, tile-local u8: xmin | ymin<<8 | xmax<<16 | ymax<<24
 
@@ -212,9 +218,14 @@ def _tile_kernel(
 
         cx = _center_decode(raw[0:1, :] >> 16)  # (1, K) tile-local center
         cy = _center_decode(raw[0:1, :] & 0xFFFF)
-        ca = _dec_e6m10(raw[1:2, :] >> 16)
-        cc = _dec_e6m10(raw[1:2, :] & 0xFFFF)
-        cb = _dec_s1e6m9(raw[2:3, :] >> 16)
+        # Conic from its quantized Cholesky factors — PSD by construction
+        # (module docstring): 4 extra VPU mults on (1, K) rows.
+        chu = _dec_e6m10(raw[1:2, :] >> 16)
+        chw = _dec_e6m10(raw[1:2, :] & 0xFFFF)
+        chv = _dec_s1e6m9(raw[2:3, :] >> 16)
+        ca = chu * chu
+        cb = 2.0 * chu * chv
+        cc = chv * chv + chw * chw
         rgb_bits = raw[3:4, :]
         red = _rgb10_decode(rgb_bits & 0x3FF)
         grn = _rgb10_decode((rgb_bits >> 10) & 0x3FF)

@@ -190,6 +190,9 @@ def _render_frame_time(scene, cam, cfg, time_value):
     return _render_impl(scene, cam, cfg, time_value)
 
 
+_warned_default_tiers = False
+
+
 def render_frame(
     scene: GaussianScene,
     cam: CameraParams,
@@ -205,6 +208,23 @@ def render_frame(
     jitted entry points (a single Optional-arg jit trips the C++ fast-path
     argument matching on this jax version when arities are mixed).
     """
+    if cfg.tiers is None and scene.num_gaussians >= 200_000:
+        # The uncalibrated default ladder gives EVERY splat 4 base lanes —
+        # up to ~4× sort-lane waste on small-splat scenes (the sort is the
+        # frame's scaling cost). One warning per process, not per frame.
+        global _warned_default_tiers
+        if not _warned_default_tiers:
+            _warned_default_tiers = True
+            import warnings
+
+            warnings.warn(
+                f"render_frame: {scene.num_gaussians} gaussians with the "
+                "uncalibrated default instance ladder — use "
+                "make_renderer(scene, cfg, auto_tier=True) (or set "
+                "cfg.tiers from calibrate_tiers) to cut sort lanes up to "
+                "~4x.",
+                stacklevel=2,
+            )
     fn = _render_frame_static if time_value is None else _render_frame_time
     args = (scene, cam, cfg) if time_value is None else (scene, cam, cfg, time_value)
     try:
@@ -241,6 +261,17 @@ def format_tiers(tiers) -> str:
 
 def parse_tiers(s: str):
     return tuple(tuple(int(v) for v in part.split(":")) for part in s.split(","))
+
+
+def ladder_lanes(tiers, num_gaussians: int) -> int:
+    """Total sort-lane count a ladder emits (the frame sort's scaling
+    cost). A k = 0 first tier is the all-N broadcast base (BASE mode,
+    ops/instances.py); every other tier costs exactly m·k lanes."""
+    ladder = [(m, min(int(k), num_gaussians)) for m, k in tiers]
+    lanes = sum(m * k for m, k in ladder)
+    if ladder and ladder[0][1] == 0:
+        lanes += ladder[0][0] * num_gaussians
+    return lanes
 
 
 def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
@@ -547,6 +578,9 @@ def make_renderer(
                 out = _recalibrate(out, cam, time_value)
         return out
 
+    # Expose the live (possibly auto_tier-recalibrated) config — sessions
+    # and tests read the calibrated ladder from here.
+    _render.current_cfg = lambda: state["cfg"]
     return _render
 
 

@@ -93,8 +93,22 @@ def load_ply(
     ``max_sh_degree`` 2 matches the reference exactly (24 rest coefficients,
     ``gaussians.cpp:95``); 3 additionally keeps ``f_rest_24..44``.
     """
+    # Spacetime (4D) files carry extra per-splat time properties; the
+    # native fast path doesn't know them, so sniff the header first and
+    # route 4D files through the NumPy path (one vectorized read either
+    # way — 4D captures are also typically much smaller than statics).
+    has_time = False
+    try:
+        with open(path, "rb") as f:
+            _, _, props, _ = _parse_header(f)
+        pnames = {name for _, name in props}
+        has_time = bool(pnames & {"t_center", "trbf_center"})
+    except Exception:
+        pass
+
     arrays = None
-    if use_native:
+    time_params = None
+    if use_native and not has_time:
         try:
             from gaussianrenderer_tpu.native import ply_native
 
@@ -102,7 +116,7 @@ def load_ply(
         except Exception:
             arrays = None
     if arrays is None:
-        arrays = _load_ply_numpy(path, max_sh_degree)
+        arrays, time_params = _load_ply_numpy(path, max_sh_degree)
     positions, sh, opacity, scales, quats = arrays
     return GaussianScene(
         positions=jnp.asarray(positions),
@@ -110,6 +124,7 @@ def load_ply(
         opacity=jnp.asarray(opacity),
         scales=jnp.asarray(scales),
         quats=jnp.asarray(quats),
+        time_params=None if time_params is None else jnp.asarray(time_params),
     )
 
 
@@ -155,7 +170,28 @@ def _load_ply_numpy(path: str, max_sh_degree: int):
         np.stack([col("scale_0", 0.0), col("scale_1", 0.0), col("scale_2", 0.0)], axis=1)
     )
     quats = np.stack([col(f"rot_{i}", 1.0 if i == 0 else 0.0) for i in range(4)], axis=1)
-    return positions, sh, opacity, scales, quats
+
+    # Optional spacetime (4D) fields. Two namings are accepted:
+    # ours (t_center, t_sigma, vx, vy, vz — written by save_ply) and the
+    # SpacetimeGaussians convention (trbf_center, trbf_scale [log-stored],
+    # motion_0..2 = linear velocity term of its polynomial trajectory).
+    time_params = None
+    if "t_center" in name_to_col:
+        tc = col("t_center")
+        ts = col("t_sigma", 0.1)
+        fields = [tc, ts]
+        if "vx" in name_to_col:
+            fields += [col("vx", 0.0), col("vy", 0.0), col("vz", 0.0)]
+        time_params = np.stack(fields, axis=1)
+    elif "trbf_center" in name_to_col:
+        tc = col("trbf_center")
+        ts = np.exp(col("trbf_scale", np.log(0.1)))
+        fields = [tc, ts]
+        if "motion_0" in name_to_col:
+            fields += [col(f"motion_{i}", 0.0) for i in range(3)]
+        time_params = np.stack(fields, axis=1)
+
+    return (positions, sh, opacity, scales, quats), time_params
 
 
 def save_ply(scene: GaussianScene, path: str) -> None:
@@ -163,12 +199,21 @@ def save_ply(scene: GaussianScene, path: str) -> None:
 
     Inverts the load-time activations (logit of opacity, log of scale) so a
     round trip reproduces the on-disk convention of standard 3DGS files.
+    Spacetime scenes additionally write ``t_center, t_sigma`` (+``vx, vy,
+    vz`` for (N, 5) motion params) — raw, no activation; ``load_ply``
+    reads these back (and also accepts the SpacetimeGaussians
+    ``trbf_center/trbf_scale/motion_*`` naming for external files).
     """
     positions = np.asarray(scene.positions, dtype=np.float32)
     sh = np.asarray(scene.sh, dtype=np.float32)
     opacity = np.asarray(scene.opacity, dtype=np.float32)
     scales = np.asarray(scene.scales, dtype=np.float32)
     quats = np.asarray(scene.quats, dtype=np.float32)
+    tp = (
+        None
+        if scene.time_params is None
+        else np.asarray(scene.time_params, dtype=np.float32)
+    )
     n = positions.shape[0]
     n_rest = sh.shape[1] - 3
 
@@ -185,6 +230,10 @@ def save_ply(scene: GaussianScene, path: str) -> None:
         + [f"scale_{i}" for i in range(3)]
         + [f"rot_{i}" for i in range(4)]
     )
+    if tp is not None:
+        names += ["t_center", "t_sigma"] + (
+            ["vx", "vy", "vz"] if tp.shape[1] >= 5 else []
+        )
     body = np.zeros((n, len(names)), dtype="<f4")
     body[:, 0:3] = positions
     body[:, 6:9] = sh[:, :3]
@@ -192,6 +241,8 @@ def save_ply(scene: GaussianScene, path: str) -> None:
     body[:, 9 + n_rest] = raw_opacity
     body[:, 10 + n_rest : 13 + n_rest] = raw_scales
     body[:, 13 + n_rest : 17 + n_rest] = quats
+    if tp is not None:
+        body[:, 17 + n_rest : 17 + n_rest + tp.shape[1]] = tp
 
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
     header += [f"property float {name}" for name in names]

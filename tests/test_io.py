@@ -114,6 +114,52 @@ def test_save_load_roundtrip(tmp_path):
     )
 
 
+def test_spacetime_roundtrip_and_alias(tmp_path):
+    """4D scenes persist: save_ply writes t_center/t_sigma/vx/vy/vz and
+    load_ply restores them exactly; the SpacetimeGaussians naming
+    (trbf_center, log-stored trbf_scale, motion_0..2) is accepted too."""
+    scene = make_random_scene(64, seed=11, spacetime=True)
+    path = str(tmp_path / "st.ply")
+    save_ply(scene, path)
+    back = load_ply(path, use_native=False)
+    assert back.time_params is not None
+    np.testing.assert_allclose(
+        np.asarray(back.time_params),
+        np.asarray(scene.time_params),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+    # Native loader path must not silently drop the time fields (4D files
+    # are routed to the NumPy loader by the header sniff).
+    back_n = load_ply(path, use_native=True)
+    assert back_n.time_params is not None
+
+    # SpacetimeGaussians-named file
+    tp = np.asarray(scene.time_params)
+    names = ["x", "y", "z", "f_dc_0", "opacity",
+             "scale_0", "scale_1", "scale_2",
+             "rot_0", "rot_1", "rot_2", "rot_3",
+             "trbf_center", "trbf_scale"] + [f"motion_{i}" for i in range(3)]
+    n = tp.shape[0]
+    body = np.zeros((n, len(names)), dtype="<f4")
+    body[:, 0:3] = np.asarray(scene.positions)
+    body[:, 12] = tp[:, 0]
+    body[:, 13] = np.log(tp[:, 1])
+    body[:, 14:17] = tp[:, 2:5]
+    p2 = str(tmp_path / "stg.ply")
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property float {x}" for x in names] + ["end_header"]
+    with open(p2, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        body.tofile(f)
+    ext = load_ply(p2, use_native=False)
+    assert ext.time_params is not None
+    np.testing.assert_allclose(
+        np.asarray(ext.time_params), tp, rtol=1e-5, atol=1e-6
+    )
+
+
 def test_morton_ordering_groups_neighbors():
     scene = make_random_scene(512, seed=5)
     ordered = scene.morton_sorted()

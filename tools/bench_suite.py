@@ -7,6 +7,8 @@
   4. Morton-ordered 3M-Gaussian sustained throughput (1080p)
   5. 4D spacetime-Gaussian time-sliced render
   6. realistic trained-3DGS-statistics scene (clustered/heavy-tailed), 1080p
+  7. data/trained_100k.ply — a 100k-splat scene actually fit by the repo's
+     differentiable trainer on the TPU (not a generator draw)
 
 Synthetic scenes stand in for the MipNeRF captures (no datasets ship with
 this environment); the geometry/scale distributions are chosen to match
@@ -29,7 +31,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CONFIGS = ["1", "2", "3a", "3b", "3r", "4", "5", "6"]
+CONFIGS = ["1", "2", "3a", "3b", "3r", "4", "5", "6", "7"]
 
 
 def build(config, frames):
@@ -88,6 +90,27 @@ def build(config, frames):
         scene = make_clustered_scene(2_000_000, seed=4, extent=4.0).morton_sorted()
         cfg = RenderConfig(height=1080, width=1920)
         pos = (0.0, 2.0, 9.0)
+    elif config == "7":
+        # ACTUALLY-TRAINED scene: data/trained_100k.ply was produced by
+        # gradient descent through this repo's differentiable renderer
+        # (tools/make_trained_fixture.py --tpu, sha256 727c3016…) — the
+        # parameter statistics (anisotropy/opacity/scale) came from
+        # optimization, not a generator. Reference validated on trained
+        # captures (reference README.md:23).
+        import os
+
+        from gaussianrenderer_tpu.scene.io import load_ply
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "trained_100k.ply",
+        )
+        scene = load_ply(path, max_sh_degree=1).morton_sorted()
+        cfg = RenderConfig(height=800, width=800, sh_degree=1)
+        # The training views orbit at radius 5.5, height 1.5
+        # (make_trained_fixture.py) — bench from the same shell.
+        pos = (3.9, 1.5, 3.9)
     else:
         raise SystemExit(f"unknown config {config}")
     return scene, cfg, pos, tvals
@@ -115,10 +138,19 @@ def run_resize(frames, out, tiers=None):
 
     enable_compilation_cache()
     scene, cfg_hi, pos, _ = build("3r", frames)
-    if tiers:
-        cfg_hi = dataclasses.replace(cfg_hi, tiers=parse_tiers(tiers))
-    # The 1080p-calibrated ladder covers 720p too (areas only shrink).
     cfg_lo = cfg_hi.with_resolution(720, 1280)
+    if tiers:
+        # "hi;lo" = per-bucket ladders (each bucket is its own executable,
+        # so distinct ladders cost no extra compiles). A single ladder
+        # CANNOT serve both buckets: at 720p every tile area shrinks, so
+        # splats migrate from the wide classes into the narrow ones and
+        # overpopulate their calibrated window capacities k → truncation
+        # (the r2 suite's c3r overflow=true was exactly this).
+        parts = tiers.split(";")
+        cfg_hi = dataclasses.replace(cfg_hi, tiers=parse_tiers(parts[0]))
+        cfg_lo = dataclasses.replace(
+            cfg_lo, tiers=parse_tiers(parts[-1])
+        )
     scene = scene.prepared()
     cam = Camera()
     cam.set_position(list(pos))
@@ -231,13 +263,29 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
 
         from gaussianrenderer_tpu.render import area_histogram
 
-        hist = None
-        for _ in range(frames):
-            cam.orbit(360.0 / frames, 0.0)
-            h = area_histogram(scene_raw, cam.params(cfg.k_sigma), cfg)
-            hist = h if hist is None else np.maximum(hist, h)
-        t = calibrate_tiers(hist, num_tiles=cfg.num_tiles)
-        print(format_tiers(t))
+        # 3r needs a ladder PER resolution bucket (areas redistribute
+        # across classes between 1080p and 720p — see run_resize).
+        cfgs = [cfg]
+        if config == "3r":
+            cfgs.append(cfg.with_resolution(720, 1280))
+        ladders = []
+        for c in cfgs:
+            hist = None
+            probe_cam = Camera()
+            probe_cam.set_position(list(pos))
+            probe_cam.set_look_at([0.0, 0.0, 0.0])
+            probe_cam.set_fov_y(70.0)
+            probe_cam.set_aspect_ratio(c.width / c.height)
+            probe_cam.set_clipping_planes(0.2, 100.0)
+            probe_cam.update_camera_matrices()
+            for _ in range(frames):
+                probe_cam.orbit(360.0 / frames, 0.0)
+                h = area_histogram(scene_raw, probe_cam.params(c.k_sigma), c)
+                hist = h if hist is None else np.maximum(hist, h)
+            ladders.append(
+                format_tiers(calibrate_tiers(hist, num_tiles=c.num_tiles))
+            )
+        print(";".join(ladders))
         return
 
     floor = measure_floor()
