@@ -50,6 +50,17 @@ shape, see build_packed_instances):
              rides the area sort itself (no gather), and total lanes ≈
              the true instance count — which keeps the frame sort under
              its measured ~8M-lane cost knee on 3M-splat scenes.
+  COMPACTED mode (ladder[0] = (0, C)): fully-windowed, PLUS each tier's
+             member-major window is placed at a dynamic offset equal to
+             the cumulative VALID member-lane count (dynamic_update_slice
+             into a (C,) buffer), so the frame sort covers exactly
+             C ≈ Σ m_c·count_c — the per-pose emission — instead of the
+             static per-class-maximum envelope Σ m_c·k_c. Class windows
+             k_c then only bound MEMBERSHIP (emission compute, ~1.5
+             ns/lane), not sort lanes (~7 ns/lane), so the calibrator
+             gives them 2× headroom and class-population drift across
+             poses stops causing overflow; only the TOTAL emission
+             breaching C truncates (flagged, never silent).
 
 Lanes beyond a Gaussian's actual rect (and all lanes of culled Gaussians)
 get the all-ones sentinel key and sort to the end. Wide-tier membership
@@ -280,6 +291,7 @@ def _emit_tier(
     tile_w: int,
     tile_h: int,
     depth_bits: int,
+    member_major: bool = False,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Broadcast one tier: each Gaussian × m tile lanes.
 
@@ -299,12 +311,20 @@ def _emit_tier(
     relayout on the flatten; the slab form measured ~2.5× cheaper on the
     base tier (tools/profile_emit.py). m ≥ 8 keeps the 2-D form (no
     padding waste, and m slabs would bloat the graph).
+
+    ``member_major=True`` flattens in (member, lane) order instead —
+    member g's m lanes contiguous, matching the reference's per-Gaussian
+    emission order (``render.cu:841-855``). COMPACTED mode requires it:
+    with head-aligned class windows the first count_c members' lanes form
+    ONE contiguous run that a single dynamic_update_slice can place.
+    Compute stays lane-major (G on the lane axis); only the final flatten
+    pays one relayout per row.
     """
     if m < 8:
         return _emit_tier_slabs(
             tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, r2max,
             m=m, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-            depth_bits=depth_bits,
+            depth_bits=depth_bits, member_major=member_major,
         )
     cq, ac, bop, rgb, ax, ay = rows6
     off = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
@@ -362,6 +382,21 @@ def _emit_tier(
         | (ymax.astype(jnp.uint32) << 24)
     )
 
+    if member_major:
+        g = key.shape[1]
+
+        def bc(row):  # (G,) → (G, m) broadcast, member-major flatten
+            return jnp.broadcast_to(row[:, None], (g, m)).reshape(-1)
+
+        rows5 = (
+            row0.T.reshape(-1),
+            bc(ac),
+            bc(bop),
+            bc(rgb),
+            row4.T.reshape(-1),
+        )
+        return key.T.reshape(-1), rows5
+
     def bc(row):  # broadcast a (G,) u32 over the M sublane copies
         return jnp.broadcast_to(row[None, :], key.shape).reshape(-1)
 
@@ -377,7 +412,7 @@ def _emit_tier(
 
 def _emit_tier_slabs(
     tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, r2max,
-    *, m, tiles_x, tile_w, tile_h, depth_bits,
+    *, m, tiles_x, tile_w, tile_h, depth_bits, member_major=False,
 ):
     """Small-m tier emission as m full-lane-width 1-D slabs (see
     :func:`_emit_tier` — identical outputs and lane order)."""
@@ -422,6 +457,18 @@ def _emit_tier_slabs(
         ymin = jnp.clip(ymin_g - y0i, 0, 255).astype(jnp.uint32)
         ymax = jnp.clip(ymax_g - y0i, 0, 255).astype(jnp.uint32)
         row4s.append(xmin | (ymin << 8) | (xmax << 16) | (ymax << 24))
+
+    if member_major:
+        g = keys[0].shape[0]
+
+        def mm(slabs):  # m×(G,) slabs → (G, m) stack, member-major flatten
+            return jnp.stack(slabs, axis=1).reshape(-1)
+
+        def bc(row):
+            return jnp.broadcast_to(row[:, None], (g, m)).reshape(-1)
+
+        rows5 = (mm(row0s), bc(ac), bc(bop), bc(rgb), mm(row4s))
+        return mm(keys), rows5
 
     rows5 = (
         jnp.concatenate(row0s),
@@ -499,10 +546,25 @@ def build_packed_instances(
     n = counts.shape[0]
     if tiers is None:
         tiers = default_tiers(n, tier_boost)
+    # A (0, C) head entry is the COMPACTED-mode lane capacity (module
+    # docstring) — NOT a class window, so it is split off before the
+    # min(k, n) clamp (C routinely exceeds N: lanes count instances).
+    capacity = None
+    if tiers and int(tiers[0][0]) == 0:
+        capacity = int(tiers[0][1])
+        tiers = tuple(tiers)[1:]
     ladder = [(int(m), min(int(k), n)) for m, k in tiers]
+    assert ladder, "tier ladder needs at least one class tier"
     assert all(
         ladder[i][0] < ladder[i + 1][0] for i in range(len(ladder) - 1)
     ), "tier areas must be strictly increasing"
+    assert capacity is None or ladder[0][1] > 0, (
+        "compacted mode (capacity head entry) requires a fully-windowed "
+        "ladder (every tier k > 0)"
+    )
+    assert capacity is None or "wide" not in _skip, (
+        "the 'wide' profiling knob cannot combine with compacted mode"
+    )
     area = counts  # 0 for invalid
 
     tmin_x = tmin[:, 0].astype(jnp.int32)
@@ -518,7 +580,7 @@ def build_packed_instances(
         op_q,
     )
 
-    def emit(tx, ty, w, h, ok, dq, rows, m, r2):
+    def emit(tx, ty, w, h, ok, dq, rows, m, r2, mm=False):
         return _emit_tier(
             tx, ty, w, h, ok, dq, rows, r2,
             m=m,
@@ -526,6 +588,7 @@ def build_packed_instances(
             tile_w=tile_w,
             tile_h=tile_h,
             depth_bits=depth_bits,
+            member_major=mm,
         )
 
     m0 = ladder[0][0]
@@ -609,15 +672,41 @@ def build_packed_instances(
     overflow = jnp.any(valid & (area > ladder[-1][0]))
     if wide:
         if windowed:
-            # The 6 payload rows + depth RIDE the area sort directly (8
-            # stable operands @N) — no gather at all, and every window
-            # below slices the full-length sorted arrays (k_sel = n).
+            # The 6 payload rows RIDE the area sort directly (7 stable
+            # operands @N) — no gather at all, and every window below
+            # slices the full-length sorted arrays. The quantized depth is
+            # FOLDED into the area key's low bits (area ≤ num_tiles ≤
+            # 2^tile_bits − 1 occupies the top tile_bits): one payload row
+            # saved (~2.5 ms @3M), and the FINAL frame order is unchanged —
+            # within an area class the fold reorders members by depth, but
+            # the frame sort re-sorts on (tile, depth) anyway, and members
+            # tied there (equal depth_q) keep their relative order under
+            # both schemes (stable sorts, equal fold keys).
+            amax = jnp.uint32((1 << tile_bits) - 1)
+            akey = (
+                (amax - area.astype(jnp.uint32)) << depth_bits
+            ) | depth_q
             sorted_sel = jax.lax.sort(
-                (-area, depth_q, *rows6), num_keys=1, is_stable=True
+                (akey, *rows6), num_keys=1, is_stable=True
             )
             k_sel = n
-            s_depth = sorted_sel[1]
-            s_rows = tuple(sorted_sel[2:])
+            s_depth = sorted_sel[0] & jnp.uint32((1 << depth_bits) - 1)
+            s_rows = tuple(sorted_sel[1:])
+            if capacity is not None:
+                # COMPACTED mode: pad the sorted arrays by the widest
+                # window so every class window is HEAD-ALIGNED
+                # (start + k_c ≤ n + pad ⇒ no start clamp ⇒ the class's
+                # first count_c members sit at window positions
+                # [0, count_c) — the invariant the dynamic_update_slice
+                # placement below relies on). Pad lanes are masked by the
+                # gpos < start + count test (start + count ≤ n always).
+                pad = max(k for _, k in wide)
+                k_sel = n + pad
+                zpad = jnp.zeros((pad,), jnp.uint32)
+                s_depth = jnp.concatenate([s_depth, zpad])
+                s_rows = tuple(
+                    jnp.concatenate([r, zpad]) for r in s_rows
+                )
             s_ax, s_ay = s_rows[4], s_rows[5]
             s_ac, s_bop = s_rows[1], s_rows[2]
         else:
@@ -689,6 +778,20 @@ def build_packed_instances(
             cls_start[c] = acc
             acc = acc + cls_count[c]
 
+        if capacity is not None:
+            # COMPACTED placement buffers: each tier's member-major window
+            # lands at the running VALID-lane offset, so consecutive tiers
+            # overwrite only their predecessor's masked (SENTINEL) window
+            # tail. The allocation keeps the widest single window in
+            # bounds even with the offset clamped at capacity; lanes
+            # beyond `capacity` are sliced off before the frame sort
+            # (overflow-flagged below when that drops valid lanes).
+            max_win = max(m_c * k_c for m_c, k_c in wide)
+            c_alloc = capacity + max_win
+            key_buf = jnp.full((c_alloc,), SENTINEL, jnp.uint32)
+            row_bufs = [jnp.zeros((c_alloc,), jnp.uint32) for _ in range(5)]
+            off = jnp.int32(0)
+
         for c, ((m_hi, k), m_lo) in enumerate(zip(wide, lo_list)):
             k_c = min(k, k_sel)
             start = cls_start[c]
@@ -721,9 +824,24 @@ def build_packed_instances(
                 dsl(s_tmin_x), dsl(s_tmin_y), dsl(s_w), dsl(s_h),
                 mask, dsl(s_depth),
                 tuple(dsl(r) for r in s_rows), m_hi, dsl(s_r2max),
+                mm=capacity is not None,
             )
-            keys.append(kk)
-            rows_out.append(rr)
+            if capacity is not None:
+                off_cl = jnp.minimum(off, jnp.int32(capacity))
+                key_buf = jax.lax.dynamic_update_slice_in_dim(
+                    key_buf, kk, off_cl, 0
+                )
+                row_bufs = [
+                    jax.lax.dynamic_update_slice_in_dim(b, r, off_cl, 0)
+                    for b, r in zip(row_bufs, rr)
+                ]
+                # Advance past the emitted members only (head-aligned
+                # windows: the first min(count, k_c) members are the
+                # class; everything after is SENTINEL-masked tail).
+                off = off + m_hi * jnp.clip(cls_count[c], 0, k_c)
+            else:
+                keys.append(kk)
+                rows_out.append(rr)
             # Truncated iff the class extends past the emitted window.
             overflow |= (start + cls_count[c]) > (start_cl + k_c)
 
@@ -750,8 +868,14 @@ def build_packed_instances(
         )
     )
 
-    key = jnp.concatenate(keys)
-    rows = [jnp.concatenate(rs) for rs in zip(*rows_out)]
+    if capacity is not None and wide:
+        # Compacted: only TOTAL emission breaching the capacity truncates.
+        overflow |= off > capacity
+        key = key_buf[:capacity]
+        rows = [b[:capacity] for b in row_bufs]
+    else:
+        key = jnp.concatenate(keys)
+        rows = [jnp.concatenate(rs) for rs in zip(*rows_out)]
     # Instances actually emitted (post tier masking AND ellipse prune) —
     # `total` above is the pre-prune AABB count, kept for the overflow math.
     emitted = jnp.sum((key != SENTINEL).astype(jnp.int32))

@@ -179,6 +179,20 @@ def _strip_render(
             tile_min=tile_min_strip,
             tile_max=tile_max_strip,
         )
+        # COMPACTED ladders ((0, C) head, ops/instances.py): scale the
+        # lane capacity to this strip's share so S strips actually divide
+        # the frame sort. The measured worst-pose strip slack for
+        # equal-row strips is 1.69× (c4) / 2.61× (c6) (docs/sort_plan.md
+        # round-3 section) — 3× margin covers it; truncation beyond that
+        # still flags overflow (never silent). Class windows stay global
+        # (they bound membership only, which per strip is conservative).
+        strip_tiers = cfg.tiers
+        if strip_tiers and int(strip_tiers[0][0]) == 0 and num_devices > 1:
+            cap_global = int(strip_tiers[0][1])
+            cap_strip = min(
+                cap_global, -(-3 * cap_global // num_devices)
+            )
+            strip_tiers = ((0, cap_strip),) + tuple(strip_tiers[1:])
         inst = build_packed_instances(
             proj_full,
             tiles_x=cfg.tiles_x,
@@ -189,7 +203,7 @@ def _strip_render(
             near=cam.near,
             far=cam.far,
             tier_boost=cfg.tier_boost,
-            tiers=cfg.tiers,
+            tiers=strip_tiers,
         )
         fb_strip = composite_tiles_packed(
             inst.packed_feats,

@@ -266,7 +266,12 @@ def parse_tiers(s: str):
 def ladder_lanes(tiers, num_gaussians: int) -> int:
     """Total sort-lane count a ladder emits (the frame sort's scaling
     cost). A k = 0 first tier is the all-N broadcast base (BASE mode,
-    ops/instances.py); every other tier costs exactly m·k lanes."""
+    ops/instances.py); a (0, C) first tier is COMPACTED mode's static
+    lane capacity (the sort covers exactly C lanes); every other tier
+    costs exactly m·k lanes."""
+    tiers = tuple(tiers)
+    if tiers and int(tiers[0][0]) == 0:
+        return int(tiers[0][1])
     ladder = [(m, min(int(k), num_gaussians)) for m, k in tiers]
     lanes = sum(m * k for m, k in ladder)
     if ladder and ladder[0][1] == 0:
@@ -383,9 +388,13 @@ def calibrate_tiers(
     SORT_KNEE_NS = 15e6
     SEL_NS_PER_ROW = 12.0
     SEL_SORT_NS = 6.5e6
-    AREA_SORT_NS_PER_SPLAT = 7.0  # measured 20.1 ms @2.92M valid (8 ops)
+    AREA_SORT_NS_PER_SPLAT = 6.2  # 20.1 ms @2.92M valid at 8 ops; the
+    # depth fold cut it to 7 operands (~12% less — re-measure pending)
     #: Every emitted lane also pays broadcast-emission work.
     EMIT_NS_PER_LANE = 1.5
+    #: Compacted-mode window lanes additionally pay the member-major
+    #: relayout + dynamic_update_slice placement.
+    EMIT_NS_COMPACT = 2.0
 
     def sort_cost(lanes):
         return (
@@ -445,6 +454,47 @@ def calibrate_tiers(
         cost = sort_cost(lanes) + n_valid * AREA_SORT_NS_PER_SPLAT
         return tuple(tiers), cost
 
+    def ladder_compacted(cap_margin: float = 1.10):
+        """COMPACTED candidate ((0, C) head — ops/instances.py): the frame
+        sort covers exactly C lanes ≈ the modeled per-pose emission
+        Σ m_c·count_c, while class windows k_c only bound MEMBERSHIP
+        (emission compute at ~EMIT_NS/lane, not sorted lanes at ~7.3), so
+        they get DOUBLE the adaptive headroom AND no min_k floor tax on
+        the sort — class-population drift across poses stops causing
+        overflow; only the total emission breaching C does. This is the
+        winning mode on small scenes (min_k floors dominate a windowed
+        ladder's lanes) and on resize/orbit configs whose class
+        populations migrate."""
+        tiers = []
+        need = 0  # modeled emission total Σ m_c·count_c
+        emit_lanes = 0  # window lanes Σ m_c·k_c (emission compute)
+        for i in range(len(edges)):
+            count = int(hist[i])
+            if count == 0:
+                continue
+            margin = 1.0 + 2.0 * (eff_headroom(count) - 1.0)
+            k = max(min_k, round_up(int(count * margin), 2))
+            tiers.append((edges[i], k))
+            need += edges[i] * count
+            emit_lanes += edges[i] * k
+        if int(hist[-1]) > 0 and num_tiles > edges[-1]:
+            m = round_up(num_tiles)
+            count = int(hist[-1])
+            k = max(64, round_up(int(count * 2.0), 2))
+            tiers.append((m, k))
+            need += m * count
+            emit_lanes += m * k
+        if not tiers:
+            return (), float("inf")
+        cap = round_up(int(need * cap_margin) + 1024, 4)
+        cost = (
+            cap * SORT_NS_PER_LANE
+            + (SORT_KNEE_NS if cap > SORT_KNEE_LANES else 0.0)
+            + emit_lanes * EMIT_NS_COMPACT
+            + n_valid * AREA_SORT_NS_PER_SPLAT
+        )
+        return ((0, cap),) + tuple(tiers), cost
+
     def merge_down(tiers):
         """Greedily merge adjacent windowed tiers until ≤ max_tiers entries.
 
@@ -455,9 +505,18 @@ def calibrate_tiers(
         subgraph, and jit compile time scales with it (~60% more HLO for a
         10-tier vs 4-tier ladder, measured on the c4 shapes). A k = 0
         first tier is the broadcast base (not windowed) and never merges.
+
+        A (0, C) COMPACTED capacity head never merges either, but it must
+        GROW with each merge: class-i members now emit m_j lanes each, so
+        the per-pose emission total the capacity was sized on rises by up
+        to count_i·(m_j − m_i) ≤ k_i·(m_j − m_i). Sizing C from pre-merge
+        classes under-provisioned exactly this (caught by a TPU verify
+        drive: calibrated ladder, overflow=True).
         """
         tiers = list(tiers)
-        first = 0 if (tiers and tiers[0][1] > 0) else 1
+        # Skip a non-class head entry: k = 0 broadcast base (BASE mode)
+        # or m = 0 capacity (COMPACTED mode) — neither may merge.
+        first = 0 if (tiers and tiers[0][1] > 0 and tiers[0][0] > 0) else 1
         extra = 0
         while len(tiers) > max_tiers and len(tiers) > 2:
             costs = [
@@ -467,6 +526,8 @@ def calibrate_tiers(
             cost, i = min(costs)
             m_hi = tiers[i + 1][0]
             k_merged = round_up(tiers[i][1] + tiers[i + 1][1])
+            if tiers[0][0] == 0 and tiers[0][1] > 0:
+                tiers[0] = (0, tiers[0][1] + cost)  # cost = k_i·(m_j − m_i)
             tiers[i + 1] = (m_hi, k_merged)
             del tiers[i]
             extra += cost * (SORT_NS_PER_LANE + EMIT_NS_PER_LANE)
@@ -479,6 +540,7 @@ def calibrate_tiers(
     candidates = [ladder_for(base_i) for base_i in range(6)]
     candidates.append(ladder_windowed())
     candidates.append(ladder_windowed(sig_bits=4))
+    candidates.append(ladder_compacted())
     for tiers, cost in candidates:
         if not tiers:
             continue

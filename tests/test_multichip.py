@@ -101,3 +101,34 @@ def test_multichip_scene_padding():
     np.testing.assert_allclose(
         np.asarray(fb_multi), np.asarray(fb_single), atol=2e-5
     )
+
+
+def test_multichip_compacted_ladder_strips_divide_capacity():
+    """COMPACTED ladders ((0, C) head): under shard_map each strip sorts
+    only its scaled capacity share (3C/S margin over the measured strip
+    slack — parallel/multichip.py), and the composed frame still matches
+    the single-chip compacted render."""
+    scene, cam, cfg = _setup()
+    wtiers = ((1, 2048), (4, 4096), (16, 2048), (64, 1024), (256, 256))
+    cap = sum(m * k for m, k in wtiers)  # conservative: never truncates
+    cfg = RenderConfig(
+        **{
+            **cfg.__dict__,
+            "compositor": "packed",
+            "tiers": ((0, cap),) + wtiers,
+        }
+    )
+    assert cfg.packed_compatible
+
+    fb_single, st = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert not bool(st.overflow)
+
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    fb_multi, stats = render_frame_multichip(
+        sharded, cam.params(cfg.k_sigma), cfg, mesh
+    )
+    assert not bool(stats["overflow"])
+    np.testing.assert_allclose(
+        np.asarray(fb_multi), np.asarray(fb_single), atol=2e-4
+    )

@@ -211,7 +211,11 @@ def test_calibrate_tiers_shapes():
     tiers = calibrate_tiers(hist, num_tiles=2040)
     ms = [m for m, _ in tiers]
     assert ms == sorted(ms) and len(set(ms)) == len(ms)
-    assert tiers[0][0] in (1, 2, 4, 8)
+    # First entry: a class/base tier (m in the small buckets) or the
+    # COMPACTED-mode capacity head (m = 0 with a positive lane budget).
+    assert tiers[0][0] in (0, 1, 2, 4, 8)
+    if tiers[0][0] == 0:
+        assert tiers[0][1] > 0 and all(k > 0 for _, k in tiers[1:])
     # every class above the base tier is covered by some wider tier
     assert ms[-1] >= 1024
 
@@ -452,3 +456,120 @@ def test_conic_cholesky_quantization_psd_and_needles():
             )
             worst = max(worst, float(err.max()))
     assert worst <= 5e-3, worst
+
+def test_compacted_mode_matches_windowed_and_flags_capacity():
+    """COMPACTED mode ((0, C) ladder head — ops/instances.py): each tier's
+    member-major window placed at the running valid-lane offset must
+    reproduce the plain fully-windowed ladder's framebuffer at a sort
+    width of C instead of sum(m_c*k_c). Member-major emission reorders
+    stable-sort TIES (same tile, same quantized depth) relative to the
+    lane-major twin — toward the reference's per-gaussian order
+    (render.cu:841-855) — so the scene's depths are made collision-free
+    first and the comparison is then EXACT; a too-small C truncates and
+    must FLAG overflow (truncation is never silent)."""
+    import dataclasses
+
+    from gaussianrenderer_tpu.render import area_histogram, calibrate_tiers
+
+    scene, cam = _setup(n=8000, seed=11)
+    # Unique quantized depths: spread z deterministically so no two
+    # splats share a 21-bit depth bucket (kills tie-order ambiguity).
+    z = jnp.linspace(-2.0, 2.0, scene.num_gaussians)
+    scene = scene._replace(
+        positions=scene.positions.at[:, 2].set(z)
+    )
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    hist = area_histogram(scene, cam.params(cfg.k_sigma), cfg)
+    tiers = calibrate_tiers(hist, num_tiles=cfg.num_tiles)
+
+    if tiers[0][0] != 0:  # force the compacted twin if the model chose
+        lanes = sum(m * k for m, k in tiers if m > 0)  # conservative C
+        tiers = ((0, lanes),) + tuple((m, k) for m, k in tiers if k > 0)
+
+    cfg_c = dataclasses.replace(cfg, tiers=tiers)
+    fb_c, st_c = render_frame(scene, cam.params(cfg.k_sigma), cfg_c)
+    assert not bool(st_c.overflow)
+
+    cfg_w = dataclasses.replace(cfg, tiers=tiers[1:])
+    fb_w, st_w = render_frame(scene, cam.params(cfg.k_sigma), cfg_w)
+    assert int(st_c.num_instances) == int(st_w.num_instances)
+    # The LANES are bit-identical (same instances, same order); the only
+    # permitted drift is ULP-level: the shorter sort buffer shifts the
+    # compositor's chunk alignment, regrouping the f32 blend accumulation.
+    np.testing.assert_allclose(
+        np.asarray(fb_c), np.asarray(fb_w), atol=1e-6, rtol=0
+    )
+
+    # Starved capacity: truncated coverage must raise the overflow flag.
+    cfg_t = dataclasses.replace(
+        cfg, tiers=((0, max(int(st_c.num_instances) // 4, 256)),) + tiers[1:]
+    )
+    _, st_t = render_frame(scene, cam.params(cfg.k_sigma), cfg_t)
+    assert bool(st_t.overflow)
+
+
+def test_area_key_depth_fold_ordering():
+    """The windowed area sort folds quantized depth into the area key's
+    low bits (one payload row saved at N scale). Unit-pins the fold's
+    invariants: (a) primary order is area DESCENDING over valid splats
+    with invalid (area 0) last — identical to the old (-area) key; (b)
+    the low bits round-trip the exact depth; (c) for equal (area, depth)
+    the stable sort preserves original order, so the frame sort's
+    tie-break semantics are unchanged from the unfolded scheme."""
+    rng = np.random.default_rng(4)
+    n = 4096
+    num_tiles = 2040
+    tile_bits = max(int(num_tiles).bit_length(), 1)
+    depth_bits = min(32 - tile_bits, 24)
+    area = rng.integers(0, num_tiles + 1, n).astype(np.uint32)
+    depth = rng.integers(0, 1 << depth_bits, n).astype(np.uint32)
+    # force plenty of exact (area, depth) ties
+    area[::7] = 5
+    depth[::7] = 1234
+
+    amax = np.uint32((1 << tile_bits) - 1)
+    akey = ((amax - area) << depth_bits) | depth
+    idx = jnp.asarray(np.arange(n, dtype=np.int32))
+    s_key, s_idx = jax.lax.sort(
+        (jnp.asarray(akey), idx), num_keys=1, is_stable=True
+    )
+    s_key, s_idx = np.asarray(s_key), np.asarray(s_idx)
+
+    s_area = area[s_idx]
+    s_depth_rt = s_key & np.uint32((1 << depth_bits) - 1)
+    np.testing.assert_array_equal(s_depth_rt, depth[s_idx])  # (b)
+    assert (np.diff(s_area.astype(np.int64)) <= 0).all()  # (a) area desc
+    ties = (s_area[:-1] == s_area[1:]) & (
+        depth[s_idx][:-1] == depth[s_idx][1:]
+    )
+    assert (s_idx[1:][ties] > s_idx[:-1][ties]).all()  # (c) stable
+
+
+def test_compacted_capacity_survives_tier_merges():
+    """calibrate_tiers sizes a COMPACTED ladder's (0, C) capacity from
+    the per-class emission totals; merge_down then merges classes into
+    WIDER tiers, raising what their members emit. C must grow with every
+    merge (a TPU verify drive caught the pre-merge sizing: calibrated
+    ladder, overflow=True) — pinned by checking C covers the exact
+    post-merge emission total for the probed histogram."""
+    from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS
+    from gaussianrenderer_tpu.render import calibrate_tiers
+
+    nb = len(AREA_BUCKETS) + 1
+    # Every bucket populated -> far more classes than max_tiers -> merges.
+    hist = np.array([50_000 >> min(i, 14) for i in range(nb - 1)] + [0])
+    hist = np.maximum(hist, 17)
+    tiers = calibrate_tiers(hist, num_tiles=2040)
+    if tiers[0][0] != 0:
+        pytest.skip("cost model chose a non-compacted ladder here")
+    cap = tiers[0][1]
+    classes = [m for m, _ in tiers[1:]]
+    need = 0
+    for i, edge in enumerate(AREA_BUCKETS):
+        count = int(hist[i])
+        if count == 0:
+            continue
+        m_tier = next((m for m in classes if m >= edge), None)
+        assert m_tier is not None, f"bucket {edge} uncovered by {classes}"
+        need += m_tier * count
+    assert cap >= need, (cap, need, tiers)
