@@ -15,6 +15,16 @@ images with optax.
   mesh: gaussian-parallel gradients with tile-strip-parallel loss, one
   ``all_gather`` forward / ``reduce_scatter`` backward pair on ICI (the
   AD transpose of the gather in ``parallel/multichip.py``).
+* :func:`densify_step` + :class:`DensifyState` — adaptive density control
+  (the 3DGS clone/split/prune loop) under STATIC shapes: the parameter
+  arrays keep a fixed budget N and pruned (dead) slots are RECYCLED into
+  clones/splits of the highest-gradient donors with one episodic
+  ``lax.sort`` + N-scale gather/scatter. Gathers are banned from the
+  frame loop (PERF_NOTES layout rules), but densification runs once per
+  few hundred steps — an N-scale gather there is microseconds. This is
+  the static-shape answer to the CUDA implementations' realloc-and-append
+  densification, the same way the tier ladder answers the reference's
+  mid-frame buffer resize (``render.cu:962-971``).
 """
 
 from __future__ import annotations
@@ -171,3 +181,204 @@ def pad_target_for_mesh(target: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     full_h = cfg.tiles_y * cfg.tile_h
     pad_h = full_h - target.shape[1]
     return jnp.pad(target, ((0, 0), (0, pad_h), (0, 0)))
+
+
+# ------------------------------------------------- adaptive density control
+class DensifyState(NamedTuple):
+    """Accumulated densification statistics (a jax pytree, leading dim N).
+
+    Mirrors the 3DGS adaptive-density-control bookkeeping: the mean
+    view-space positional gradient magnitude since the last densify step
+    decides who clones/splits."""
+
+    grad_accum: jnp.ndarray  # (N,) Σ ‖∂L/∂position‖ over steps
+    steps: jnp.ndarray  # () int32 — steps accumulated
+
+    @classmethod
+    def zero(cls, n: int) -> "DensifyState":
+        return cls(
+            grad_accum=jnp.zeros((n,), jnp.float32),
+            steps=jnp.int32(0),
+        )
+
+
+def accumulate_densify_stats(
+    state: DensifyState, grads: SceneParams
+) -> DensifyState:
+    """Fold one train step's positional-gradient norms into the state
+    (call inside the jit train step — pure elementwise column math)."""
+    g = grads.positions
+    norm = jnp.sqrt(
+        g[:, 0] * g[:, 0] + g[:, 1] * g[:, 1] + g[:, 2] * g[:, 2]
+    )
+    return DensifyState(
+        grad_accum=state.grad_accum + norm, steps=state.steps + 1
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grad_threshold", "prune_opacity", "split_scale_pct"),
+)
+def densify_step(
+    params: SceneParams,
+    opt_state,
+    state: DensifyState,
+    *,
+    grad_threshold: float = 2e-4,
+    prune_opacity: float = 5e-3,
+    split_scale_pct: float = 0.75,
+    seed: int = 0,
+) -> Tuple[SceneParams, object, DensifyState, dict]:
+    """One adaptive-density-control episode under a FIXED splat budget.
+
+    The 3DGS recipe (prune low-opacity splats; CLONE small high-gradient
+    splats, SPLIT large ones) re-expressed without shape growth: pruned
+    splats become free slots, and each free slot is refilled from the
+    highest-mean-gradient donor — sampled inside the donor's own Gaussian
+    with scales shrunk by 1/1.6 (the paper's split), while the donor
+    keeps its position but also shrinks when it is a "large" splat
+    (split) and stays unchanged when "small" (clone). Matching donors to
+    slots is ONE descending-score ``lax.sort`` plus one N-scale gather —
+    fine here because densification runs once per a few hundred steps
+    (the frame loop's no-gather rule does not apply to episodic work).
+
+    The Adam moments of refilled slots are reset to zero via the same
+    masked scatter, so respawned splats do not inherit stale momentum.
+
+    Returns (params, opt_state, reset stats, info) where info carries
+    device scalars: number of recycled slots, donors above threshold.
+    """
+    n = params.positions.shape[0]
+    opacity = jax.nn.sigmoid(params.raw_opacity)
+    dead = opacity < prune_opacity
+    score = state.grad_accum / jnp.maximum(
+        state.steps.astype(jnp.float32), 1.0
+    )
+    eligible = (~dead) & (score > grad_threshold)
+
+    # Donor ranking: descending score over eligible splats. One sort.
+    rank_key = jnp.where(eligible, -score, jnp.float32(jnp.inf))
+    _, donor_idx = jax.lax.sort(
+        (rank_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    # Free-slot ranking: dead slots first (their order is irrelevant).
+    slot_key = jnp.where(dead, jnp.int32(0), jnp.int32(1))
+    _, slot_idx = jax.lax.sort(
+        (slot_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    n_dead = jnp.sum(dead.astype(jnp.int32))
+    n_eligible = jnp.sum(eligible.astype(jnp.int32))
+    # Refill every dead slot while there are donors, but let one donor
+    # seed at most 4 slots (a donor spread over many samples degrades
+    # into noise; 4 matches one clone + a 3-way split).
+    n_recycle = jnp.minimum(n_dead, 4 * n_eligible)
+
+    # Pair slot r with donor (r mod n_eligible): when free slots outnumber
+    # donors the strongest donors take several slots (multi-split).
+    r = jnp.arange(n, dtype=jnp.int32)
+    donor_of_slot = donor_idx[r % jnp.maximum(n_eligible, 1)]
+    take = r < n_recycle  # only the first n_recycle slots refill
+
+    # Scatter map: target[slot_idx[r]] <- donor params (modified) for
+    # taken slots. Build per-slot source index then one stacked gather.
+    src = jnp.where(take, donor_of_slot, slot_idx)  # identity when not taken
+
+    # Permute the "write where" into natural order: refill[i] = True iff
+    # slot i is among the taken ones; source_of[i] = donor for slot i.
+    refill = jnp.zeros((n,), bool).at[slot_idx].set(take)
+    source_of = jnp.zeros((n,), jnp.int32).at[slot_idx].set(src)
+    source_of = jnp.where(refill, source_of, r)
+
+    # Split-vs-clone by donor extent: "large" donors (world-space max
+    # scale above the scene median) get the paper's split treatment.
+    scales = jnp.exp(params.raw_scales)
+    max_scale = jnp.max(scales, axis=1)
+    split_cut = jnp.nanquantile(
+        jnp.where(dead, jnp.nan, max_scale), split_scale_pct
+    )
+    is_split_donor = max_scale >= split_cut
+
+    def g1(a):  # row gather by source_of
+        return a[source_of]
+
+    key_arr = jax.random.PRNGKey(seed)
+    eps = jax.random.normal(key_arr, (n, 3), jnp.float32)
+    donor_scales = g1(scales)
+    donor_quats = g1(params.quats)
+    # Sample inside the donor's Gaussian: x = p + R·(s ⊙ ε). Using the
+    # normalized quat rotation keeps the sample aligned with the donor's
+    # principal axes (the paper samples from the donor PDF).
+    qn = donor_quats / jnp.maximum(
+        jnp.linalg.norm(donor_quats, axis=1, keepdims=True), 1e-8
+    )
+    w, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    sx = donor_scales * eps
+    rx = jnp.stack(
+        [
+            (1 - 2 * (y * y + z * z)) * sx[:, 0]
+            + 2 * (x * y - w * z) * sx[:, 1]
+            + 2 * (x * z + w * y) * sx[:, 2],
+            2 * (x * y + w * z) * sx[:, 0]
+            + (1 - 2 * (x * x + z * z)) * sx[:, 1]
+            + 2 * (y * z - w * x) * sx[:, 2],
+            2 * (x * z - w * y) * sx[:, 0]
+            + 2 * (y * z + w * x) * sx[:, 1]
+            + (1 - 2 * (x * x + y * y)) * sx[:, 2],
+        ],
+        axis=1,
+    )
+    shrink = jnp.where(g1(is_split_donor), jnp.float32(1.0 / 1.6), 1.0)
+
+    new_positions = jnp.where(
+        refill[:, None], g1(params.positions) + rx, params.positions
+    )
+    new_scales_raw = jnp.where(
+        refill[:, None],
+        g1(params.raw_scales) + jnp.log(shrink)[:, None],
+        params.raw_scales,
+    )
+    new_sh = jnp.where(refill[:, None], g1(params.sh), params.sh)
+    new_quats = jnp.where(refill[:, None], donor_quats, params.quats)
+    new_raw_op = jnp.where(
+        refill, g1(params.raw_opacity), params.raw_opacity
+    )
+    # Split donors themselves shrink too (the paper replaces one large
+    # splat by TWO smaller samples; the donor is the second sample).
+    # Scatter only the refilled rows' donors (identity rows would race
+    # a False write into donor slots under duplicate indices).
+    donor_scatter_idx = jnp.where(refill, source_of, jnp.int32(n))
+    donor_was_used = (
+        jnp.zeros((n,), bool).at[donor_scatter_idx].set(True, mode="drop")
+    )
+    donor_shrinks = donor_was_used & is_split_donor
+    new_scales_raw = jnp.where(
+        donor_shrinks[:, None],
+        new_scales_raw + jnp.log(jnp.float32(1.0 / 1.6)),
+        new_scales_raw,
+    )
+
+    new_params = SceneParams(
+        positions=new_positions,
+        sh=new_sh,
+        raw_opacity=new_raw_op,
+        raw_scales=new_scales_raw,
+        quats=new_quats,
+    )
+
+    # Reset Adam moments on every refilled row (and the shrunk donors'
+    # scale moments stay — only refills are hard resets).
+    def reset_rows(leaf):
+        if not hasattr(leaf, "shape") or leaf.shape[:1] != (n,):
+            return leaf
+        mask = refill.reshape((n,) + (1,) * (leaf.ndim - 1))
+        return jnp.where(mask, jnp.zeros_like(leaf), leaf)
+
+    new_opt_state = jax.tree_util.tree_map(reset_rows, opt_state)
+
+    info = {
+        "recycled": n_recycle,
+        "dead": n_dead,
+        "eligible": n_eligible,
+    }
+    return new_params, new_opt_state, DensifyState.zero(n), info

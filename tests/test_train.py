@@ -15,7 +15,10 @@ from gaussianrenderer_tpu.render import render_frame
 from gaussianrenderer_tpu.scene.camera import Camera
 from gaussianrenderer_tpu.scene.io import make_random_scene
 from gaussianrenderer_tpu.train import (
+    DensifyState,
     SceneParams,
+    accumulate_densify_stats,
+    densify_step,
     make_multichip_train_step,
     make_train_step,
     mse_loss,
@@ -135,6 +138,145 @@ def test_multichip_train_step_runs_and_descends():
     for _ in range(10):
         params, opt_state, loss = step(params, opt_state, cam_p, target)
         losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def _densify_setup(n=64, n_dead=10, n_hot=6, seed=3):
+    """Scene with `n_dead` near-transparent splats and `n_hot` splats
+    carrying large accumulated positional gradients."""
+    scene = make_random_scene(n, seed=seed, scale_range=(0.05, 0.2))
+    params = SceneParams.from_scene(scene)
+    raw_op = np.asarray(params.raw_opacity).copy()
+    raw_op[:n_dead] = -8.0  # sigmoid(-8) ≈ 3.4e-4 < prune_opacity
+    params = params._replace(raw_opacity=jnp.asarray(raw_op))
+    grad_accum = np.zeros(n, np.float32)
+    grad_accum[n_dead : n_dead + n_hot] = 1.0  # mean grad 0.01 over 100 steps
+    state = DensifyState(
+        grad_accum=jnp.asarray(grad_accum), steps=jnp.int32(100)
+    )
+    return params, state
+
+
+def test_densify_recycles_dead_slots_into_donor_neighborhoods():
+    n, n_dead, n_hot = 64, 10, 6
+    params, state = _densify_setup(n, n_dead, n_hot)
+    import optax
+
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    new_params, new_opt, new_state, info = densify_step(
+        params, opt_state, state
+    )
+    # Shapes are static: the budget never grows.
+    assert new_params.positions.shape == (n, 3)
+    assert int(info["dead"]) == n_dead
+    assert int(info["eligible"]) == n_hot
+    assert int(info["recycled"]) == n_dead  # donors recycle via mod
+    # Every dead slot was refilled: no low-opacity splats remain.
+    op = np.asarray(jax.nn.sigmoid(new_params.raw_opacity))
+    assert (op >= 5e-3).all()
+    # Refilled positions sample near their donors: each recycled slot's
+    # position lies within 5σ of SOME hot donor.
+    donors = np.asarray(params.positions)[n_dead : n_dead + n_hot]
+    donor_scale = np.asarray(jnp.exp(params.raw_scales))[
+        n_dead : n_dead + n_hot
+    ].max()
+    refilled = np.asarray(new_params.positions)[:n_dead]
+    d = np.linalg.norm(
+        refilled[:, None, :] - donors[None, :, :], axis=-1
+    ).min(axis=1)
+    assert (d < 5 * donor_scale + 1e-6).all(), d
+    # Survivors (not dead, not donors) are untouched.
+    tail = slice(n_dead + n_hot, n)
+    np.testing.assert_array_equal(
+        np.asarray(new_params.positions)[tail],
+        np.asarray(params.positions)[tail],
+    )
+    # Stats reset.
+    assert float(jnp.sum(new_state.grad_accum)) == 0.0
+    assert int(new_state.steps) == 0
+
+
+def test_densify_resets_adam_moments_on_refilled_rows():
+    import optax
+
+    n, n_dead = 64, 10
+    params, state = _densify_setup(n, n_dead)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    # Fake nonzero moments everywhere.
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jnp.ones_like(x) if hasattr(x, "shape") else x, opt_state
+    )
+    _, new_opt, _, _ = densify_step(params, opt_state, state)
+    leaves = [
+        l
+        for l in jax.tree_util.tree_leaves(new_opt)
+        if hasattr(l, "shape") and l.shape[:1] == (n,)
+    ]
+    assert leaves, "expected per-row Adam moment leaves"
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        assert (arr[:n_dead] == 0).all()  # refilled rows reset
+        assert (arr[n_dead:] == 1).all()  # survivors keep their moments
+
+
+def test_densify_noop_when_nothing_dead_or_hot():
+    import optax
+
+    scene = make_random_scene(48, seed=5, scale_range=(0.05, 0.2))
+    params = SceneParams.from_scene(scene)
+    state = DensifyState.zero(48)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    new_params, _, _, info = densify_step(params, opt_state, state)
+    assert int(info["recycled"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(new_params.positions), np.asarray(params.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_params.raw_scales), np.asarray(params.raw_scales)
+    )
+
+
+def test_densify_improves_training_fit():
+    """End-to-end: a budget-constrained fit where some splats start dead
+    must recover faster when densify recycles them toward the target."""
+    scene, cam, cfg = _setup(n=120)
+    import optax
+
+    target = render_for_training(
+        SceneParams.from_scene(scene), cam.params(cfg.k_sigma), cfg
+    )
+    params = SceneParams.from_scene(scene)
+    raw_op = np.asarray(params.raw_opacity).copy()
+    raw_op[:30] = -8.0  # kill a quarter of the budget
+    params = params._replace(raw_opacity=jnp.asarray(raw_op))
+
+    step, optimizer = make_train_step(cfg)
+    opt_state = optimizer.init(params)
+    cam_p = cam.params(cfg.k_sigma)
+    state = DensifyState.zero(120)
+    grad_fn = jax.jit(
+        lambda p, c, t: jax.grad(mse_loss)(p, c, t, cfg)
+    )
+    losses = []
+    for i in range(12):
+        params, opt_state, loss = step(params, opt_state, cam_p, target)
+        state = accumulate_densify_stats(
+            state, grad_fn(params, cam_p, target)
+        )
+        losses.append(float(loss))
+        if i == 5:
+            params, opt_state, state, info = densify_step(
+                params,
+                opt_state,
+                state,
+                grad_threshold=0.0,
+                seed=i,
+            )
+            assert int(info["recycled"]) > 0
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
 
