@@ -61,6 +61,12 @@ class RenderConfig:
     #: kernel (the MXU-matmul batch size).
     chunk_size: int = 128
 
+    #: Chunk size for the PACKED Pallas compositor specifically. The packed
+    #: kernel's cost model is chunks × (fixed ~0.9 µs + lanes × vector);
+    #: 256 halves the fixed term vs 128 (measured −9% at the c4 shape,
+    #: profile_r3.jsonl) at slightly coarser early-exit granularity.
+    packed_chunk: int = 256
+
     #: Compositor backend: "packed" (Pallas kernel fed by the gather-free
     #: packed-instance pipeline — the fast path), "xla" (pure-XLA
     #: while_loop reference), or "diff" (fixed-trip scan,

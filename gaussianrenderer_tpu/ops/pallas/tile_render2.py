@@ -122,9 +122,11 @@ def _fast_exp(x: jnp.ndarray) -> jnp.ndarray:
     XLA's exp costs ~40-50 VPU slots; this is ~10. Max relative error
     2.6e-6 (fit range 2^t, t∈[0,1)) — far below the 1e-3 alpha threshold
     granularity, so blending is visually identical. Inputs ≤ −87 flush
-    to 0 like the exact function underflows.
+    to 0: the input clamp keeps the exponent shift in int32 range and the
+    exponent-bits clip floors the scale at +0.0 (bit pattern 0), so no
+    separate underflow select is needed.
     """
-    y = x * 1.4426950408889634  # log2(e)
+    y = jnp.maximum(x, -88.0) * 1.4426950408889634  # log2(e)
     yi = jnp.floor(y)
     t = y - yi
     p = 1.0000026036 + t * (
@@ -134,7 +136,7 @@ def _fast_exp(x: jnp.ndarray) -> jnp.ndarray:
     scale = jax.lax.bitcast_convert_type(
         jnp.clip(exp_bits, 0, 254 << 23), jnp.float32
     )
-    return jnp.where(yi < -126, 0.0, p * scale)
+    return p * scale
 
 
 def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
@@ -164,6 +166,8 @@ def _tile_kernel(
     tile_w: int,
     tile_h: int,
     chunk: int,
+    precision=jax.lax.Precision.HIGHEST,
+    mxu_q: bool = True,
 ):
     k = chunk
     p = tile_h * tile_w
@@ -175,18 +179,17 @@ def _tile_kernel(
     num_chunks = pl.cdiv(span, k)
 
     # Tile-local pixel coords, pixel-major (P, 1) columns.
-    px = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) % tile_w).astype(
-        jnp.float32
-    )
-    py = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) // tile_w).astype(
-        jnp.float32
-    )
-    # MXU basis: [x², y², x·y, x, y, 1, 0, 0] → (P, 8).
-    ones = jnp.ones_like(px)
-    zeros = jnp.zeros_like(px)
-    basis = jnp.concatenate(
-        [px * px, py * py, px * py, px, py, ones, zeros, zeros], axis=1
-    )  # (P, 8)
+    px_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) % tile_w
+    py_i = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) // tile_w
+    px = px_i.astype(jnp.float32)
+    py = py_i.astype(jnp.float32)
+    if mxu_q:
+        # MXU basis: [x², y², x·y, x, y, 1, 0, 0] → (P, 8).
+        ones = jnp.ones_like(px)
+        zeros = jnp.zeros_like(px)
+        basis = jnp.concatenate(
+            [px * px, py * py, px * py, px, py, ones, zeros, zeros], axis=1
+        )  # (P, 8)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     def chunk_dma(slot, chunk_idx):
@@ -235,36 +238,57 @@ def _tile_kernel(
         # lanes against ln(0) → −inf reaching the MXU).
         op = jnp.maximum(_color_decode(raw[2:3, :] & 0xFFFF), 1e-6)
         q0 = -2.0 * jnp.log(op)
-        aabb = raw[4:5, :]
-        xmin = _u2f(aabb & 0xFF)
-        ymin = _u2f((aabb >> 8) & 0xFF)
-        xmax = _u2f((aabb >> 16) & 0xFF)
-        ymax = _u2f((aabb >> 24) & 0xFF)
+        aabb = raw[4:5, :].astype(jnp.int32)
+        xmin = aabb & 0xFF  # (1, K) int32
+        ymin = (aabb >> 8) & 0xFF
+        xmax = (aabb >> 16) & 0xFF
+        ymax = (aabb >> 24) & 0xFF
 
-        # Quadratic coefficients (8, K) for q = md² − 2·ln(op).
-        coeffs = jnp.concatenate(
-            [
-                ca,
-                cc,
-                cb,
-                -(2.0 * ca * cx + cb * cy),
-                -(2.0 * cc * cy + cb * cx),
-                q0 + ca * cx * cx + cb * cx * cy + cc * cy * cy,
-                jnp.zeros_like(ca),
-                jnp.zeros_like(ca),
-            ],
-            axis=0,
-        )
-        q = jax.lax.dot_general(
-            basis,
-            coeffs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (P, K)
+        if mxu_q:
+            # Quadratic coefficients (8, K) for q = md² − 2·ln(op).
+            coeffs = jnp.concatenate(
+                [
+                    ca,
+                    cc,
+                    cb,
+                    -(2.0 * ca * cx + cb * cy),
+                    -(2.0 * cc * cy + cb * cx),
+                    q0 + ca * cx * cx + cb * cx * cy + cc * cy * cy,
+                    jnp.zeros_like(ca),
+                    jnp.zeros_like(ca),
+                ],
+                axis=0,
+            )
+            q = jax.lax.dot_general(
+                basis,
+                coeffs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # (P, K)
+        else:
+            # Direct VPU quadratic on centered coords: ~9 (P,K) vector ops
+            # with no catastrophic cancellation, and an exact f32 md² that
+            # is closer to the reference math than the expanded-basis
+            # matmul. Measured A/B at the c4 shape (profile_r3.jsonl):
+            # wins at chunk=128 (132.2 vs 135.1 ms) but LOSES at the
+            # default chunk=256 (131.6 vs 123.1 ms) — the MXU amortizes
+            # its 6-pass f32 matmul over the longer chunk. Kept as a
+            # measured alternative; mxu_q=True is the production path.
+            dx = px - cx  # (P, K)
+            dy = py - cy
+            md2 = (ca * dx + cb * dy) * dx + cc * dy * dy
+            q = md2 + q0
         alpha = jnp.minimum(_fast_exp(-0.5 * q), ALPHA_MAX)
 
-        inside = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        # AABB test with 2 unsigned compares per axis folded into 1:
+        # 0 ≤ px−xmin ≤ xmax−xmin as a single unsigned ≤ (negative wraps
+        # high) — 2 int subs + 2 cmps instead of 4 cmps + an extra and.
+        ux = (px_i - xmin).astype(jnp.uint32)  # (P, K)
+        uy = (py_i - ymin).astype(jnp.uint32)
+        inside = (ux <= (xmax - xmin).astype(jnp.uint32)) & (
+            uy <= (ymax - ymin).astype(jnp.uint32)
+        )
         slot_idx = aligned_start + i * k + lane_iota
         k_valid = (slot_idx >= start) & (slot_idx < start + count)
         alpha = jnp.where(inside & (alpha >= ALPHA_EPS) & k_valid, alpha, 0.0)
@@ -275,8 +299,10 @@ def _tile_kernel(
         )
         t_before = transmittance * u_excl
         gate = t_before >= T_EPS
-        # α·T_before = T·(u_excl − u); gate applies the per-pixel stop rule.
-        weights = jnp.where(gate, transmittance * (u_excl - u), 0.0)
+        # weight = α·T_before (= T·(u_excl − u) algebraically, but the
+        # product form is cheaper AND matches the oracle's α·T rounding);
+        # gate applies the per-pixel stop rule.
+        weights = jnp.where(gate, t_before * alpha, 0.0)
 
         colors = jnp.concatenate([red, grn, blu], axis=0)  # (3, K)
         rgb = rgb + jax.lax.dot_general(
@@ -284,7 +310,7 @@ def _tile_kernel(
             colors,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # (P, 3)
         # T *= ∏(1−α) UNGATED: once a pixel's t_before falls below the stop
         # threshold its gate is false in every later chunk regardless
@@ -311,7 +337,10 @@ def _tile_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "width", "height", "chunk"),
+    static_argnames=(
+        "tiles_x", "tiles_y", "tile_w", "tile_h", "width", "height",
+        "chunk", "precision", "mxu_q",
+    ),
 )
 def composite_tiles_packed(
     packed_feats: jnp.ndarray,  # (PACK_ROWS, C) uint32, sorted instance order
@@ -325,6 +354,8 @@ def composite_tiles_packed(
     width: int,
     height: int,
     chunk: int = 128,
+    precision=jax.lax.Precision.HIGHEST,
+    mxu_q: bool = True,
 ) -> jnp.ndarray:
     """Composite all tiles from packed features; returns (3, H, W) f32."""
     num_tiles = tiles_x * tiles_y
@@ -336,7 +367,8 @@ def composite_tiles_packed(
     feats = jax.lax.dynamic_update_slice(feats, packed_feats, (0, 0))
 
     kernel = functools.partial(
-        _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk
+        _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+        precision=precision, mxu_q=mxu_q,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

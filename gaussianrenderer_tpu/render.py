@@ -113,7 +113,7 @@ def _render_impl(
             tile_h=cfg.tile_h,
             width=cfg.width,
             height=cfg.height,
-            chunk=cfg.chunk_size,
+            chunk=cfg.packed_chunk,
         )
         stats = RenderStats(
             num_culled=jnp.sum(proj.valid.astype(jnp.int32)),

@@ -128,3 +128,25 @@ def test_bench_calibrate_probe_cpu(tmp_path):
     tiers = [tuple(map(int, p.split(":"))) for p in ladder.split(",")]
     ms = [m for m, _ in tiers]
     assert ms == sorted(ms) and len(ms) >= 2
+
+
+def test_train_test_demo(monkeypatch, capsys):
+    """Streaming-training demo fits a tiny scene and densifies (CPU)."""
+    from gaussianrenderer_tpu.apps import train_test
+
+    rc = _run(
+        train_test,
+        [
+            "--n", "96",
+            "--steps", "24",
+            "--poses", "2",
+            "--width", "96",
+            "--height", "64",
+            "--densify-every", "12",
+        ],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "densify recycled=" in out
+    assert "final PSNR" in out

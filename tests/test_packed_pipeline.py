@@ -43,6 +43,22 @@ def test_packed_matches_xla_compositor():
     assert psnr(np.asarray(fb_x), np.asarray(fb_p)) > 60.0
 
 
+def test_packed_chunk_size_equivalence():
+    """The packed kernel's chunk size is a pure scheduling knob: outputs
+    must agree to float-association noise (the transmittance product is
+    regrouped at chunk boundaries), never semantically. Guards the
+    cfg.packed_chunk default bump 128 → 256 (profile_r3.jsonl)."""
+    import dataclasses
+
+    scene, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    fb_a, _ = render_frame(scene, cam.params(3.0), cfg)
+    fb_b, _ = render_frame(
+        scene, cam.params(3.0), dataclasses.replace(cfg, packed_chunk=128)
+    )
+    assert float(jnp.max(jnp.abs(fb_a - fb_b))) < 1e-5
+
+
 def test_packed_matches_oracle():
     scene, cam = _setup(seed=5)
     cfg = RenderConfig(height=128, width=160, compositor="packed")
@@ -255,8 +271,12 @@ def test_fast_exp_accuracy():
     want = np.exp(np.asarray(x, np.float64))
     rel = np.abs(got - want) / np.maximum(want, 1e-300)
     assert float(rel.max()) < 1e-5
-    # underflow flushes to zero, never negative/NaN
-    y = np.asarray(_fast_exp(jnp.asarray([-200.0, -1000.0])))
+    # underflow flushes to zero, never negative/NaN — including the
+    # far-pixel md² extremes where (yi + 127) << 23 would overflow int32
+    # without the input clamp (needle conic × 1000 px ⇒ q ~ 1e8).
+    y = np.asarray(
+        _fast_exp(jnp.asarray([-200.0, -1000.0, -1e8, -3.0e38]))
+    )
     assert (y == 0).all()
 
 
