@@ -97,17 +97,89 @@ def mse_loss(
     return jnp.mean((fb - target) ** 2)
 
 
+def _gauss_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    w = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return w / jnp.sum(w)
+
+
+def _blur_hw(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur of a planar (3, H, W) image.
+
+    The 2D Gaussian window factorizes, so this is two rank-1 convs —
+    each lowered by XLA to an MXU-friendly depthwise conv — instead of
+    one 11×11 dense conv (121 MACs/px → 22)."""
+    size = window.shape[0]
+    kh = jnp.broadcast_to(window.reshape(1, 1, size, 1), (3, 1, size, 1))
+    kw = jnp.broadcast_to(window.reshape(1, 1, 1, size), (3, 1, 1, size))
+    x = img[None]  # NCHW
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", feature_group_count=3,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", feature_group_count=3,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[0]
+
+
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    peak: float = 1.0,
+) -> jnp.ndarray:
+    """Mean SSIM between two planar (3, H, W) images (Wang et al. 2004,
+    the constants and 11×11 σ=1.5 Gaussian window every 3DGS trainer
+    uses). VALID boundary handling: edge pixels without a full window
+    are excluded rather than zero-padded into the statistics."""
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    win = _gauss_window(window_size, sigma)
+    mu_a = _blur_hw(a, win)
+    mu_b = _blur_hw(b, win)
+    var_a = _blur_hw(a * a, win) - mu_a * mu_a
+    var_b = _blur_hw(b * b, win) - mu_b * mu_b
+    cov = _blur_hw(a * b, win) - mu_a * mu_b
+    num = (2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2)
+    den = (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
+    return jnp.mean(num / den)
+
+
+def l1_dssim_loss(
+    params: SceneParams,
+    cam: CameraParams,
+    target: jnp.ndarray,
+    cfg: RenderConfig,
+    ssim_weight: float = 0.2,
+) -> jnp.ndarray:
+    """The standard 3DGS photometric loss: (1−λ)·L1 + λ·(1−SSIM)/2
+    (Kerbl et al. §5, λ = 0.2). The reference never got to training
+    (reference README.md:17), so this follows the paper all trained
+    3DGS captures were produced with."""
+    fb = render_for_training(params, cam, cfg)
+    l1 = jnp.mean(jnp.abs(fb - target))
+    dssim = (1.0 - ssim(fb, target)) / 2.0
+    return (1.0 - ssim_weight) * l1 + ssim_weight * dssim
+
+
 def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
-def make_train_step(cfg: RenderConfig, optimizer=None):
-    """Single-chip jit train step: Adam on MSE against a target frame."""
+def make_train_step(cfg: RenderConfig, optimizer=None, loss_fn=None):
+    """Single-chip jit train step: Adam against a target frame.
+
+    ``loss_fn(params, cam, target, cfg)`` defaults to :func:`mse_loss`;
+    pass :func:`l1_dssim_loss` for the standard 3DGS photometric loss."""
     optimizer = optimizer or make_optimizer()
+    loss_fn = loss_fn or mse_loss
 
     @jax.jit
     def train_step(params: SceneParams, opt_state, cam: CameraParams, target):
-        loss, grads = jax.value_and_grad(mse_loss)(params, cam, target, cfg)
+        loss, grads = jax.value_and_grad(loss_fn)(params, cam, target, cfg)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

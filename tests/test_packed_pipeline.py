@@ -593,3 +593,44 @@ def test_compacted_capacity_survives_tier_merges():
         assert m_tier is not None, f"bucket {edge} uncovered by {classes}"
         need += m_tier * count
     assert cap >= need, (cap, need, tiers)
+
+
+def test_packed_vpu_quadratic_matches_mxu():
+    """mxu_q=False (direct VPU quadratic, kept as a measured alternative —
+    see tile_render2._tile_kernel) must match the production MXU path to
+    float-evaluation-order noise (profile_r3.jsonl measured 5e-4 max at
+    the 1080p c4 shape; this small scene is tighter)."""
+    from gaussianrenderer_tpu.ops.instances import build_packed_instances
+    from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
+        composite_tiles_packed,
+    )
+    from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+
+    scene, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    camp = cam.params(3.0)
+    proj = preprocess_gaussians(
+        scene, camp, width=cfg.width, height=cfg.height,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree, quantize_centers=cfg.quantize_centers,
+    )
+    inst = build_packed_instances(
+        proj, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        capacity=cfg.instance_capacity(scene.num_gaussians),
+        near=camp.near, far=camp.far,
+    )
+    kw = dict(
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        width=cfg.width, height=cfg.height, chunk=cfg.packed_chunk,
+    )
+    fb_mxu = composite_tiles_packed(
+        inst.packed_feats, inst.tile_start, inst.tile_count, **kw
+    )
+    fb_vpu = composite_tiles_packed(
+        inst.packed_feats, inst.tile_start, inst.tile_count,
+        mxu_q=False, **kw
+    )
+    assert float(jnp.max(jnp.abs(fb_mxu - fb_vpu))) < 1e-3

@@ -330,3 +330,66 @@ def test_multichip_gradients_match_single_chip():
         np.testing.assert_allclose(
             gm, gs, atol=5e-7, err_msg=f"grad mismatch: {name}"
         )
+
+
+def _ssim_numpy_conv(a, b, size=11, sigma=1.5, peak=1.0):
+    """Brute-force reference SSIM (Wang et al. 2004): explicit dense 2D
+    window accumulation — independent of the jax separable-conv path."""
+    x = np.arange(size) - (size - 1) / 2.0
+    w1 = np.exp(-(x * x) / (2 * sigma * sigma))
+    w1 /= w1.sum()
+    w2d = np.outer(w1, w1)
+
+    def blur(img):  # (3, H, W) VALID 2D correlation, dense window
+        c, h, wid = img.shape
+        oh, ow = h - size + 1, wid - size + 1
+        out = np.zeros((c, oh, ow))
+        for i in range(size):
+            for j in range(size):
+                out += w2d[i, j] * img[:, i:i + oh, j:j + ow]
+        return out
+
+    c1, c2 = (0.01 * peak) ** 2, (0.03 * peak) ** 2
+    mu_a, mu_b = blur(a), blur(b)
+    var_a = blur(a * a) - mu_a**2
+    var_b = blur(b * b) - mu_b**2
+    cov = blur(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    return float(np.mean(num / den))
+
+
+def test_ssim_matches_numpy_reference():
+    from gaussianrenderer_tpu.train import ssim
+
+    rng = np.random.default_rng(11)
+    a = rng.random((3, 40, 48), dtype=np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal((3, 40, 48)).astype(np.float32), 0, 1)
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    want = _ssim_numpy_conv(a.astype(np.float64), b.astype(np.float64))
+    assert abs(got - want) < 1e-4
+    # identity and ordering sanity
+    assert float(ssim(jnp.asarray(a), jnp.asarray(a))) > 0.9999
+    worse = np.clip(a + 0.5 * rng.standard_normal(a.shape).astype(np.float32), 0, 1)
+    assert float(ssim(jnp.asarray(a), jnp.asarray(worse))) < got
+
+
+def test_l1_dssim_train_step_reduces_loss():
+    from gaussianrenderer_tpu.train import l1_dssim_loss
+
+    scene, cam, cfg = _setup()
+    truth = SceneParams.from_scene(
+        make_random_scene(120, seed=9, scale_range=(0.05, 0.2))
+    )
+    target = render_for_training(truth, cam.params(cfg.k_sigma), cfg)
+    params = SceneParams.from_scene(scene)
+    step, opt = make_train_step(cfg, loss_fn=l1_dssim_loss)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(
+            params, opt_state, cam.params(cfg.k_sigma), target
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
