@@ -25,6 +25,11 @@ images with optax.
   the static-shape answer to the CUDA implementations' realloc-and-append
   densification, the same way the tier ladder answers the reference's
   mid-frame buffer resize (``render.cu:962-971``).
+* :func:`ssim` / :func:`l1_dssim_loss` — the standard 3DGS photometric
+  loss (L1 + 0.2·D-SSIM), SSIM via two rank-1 depthwise convolutions.
+* :func:`save_checkpoint` / :func:`load_checkpoint` — orbax training
+  checkpoints (params + Adam moments + densify accumulators); restoring
+  into a NamedSharding template resumes a multichip run shard-direct.
 """
 
 from __future__ import annotations
@@ -454,3 +459,63 @@ def densify_step(
         "eligible": n_eligible,
     }
     return new_params, new_opt_state, DensifyState.zero(n), info
+
+
+# ------------------------------------------------------------- checkpointing
+def save_checkpoint(
+    path: str,
+    params: SceneParams,
+    opt_state=None,
+    densify_state: Optional[DensifyState] = None,
+    step: int = 0,
+) -> None:
+    """Checkpoint the full training state (params + Adam moments +
+    densification accumulators) with orbax.
+
+    The reference has no training, hence no training checkpoints (its
+    only persistence is the PLY scene, SURVEY §5 — which ``save_ply``
+    covers for inference handoff). This is the resume path for the
+    training subsystem: orbax saves the pytree per-array, preserving
+    shardings, so a multichip run (``make_multichip_train_step``) can
+    checkpoint and restore without gathering to one host."""
+    import orbax.checkpoint as ocp
+    import os
+
+    state = {"params": params, "step": jnp.int32(step)}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    if densify_state is not None:
+        state["densify"] = densify_state
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(
+    path: str,
+    params: SceneParams,
+    opt_state=None,
+    densify_state: Optional[DensifyState] = None,
+):
+    """Restore a :func:`save_checkpoint` state. The passed pytrees are
+    structure/sharding TEMPLATES (e.g. freshly-initialized state at the
+    same budget N): arrays are restored with the template's sharding,
+    which is how a resumed multichip session lands parameters directly
+    on their mesh shards. Returns ``(params, opt_state, densify, step)``
+    with ``None`` for templates not supplied."""
+    import orbax.checkpoint as ocp
+    import os
+
+    template = {"params": params, "step": jnp.int32(0)}
+    if opt_state is not None:
+        template["opt_state"] = opt_state
+    if densify_state is not None:
+        template["densify"] = densify_state
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), template)
+    return (
+        restored["params"],
+        restored.get("opt_state"),
+        restored.get("densify"),
+        int(restored["step"]),
+    )

@@ -393,3 +393,54 @@ def test_l1_dssim_train_step_reduces_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gaussianrenderer_tpu.train import load_checkpoint, save_checkpoint
+
+    scene, cam, cfg = _setup(n=64)
+    params = SceneParams.from_scene(scene)
+    opt = make_train_step(cfg)[1]
+    opt_state = opt.init(params)
+    dstate = DensifyState.zero(64)._replace(steps=jnp.int32(5))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, opt_state, dstate, step=42)
+
+    # Restore into fresh templates of the same budget.
+    fresh = SceneParams.from_scene(make_random_scene(64, seed=99))
+    rp, ro, rd, step = load_checkpoint(
+        path, fresh, opt.init(fresh), DensifyState.zero(64)
+    )
+    assert step == 42
+    np.testing.assert_array_equal(
+        np.asarray(rp.positions), np.asarray(params.positions)
+    )
+    assert type(ro) is type(opt_state)  # optax structure preserved
+    assert int(rd.steps) == 5
+
+
+def test_checkpoint_restores_sharded_on_mesh(tmp_path):
+    """A checkpoint written unsharded restores directly onto mesh shards
+    when the template carries NamedShardings — the multichip resume path
+    (no gather-to-host round trip)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gaussianrenderer_tpu.parallel import make_mesh
+    from gaussianrenderer_tpu.train import load_checkpoint, save_checkpoint
+
+    scene, _, _ = _setup(n=64)
+    params = SceneParams.from_scene(scene)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, step=3)
+
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P("chips"))
+    template = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), params
+    )
+    rp, ro, rd, step = load_checkpoint(path, template)
+    assert step == 3 and ro is None and rd is None
+    assert rp.positions.sharding == sharding
+    np.testing.assert_array_equal(
+        np.asarray(rp.positions), np.asarray(params.positions)
+    )
