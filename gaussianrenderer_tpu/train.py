@@ -27,6 +27,10 @@ images with optax.
   mid-frame buffer resize (``render.cu:962-971``).
 * :func:`ssim` / :func:`l1_dssim_loss` — the standard 3DGS photometric
   loss (L1 + 0.2·D-SSIM), SSIM via two rank-1 depthwise convolutions.
+* 4D: ``SceneParams.time_params`` is an optional trainable leaf;
+  ``make_train_step(cfg, timed=True)`` takes a traced ``time_value`` so
+  spacetime scenes (temporal opacity + per-splat velocity) fit to
+  time-stamped targets through the differentiable ``slice_spacetime``.
 * :func:`save_checkpoint` / :func:`load_checkpoint` — orbax training
   checkpoints (params + Adam moments + densify accumulators); restoring
   into a NamedSharding template resumes a multichip run shard-direct.
@@ -50,13 +54,22 @@ from gaussianrenderer_tpu.scene.gaussians import GaussianScene
 
 
 class SceneParams(NamedTuple):
-    """Trainable pre-activation scene parameters (a jax pytree)."""
+    """Trainable pre-activation scene parameters (a jax pytree).
+
+    ``time_params`` is the optional 4D leaf ((N, 2) temporal opacity or
+    (N, 5) with linear motion, see ``ops.projection.slice_spacetime``);
+    when present it is trained like every other leaf — ``slice_spacetime``
+    is plain differentiable column math, so velocity/t_center/t_sigma
+    receive gradients from time-conditioned targets. ``None`` leaves are
+    empty pytree subtrees, so optax/densify/checkpoint treat a static
+    scene exactly as before."""
 
     positions: jnp.ndarray  # (N, 3)
     sh: jnp.ndarray  # (N, 3*(deg+1)^2)
     raw_opacity: jnp.ndarray  # (N,) logit-space
     raw_scales: jnp.ndarray  # (N, 3) log-space
     quats: jnp.ndarray  # (N, 4) unnormalized
+    time_params: Optional[jnp.ndarray] = None  # (N, 2) or (N, 5)
 
     @classmethod
     def from_scene(cls, scene: GaussianScene) -> "SceneParams":
@@ -68,6 +81,7 @@ class SceneParams(NamedTuple):
             raw_opacity=jnp.log(op / (1.0 - op)),
             raw_scales=jnp.log(jnp.maximum(scene.scales, 1e-30)),
             quats=scene.quats,
+            time_params=scene.time_params,
         )
 
     def to_scene(
@@ -79,7 +93,9 @@ class SceneParams(NamedTuple):
             opacity=jax.nn.sigmoid(self.raw_opacity),
             scales=jnp.exp(self.raw_scales),
             quats=self.quats,
-            time_params=time_params,
+            time_params=(
+                self.time_params if time_params is None else time_params
+            ),
         )
 
 
@@ -88,17 +104,27 @@ def _training_config(cfg: RenderConfig) -> RenderConfig:
 
 
 def render_for_training(
-    params: SceneParams, cam: CameraParams, cfg: RenderConfig
+    params: SceneParams,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    time_value: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Differentiable forward render of trainable parameters."""
-    fb, _ = render_frame(params.to_scene(), cam, _training_config(cfg))
+    """Differentiable forward render of trainable parameters (at an
+    optional traced time for spacetime scenes)."""
+    fb, _ = render_frame(
+        params.to_scene(), cam, _training_config(cfg), time_value
+    )
     return fb
 
 
 def mse_loss(
-    params: SceneParams, cam: CameraParams, target: jnp.ndarray, cfg: RenderConfig
+    params: SceneParams,
+    cam: CameraParams,
+    target: jnp.ndarray,
+    cfg: RenderConfig,
+    time_value: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    fb = render_for_training(params, cam, cfg)
+    fb = render_for_training(params, cam, cfg, time_value)
     return jnp.mean((fb - target) ** 2)
 
 
@@ -158,13 +184,14 @@ def l1_dssim_loss(
     cam: CameraParams,
     target: jnp.ndarray,
     cfg: RenderConfig,
+    time_value: Optional[jnp.ndarray] = None,
     ssim_weight: float = 0.2,
 ) -> jnp.ndarray:
     """The standard 3DGS photometric loss: (1−λ)·L1 + λ·(1−SSIM)/2
     (Kerbl et al. §5, λ = 0.2). The reference never got to training
     (reference README.md:17), so this follows the paper all trained
     3DGS captures were produced with."""
-    fb = render_for_training(params, cam, cfg)
+    fb = render_for_training(params, cam, cfg, time_value)
     l1 = jnp.mean(jnp.abs(fb - target))
     dssim = (1.0 - ssim(fb, target)) / 2.0
     return (1.0 - ssim_weight) * l1 + ssim_weight * dssim
@@ -174,13 +201,33 @@ def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
-def make_train_step(cfg: RenderConfig, optimizer=None, loss_fn=None):
+def make_train_step(cfg: RenderConfig, optimizer=None, loss_fn=None,
+                    timed: bool = False):
     """Single-chip jit train step: Adam against a target frame.
 
-    ``loss_fn(params, cam, target, cfg)`` defaults to :func:`mse_loss`;
-    pass :func:`l1_dssim_loss` for the standard 3DGS photometric loss."""
+    ``loss_fn(params, cam, target, cfg[, time_value])`` defaults to
+    :func:`mse_loss`; pass :func:`l1_dssim_loss` for the standard 3DGS
+    photometric loss. With ``timed=True`` the step signature gains a
+    traced ``time_value`` operand — ``(params, opt_state, cam, target,
+    time_value)`` — for fitting spacetime scenes to time-stamped targets
+    (a separate fixed-arity jit entry point; mixed-arity dispatch on one
+    function is the recompile trap render.py:214 documents)."""
     optimizer = optimizer or make_optimizer()
     loss_fn = loss_fn or mse_loss
+
+    if timed:
+
+        @jax.jit
+        def train_step(params: SceneParams, opt_state, cam: CameraParams,
+                       target, time_value):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cam, target, cfg, time_value
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step, optimizer
 
     @jax.jit
     def train_step(params: SceneParams, opt_state, cam: CameraParams, target):
@@ -435,12 +482,20 @@ def densify_step(
         new_scales_raw,
     )
 
+    new_time = (
+        None
+        if params.time_params is None
+        else jnp.where(
+            refill[:, None], g1(params.time_params), params.time_params
+        )
+    )
     new_params = SceneParams(
         positions=new_positions,
         sh=new_sh,
         raw_opacity=new_raw_op,
         raw_scales=new_scales_raw,
         quats=new_quats,
+        time_params=new_time,
     )
 
     # Reset Adam moments on every refilled row (and the shrunk donors'

@@ -322,6 +322,9 @@ def test_multichip_gradients_match_single_chip():
     for name, gs, gm in zip(
         SceneParams._fields, g_single, g_multi
     ):
+        if gs is None:  # optional leaves (time_params on a static scene)
+            assert gm is None
+            continue
         gs = np.asarray(gs)
         # Tolerance floor: the SGD extraction p - (p - g) quantizes at
         # |p|·2^-24 ≈ 2e-7 (params are O(1), grads O(1e-5)); measured
@@ -444,3 +447,65 @@ def test_checkpoint_restores_sharded_on_mesh(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(rp.positions), np.asarray(params.positions)
     )
+
+
+def test_spacetime_training_fits_velocity():
+    """time_params is a trainable leaf: gradients flow through
+    slice_spacetime's position slicing, so per-splat velocities fit to
+    time-stamped targets (the 4D half of streaming training)."""
+    scene, cam, cfg = _setup(n=80)
+    truth_scene = make_random_scene(
+        80, seed=2, scale_range=(0.05, 0.2), spacetime=True
+    )
+    truth = SceneParams.from_scene(truth_scene)
+    times = [0.0, 0.5, 1.0]
+    cam_p = cam.params(cfg.k_sigma)
+    targets = [
+        render_for_training(truth, cam_p, cfg, jnp.float32(t)) for t in times
+    ]
+
+    # Start from the truth with velocities zeroed: only motion is wrong.
+    tp0 = np.asarray(truth.time_params).copy()
+    tp0[:, 2:] = 0.0
+    params = truth._replace(time_params=jnp.asarray(tp0))
+
+    # Velocity gradients are nonzero.
+    g = jax.grad(mse_loss)(
+        params, cam_p, targets[2], cfg, jnp.float32(1.0)
+    )
+    assert float(jnp.abs(g.time_params[:, 2:]).max()) > 0
+
+    step, opt = make_train_step(cfg, timed=True)
+    opt_state = opt.init(params)
+    first = last = None
+    for epoch in range(12):
+        tot = 0.0
+        for t, target in zip(times, targets):
+            params, opt_state, loss = step(
+                params, opt_state, cam_p, target, jnp.float32(t)
+            )
+            tot += float(loss)
+        first = tot if first is None else first
+        last = tot
+    assert np.isfinite(last)
+    assert last < 0.7 * first, (first, last)
+
+
+def test_densify_preserves_time_params():
+    params, state = _densify_setup()
+    n = params.positions.shape[0]
+    rng = np.random.default_rng(0)
+    tp = rng.uniform(0, 1, size=(n, 5)).astype(np.float32)
+    params = params._replace(time_params=jnp.asarray(tp))
+    import optax
+
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    new_params, _, _, info = densify_step(params, opt_state, state)
+    assert new_params.time_params is not None
+    assert new_params.time_params.shape == (n, 5)
+    # Non-refilled rows keep their time params bit-exactly.
+    refilled = int(info["recycled"])
+    assert refilled > 0
+    kept = np.asarray(new_params.time_params)[10 + 6 :]  # past dead+hot
+    np.testing.assert_array_equal(kept, tp[10 + 6 :])
