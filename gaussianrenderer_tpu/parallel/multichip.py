@@ -74,6 +74,56 @@ def shard_scene(scene: GaussianScene, mesh: Mesh) -> GaussianScene:
     )
 
 
+def balance_strip_bounds(
+    row_loads, n_strips: int
+) -> Tuple[int, ...]:
+    """Contiguous tile-row partition minimizing the maximum strip load.
+
+    ``row_loads`` is instances (or lanes) per tile row — measurable on CPU
+    from a projection probe (tools/strip_slack_probe.py). Returns
+    ``n_strips + 1`` cumulative row boundaries for
+    :func:`render_frame_multichip`'s ``strip_bounds``. The equal-row
+    decomposition's measured worst-pose slack is 1.69× (c4) / 2.61× (c6)
+    (docs/sort_plan.md); load-balanced boundaries are the recovery lever
+    because scene mass concentrates in the horizon rows. Binary search on
+    the max-load bound + greedy packing (optimal for contiguous
+    partitions); trailing strips may be empty (zero rows) when fewer than
+    ``n_strips`` parts suffice.
+    """
+    loads = [max(0, int(v)) for v in np.asarray(row_loads).ravel()]
+    if len(loads) == 0 or n_strips < 1:
+        raise ValueError("need ≥1 row and ≥1 strip")
+
+    def parts_needed(cap: int) -> int:
+        parts, acc = 1, 0
+        for v in loads:
+            if v > cap:
+                return len(loads) + 1  # single row exceeds cap: infeasible
+            if acc + v > cap:
+                parts += 1
+                acc = v
+            else:
+                acc += v
+        return parts
+
+    lo, hi = max(loads), sum(loads)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if parts_needed(mid) <= n_strips:
+            hi = mid
+        else:
+            lo = mid + 1
+    bounds, acc = [0], 0
+    for i, v in enumerate(loads):
+        if acc + v > lo and len(bounds) < n_strips:
+            bounds.append(i)
+            acc = v
+        else:
+            acc += v
+    bounds += [len(loads)] * (n_strips + 1 - len(bounds))
+    return tuple(bounds)
+
+
 def _strip_render(
     scene_shard: GaussianScene,
     cam: CameraParams,
@@ -83,6 +133,7 @@ def _strip_render(
     compositor: str,
     time_value: Optional[jnp.ndarray],
     with_stats: bool = False,
+    strip_bounds: Optional[Tuple[int, ...]] = None,
 ):
     """Per-chip body run under shard_map (axis: AXIS).
 
@@ -97,8 +148,23 @@ def _strip_render(
     multi-chip callers surface the per-chip flags reduced over the mesh.
     """
     chip = jax.lax.axis_index(AXIS)
-    tiles_y_local = cfg.tiles_y // num_devices
-    strip_y0 = chip * tiles_y_local
+    if strip_bounds is None:
+        # Equal-row strips: every chip owns tiles_y/D contiguous rows.
+        tiles_y_local = cfg.tiles_y // num_devices
+        strip_y0 = chip * tiles_y_local
+        rows_here = tiles_y_local
+    else:
+        # Load-balanced contiguous strips (balance_strip_bounds): every
+        # chip COMPUTES rows_max rows (one static shape for shard_map)
+        # but OWNS rows_here of them; tiles beyond its range get zero
+        # instance counts and cost only Pallas grid overhead.
+        diffs = tuple(
+            strip_bounds[i + 1] - strip_bounds[i]
+            for i in range(num_devices)
+        )
+        tiles_y_local = max(max(diffs), 1)
+        strip_y0 = jnp.asarray(strip_bounds[:-1], jnp.int32)[chip]
+        rows_here = jnp.asarray(diffs, jnp.int32)[chip]
 
     # 4D spacetime: time-conditioned opacity + position slicing (same
     # helper as the single-chip path; runs shard-locally before the
@@ -148,9 +214,9 @@ def _strip_render(
     depth_all = record_all[:, FEAT_DIM + 4]
     valid_all = record_all[:, FEAT_DIM + 5] > 0.5
 
-    # ---- restrict to this chip's tile strip (rows [strip_y0, +local))
+    # ---- restrict to this chip's tile strip (rows [strip_y0, +rows_here))
     tmin_y = jnp.maximum(tile_min[:, 1], strip_y0) - strip_y0
-    tmax_y = jnp.minimum(tile_max[:, 1], strip_y0 + tiles_y_local - 1) - strip_y0
+    tmax_y = jnp.minimum(tile_max[:, 1], strip_y0 + rows_here - 1) - strip_y0
     intersects = tmin_y <= tmax_y
     valid_strip = valid_all & intersects
     tile_min_strip = jnp.stack([tile_min[:, 0], tmin_y], axis=-1)
@@ -261,13 +327,16 @@ def _strip_render(
     return fb_strip
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "strip_bounds")
+)
 def render_frame_multichip(
     scene: GaussianScene,
     cam: CameraParams,
     cfg: RenderConfig,
     mesh: Mesh,
     time_value: Optional[jnp.ndarray] = None,
+    strip_bounds: Optional[Tuple[int, ...]] = None,
 ):
     """Render one frame across every chip of ``mesh``.
 
@@ -277,16 +346,37 @@ def render_frame_multichip(
     ``center_clipped`` (packed center-encode saturation on any chip) —
     truncation is never silent.
 
-    Requires ``cfg.tiles_y`` divisible by the mesh size (strip decomposition)
-    and the scene pre-sharded with :func:`shard_scene`. The compositor
-    follows ``cfg.compositor`` exactly like the single-chip path ("packed"
-    needs ``cfg.packed_compatible``; otherwise the XLA compositor runs).
+    With ``strip_bounds=None``, requires ``cfg.tiles_y`` divisible by the
+    mesh size (equal-row strip decomposition). Pass
+    :func:`balance_strip_bounds`'s output (a static tuple of D+1
+    cumulative tile-row boundaries) for LOAD-BALANCED contiguous strips:
+    each chip then computes the max strip height (one static shape) but
+    owns only its boundary range, and the final framebuffer is
+    reassembled from the per-chip valid rows. The scene must be
+    pre-sharded with :func:`shard_scene`. The compositor follows
+    ``cfg.compositor`` exactly like the single-chip path ("packed" needs
+    ``cfg.packed_compatible``; otherwise the XLA compositor runs).
     """
     d = mesh.shape[AXIS]
-    if cfg.tiles_y % d != 0:
-        raise ValueError(
-            f"tiles_y={cfg.tiles_y} must be divisible by mesh size {d}"
-        )
+    if strip_bounds is None:
+        if cfg.tiles_y % d != 0:
+            raise ValueError(
+                f"tiles_y={cfg.tiles_y} must be divisible by mesh size {d}"
+            )
+    else:
+        if (
+            len(strip_bounds) != d + 1
+            or strip_bounds[0] != 0
+            or strip_bounds[-1] != cfg.tiles_y
+            or any(
+                strip_bounds[i] > strip_bounds[i + 1] for i in range(d)
+            )
+        ):
+            raise ValueError(
+                f"strip_bounds must be {d + 1} non-decreasing row "
+                f"boundaries from 0 to tiles_y={cfg.tiles_y}, got "
+                f"{strip_bounds}"
+            )
     capacity = cfg.instance_capacity(scene.num_gaussians) // d
     if cfg.compositor == "packed" and cfg.packed_compatible:
         compositor = "packed"
@@ -305,6 +395,7 @@ def render_frame_multichip(
             compositor=compositor,
             time_value=time_value,
             with_stats=True,
+            strip_bounds=strip_bounds,
         )
         # any() over the mesh: max of the per-chip flags as int32.
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
@@ -327,4 +418,17 @@ def render_frame_multichip(
     )
     fb, overflow, clipped = fn(scene, cam)
     stats = {"overflow": overflow, "center_clipped": clipped}
+    if strip_bounds is not None:
+        # Reassemble: chip c's block is rows_max·tile_h rows, of which the
+        # first (bounds[c+1]−bounds[c])·tile_h are real. Static offsets →
+        # a concat of slices (a layout shuffle XLA schedules on ICI).
+        diffs = [strip_bounds[i + 1] - strip_bounds[i] for i in range(d)]
+        rows_max = max(max(diffs), 1)
+        blocks = [
+            fb[:, c * rows_max * cfg.tile_h :
+               c * rows_max * cfg.tile_h + diffs[c] * cfg.tile_h]
+            for c in range(d)
+            if diffs[c] > 0
+        ]
+        fb = jnp.concatenate(blocks, axis=1)
     return fb[:, : cfg.height, : cfg.width], stats

@@ -132,3 +132,56 @@ def test_multichip_compacted_ladder_strips_divide_capacity():
     np.testing.assert_allclose(
         np.asarray(fb_multi), np.asarray(fb_single), atol=2e-4
     )
+
+
+def test_balance_strip_bounds_partitioner():
+    from gaussianrenderer_tpu.parallel import balance_strip_bounds
+
+    # Horizon-heavy loads: optimal contiguous 4-way split.
+    loads = [10, 1, 1, 1, 1, 1, 1, 10]
+    b = balance_strip_bounds(loads, 4)
+    assert b[0] == 0 and b[-1] == 8 and len(b) == 5
+    sums = [sum(loads[b[i]:b[i + 1]]) for i in range(4)]
+    assert max(sums) <= 11  # optimal max is 11 (10+1)
+    # Fewer heavy rows than strips: trailing strips may be empty.
+    b2 = balance_strip_bounds([100, 1], 4)
+    assert b2[0] == 0 and b2[-1] == 2 and len(b2) == 5
+    # Uniform loads reduce to the equal-row split.
+    b3 = balance_strip_bounds([5] * 8, 4)
+    assert b3 == (0, 2, 4, 6, 8)
+
+
+def test_balanced_strips_match_single_device():
+    """Load-balanced (unequal, one empty) strip boundaries must render the
+    same image as the single-chip path — the Pallas strip runs rows_max
+    rows but owns only its boundary range."""
+    scene, cam, cfg = _setup()
+    cfg = RenderConfig(**{**cfg.__dict__, "compositor": "packed"})
+    fb_single, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    # 8 rows over 8 chips, deliberately skewed: chip0 gets 2 rows,
+    # chip6 gets 0, the rest 1.
+    bounds = (0, 2, 3, 4, 5, 6, 7, 7, 8)
+    fb_multi, stats = render_frame_multichip(
+        sharded, cam.params(cfg.k_sigma), cfg, mesh, strip_bounds=bounds
+    )
+    assert fb_multi.shape == (3, cfg.height, cfg.width)
+    assert not bool(stats["overflow"])
+    np.testing.assert_allclose(
+        np.asarray(fb_multi), np.asarray(fb_single), atol=2e-5
+    )
+
+
+def test_balanced_strips_validates_bounds():
+    import pytest
+
+    scene, cam, cfg = _setup()
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    with pytest.raises(ValueError, match="strip_bounds"):
+        render_frame_multichip(
+            sharded, cam.params(cfg.k_sigma), cfg, mesh,
+            strip_bounds=(0, 3, 8),  # wrong arity for 8 chips
+        )

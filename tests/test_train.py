@@ -402,6 +402,9 @@ def test_checkpoint_roundtrip(tmp_path):
     from gaussianrenderer_tpu.train import load_checkpoint, save_checkpoint
 
     scene, cam, cfg = _setup(n=64)
+    scene = scene._replace(
+        time_params=make_random_scene(64, seed=4, spacetime=True).time_params
+    )  # cover the optional 4D leaf through orbax
     params = SceneParams.from_scene(scene)
     opt = make_train_step(cfg)[1]
     opt_state = opt.init(params)
@@ -410,13 +413,18 @@ def test_checkpoint_roundtrip(tmp_path):
     save_checkpoint(path, params, opt_state, dstate, step=42)
 
     # Restore into fresh templates of the same budget.
-    fresh = SceneParams.from_scene(make_random_scene(64, seed=99))
+    fresh = SceneParams.from_scene(
+        make_random_scene(64, seed=99, spacetime=True)
+    )
     rp, ro, rd, step = load_checkpoint(
         path, fresh, opt.init(fresh), DensifyState.zero(64)
     )
     assert step == 42
     np.testing.assert_array_equal(
         np.asarray(rp.positions), np.asarray(params.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rp.time_params), np.asarray(params.time_params)
     )
     assert type(ro) is type(opt_state)  # optax structure preserved
     assert int(rd.steps) == 5

@@ -34,11 +34,36 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, "/root/repo")
 
 from gaussianrenderer_tpu.ops.projection import preprocess_gaussians  # noqa: E402
+from gaussianrenderer_tpu.parallel import balance_strip_bounds  # noqa: E402
 from gaussianrenderer_tpu.scene.camera import Camera  # noqa: E402
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def row_loads(tmin_y, tmax_y, rect_w, valid, tiles_y):
+    """Instances per individual tile row (the balance_strip_bounds input)."""
+    loads = np.zeros(tiles_y, np.int64)
+    for r in range(tiles_y):
+        inter = valid & (tmin_y <= r) & (tmax_y >= r)
+        loads[r] = int(np.sum(rect_w[inter]))
+    return loads
+
+
+def bounded_counts(tmin_y, tmax_y, rect_w, valid, bounds):
+    """Instances per strip for explicit contiguous row boundaries."""
+    counts = []
+    for s in range(len(bounds) - 1):
+        y0, y1 = bounds[s], bounds[s + 1] - 1
+        if y0 > y1:
+            counts.append(0)
+            continue
+        lo = np.maximum(tmin_y, y0)
+        hi = np.minimum(tmax_y, y1)
+        inter = valid & (lo <= hi)
+        counts.append(int(np.sum(rect_w[inter] * (hi[inter] - lo[inter] + 1))))
+    return np.asarray(counts)
 
 
 def strip_counts(tmin_y, tmax_y, rect_w, valid, tiles_y, n_strips):
@@ -108,6 +133,17 @@ def main():
                 )
             )
             rec = {"config": config, "pose": f, "total_instances": total}
+            # Balanced bounds are STATIC per session: derive them once
+            # from the first pose's per-row loads, then measure the whole
+            # orbit against those fixed boundaries (the honest number —
+            # re-deriving per pose would mean a recompile per frame).
+            if f == 0:
+                loads0 = row_loads(
+                    tmin[:, 1], tmax[:, 1], rect_w, valid, cfg.tiles_y
+                )
+                bal_bounds = {
+                    s: balance_strip_bounds(loads0, s) for s in (2, 4, 8)
+                }
             for s in (2, 4, 8):
                 c = strip_counts(
                     tmin[:, 1], tmax[:, 1], rect_w, valid, cfg.tiles_y, s
@@ -115,18 +151,25 @@ def main():
                 rec[f"strips{s}"] = c.tolist()
                 rec[f"slack{s}"] = round(float(c.max() / (total / s)), 3)
                 rec[f"dup{s}"] = round(float(c.sum() / total), 3)
+                cb = bounded_counts(
+                    tmin[:, 1], tmax[:, 1], rect_w, valid, bal_bounds[s]
+                )
+                rec[f"bal_slack{s}"] = round(float(cb.max() / (total / s)), 3)
+            rec["bal_bounds8"] = list(bal_bounds[8])
             rows.append(rec)
             log(
                 f"[c{config} pose {f:2d}] total {total/1e6:.2f}M  "
-                f"slack2={rec['slack2']}  slack4={rec['slack4']}  "
-                f"slack8={rec['slack8']}  dup8={rec['dup8']}"
+                f"slack8={rec['slack8']} -> balanced {rec['bal_slack8']}  "
+                f"dup8={rec['dup8']}"
             )
 
         worst = {s: max(r[f"slack{s}"] for r in rows if r["config"] == config) for s in (2, 4, 8)}
+        bworst = {s: max(r[f"bal_slack{s}"] for r in rows if r["config"] == config) for s in (2, 4, 8)}
         dup = {s: max(r[f"dup{s}"] for r in rows if r["config"] == config) for s in (2, 4, 8)}
         log(
             f"== config {config}: worst slack 2/4/8 chips = "
-            f"{worst[2]}/{worst[4]}/{worst[8]}  "
+            f"{worst[2]}/{worst[4]}/{worst[8]} "
+            f"balanced {bworst[2]}/{bworst[4]}/{bworst[8]}  "
             f"(duplication {dup[2]}/{dup[4]}/{dup[8]})"
         )
 
