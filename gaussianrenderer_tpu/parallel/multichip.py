@@ -124,6 +124,53 @@ def balance_strip_bounds(
     return tuple(bounds)
 
 
+def strip_row_loads(scene: GaussianScene, cam: CameraParams,
+                    cfg: RenderConfig) -> np.ndarray:
+    """Instance lanes per tile row for one pose — the
+    :func:`balance_strip_bounds` input. Projection-only (no sort/render);
+    run it on a calibration pose like ``render.calibrate_tiers`` does its
+    area probe. A splat's tile rect contributes its width to every row it
+    intersects (exactly how the strip restriction in ``_strip_render``
+    assigns instances)."""
+    proj = preprocess_gaussians(
+        scene,
+        cam,
+        width=cfg.width,
+        height=cfg.height,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree,
+        quantize_centers=cfg.quantize_centers,
+    )
+    valid = np.asarray(proj.valid)
+    tmin = np.asarray(proj.tile_min)
+    tmax = np.asarray(proj.tile_max)
+    rect_w = (tmax[:, 0] - tmin[:, 0] + 1).astype(np.int64)
+    loads = np.zeros(cfg.tiles_y, np.int64)
+    for r in range(cfg.tiles_y):
+        inter = valid & (tmin[:, 1] <= r) & (tmax[:, 1] >= r)
+        loads[r] = int(np.sum(rect_w[inter]))
+    return loads
+
+
+def balance_strips_for_scene(
+    scene: GaussianScene,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    n_strips: int,
+) -> Tuple[int, ...]:
+    """One-call scene calibration for :func:`render_frame_multichip`'s
+    ``strip_bounds``: probe one pose's per-row loads, partition. Slack
+    with pose-0-derived bounds stays ≤~1.2-1.3× across a full orbit
+    (strip_slack_balanced.jsonl) because row occupancy is scene-shaped,
+    not pose-shaped."""
+    return balance_strip_bounds(
+        strip_row_loads(scene, cam, cfg), n_strips
+    )
+
+
 def _strip_render(
     scene_shard: GaussianScene,
     cam: CameraParams,

@@ -185,3 +185,35 @@ def test_balanced_strips_validates_bounds():
             sharded, cam.params(cfg.k_sigma), cfg, mesh,
             strip_bounds=(0, 3, 8),  # wrong arity for 8 chips
         )
+
+
+def test_balance_strips_for_scene_end_to_end():
+    """One-call calibration: probe a pose, partition, render with the
+    bounds — image equality and measurable balance improvement."""
+    from gaussianrenderer_tpu.parallel import (
+        balance_strips_for_scene,
+        strip_row_loads,
+    )
+
+    scene, cam, cfg = _setup()
+    cam_p = cam.params(cfg.k_sigma)
+    loads = strip_row_loads(scene, cam_p, cfg)
+    assert loads.shape == (cfg.tiles_y,) and loads.sum() > 0
+    bounds = balance_strips_for_scene(scene, cam_p, cfg, 8)
+    assert len(bounds) == 9 and bounds[0] == 0 and bounds[-1] == cfg.tiles_y
+
+    fb_single, _ = render_frame(scene, cam_p, cfg)
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    fb_multi, stats = render_frame_multichip(
+        sharded, cam_p, cfg, mesh, strip_bounds=bounds
+    )
+    assert not bool(stats["overflow"])
+    np.testing.assert_allclose(
+        np.asarray(fb_multi), np.asarray(fb_single), atol=2e-5
+    )
+    # The balanced max strip load never exceeds the equal-split max.
+    diffs = [bounds[i + 1] - bounds[i] for i in range(8)]
+    bal = [int(loads[bounds[i]:bounds[i + 1]].sum()) for i in range(8)]
+    eq = [int(loads[i:i + 1].sum()) for i in range(8)]  # 8 rows, 1 each
+    assert max(bal) <= max(eq)
