@@ -240,22 +240,41 @@ def make_train_step(cfg: RenderConfig, optimizer=None, loss_fn=None,
 
 
 # --------------------------------------------------------------- multi-chip
-def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None):
+def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
+                              strip_bounds=None):
     """Mesh-parallel train step: params sharded over Gaussians, loss computed
     strip-parallel, gradients land on the owning chip via the AD transpose
-    of the forward all_gather."""
+    of the forward all_gather.
+
+    ``strip_bounds`` (a static tuple from
+    ``parallel.balance_strips_for_scene``) load-balances the strip
+    decomposition exactly like ``render_frame_multichip``: each chip runs
+    the max strip height but owns only its boundary rows; its target
+    region is dynamic-sliced from the replicated padded target and the
+    loss masks rows outside the owned range."""
     from gaussianrenderer_tpu.parallel.multichip import AXIS, _strip_render
 
     optimizer = optimizer or make_optimizer()
     d = mesh.shape[AXIS]
-    if cfg.tiles_y % d != 0:
-        raise ValueError(f"tiles_y={cfg.tiles_y} must divide mesh size {d}")
+    if strip_bounds is None:
+        if cfg.tiles_y % d != 0:
+            raise ValueError(
+                f"tiles_y={cfg.tiles_y} must divide mesh size {d}"
+            )
+    else:
+        strip_bounds = tuple(int(b) for b in strip_bounds)
+        if (
+            len(strip_bounds) != d + 1
+            or strip_bounds[0] != 0
+            or strip_bounds[-1] != cfg.tiles_y
+        ):
+            raise ValueError(f"bad strip_bounds {strip_bounds}")
     train_cfg = _training_config(cfg)
 
     def loss_fn(params: SceneParams, cam: CameraParams, target):
         capacity = train_cfg.instance_capacity(params.positions.shape[0]) // d
 
-        def shard_body(p_shard, cam_rep, target_strip):
+        def shard_body(p_shard, cam_rep, target_in):
             fb_strip = _strip_render(
                 p_shard.to_scene(),
                 cam_rep,
@@ -264,28 +283,62 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None):
                 capacity=capacity,
                 compositor="diff",
                 time_value=None,
+                strip_bounds=strip_bounds,
             )
             h = fb_strip.shape[1]
-            # Mask pad rows beyond the real framebuffer height so the
-            # bottom strip's padding contributes no loss/gradient.
             chip = jax.lax.axis_index(AXIS)
-            row0 = chip * h
-            rows_valid = (row0 + jnp.arange(h)) < cfg.height
-            err = (fb_strip - target_strip[:, :h, :]) ** 2
+            if strip_bounds is None:
+                # Equal strips: target arrives strip-sharded; mask pad
+                # rows beyond the real framebuffer height.
+                row0 = chip * h
+                target_local = target_in[:, :h, :]
+                rows_valid = (row0 + jnp.arange(h)) < cfg.height
+            else:
+                # Balanced strips: target arrives replicated and padded
+                # past the deepest possible slice; each chip slices its
+                # owned region and masks rows beyond it.
+                diffs = tuple(
+                    strip_bounds[i + 1] - strip_bounds[i] for i in range(d)
+                )
+                y0 = jnp.asarray(strip_bounds[:-1], jnp.int32)[chip]
+                rows_here = jnp.asarray(diffs, jnp.int32)[chip]
+                row0 = y0 * cfg.tile_h
+                target_local = jax.lax.dynamic_slice(
+                    target_in,
+                    (0, row0, 0),
+                    (3, h, target_in.shape[2]),
+                )
+                rows_valid = (jnp.arange(h) < rows_here * cfg.tile_h) & (
+                    (row0 + jnp.arange(h)) < cfg.height
+                )
+            err = (fb_strip - target_local) ** 2
             err = err * rows_valid[None, :, None]
             return jax.lax.psum(jnp.sum(err), AXIS)
 
+        target_spec = (
+            P(None, AXIS, None) if strip_bounds is None else P()
+        )
         fn = jax.shard_map(
             shard_body,
             mesh=mesh,
             in_specs=(
                 jax.tree_util.tree_map(lambda _: P(AXIS), params),
                 jax.tree_util.tree_map(lambda _: P(), cam),
-                P(None, AXIS, None),
+                target_spec,
             ),
             out_specs=P(),
             check_vma=False,
         )
+        if strip_bounds is not None:
+            # Pad so the deepest slice (last boundary at max strip height)
+            # stays in range — dynamic_slice must never clamp, or the
+            # row masks would drift off their true offsets.
+            diffs = [strip_bounds[i + 1] - strip_bounds[i] for i in range(d)]
+            rows_max = max(max(diffs), 1)
+            need_h = (cfg.tiles_y + rows_max) * cfg.tile_h
+            target = jnp.pad(
+                target, ((0, 0), (0, need_h - target.shape[1]), (0, 0))
+            )
         total_px = 3 * cfg.height * cfg.width
         return fn(params, cam, target) / total_px
 

@@ -517,3 +517,47 @@ def test_densify_preserves_time_params():
     assert refilled > 0
     kept = np.asarray(new_params.time_params)[10 + 6 :]  # past dead+hot
     np.testing.assert_array_equal(kept, tp[10 + 6 :])
+
+
+def test_multichip_balanced_strips_gradients_match():
+    """The balanced-bounds training decomposition must produce the same
+    gradients as single-chip (same SGD-extraction method as the
+    equal-strip gradient test; unequal bounds incl. an empty strip)."""
+    import optax
+    from gaussianrenderer_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    scene, cam, cfg = _setup(n=120)
+    mesh = make_mesh()
+    cam_p = cam.params(cfg.k_sigma)
+    target = render_for_training(
+        SceneParams.from_scene(scene), cam_p, cfg
+    )
+    params0 = SceneParams.from_scene(scene)
+    params0 = params0._replace(sh=params0.sh + 0.1)
+    g_single = jax.grad(mse_loss)(params0, cam_p, target, cfg)
+
+    sharding = NamedSharding(mesh, P("chips"))
+    params_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), params0
+    )
+    bounds = (0, 2, 3, 4, 5, 6, 7, 7, 8)  # skewed; chip6 owns nothing
+    step, optimizer = make_multichip_train_step(
+        cfg, mesh, optimizer=optax.sgd(1.0), strip_bounds=bounds
+    )
+    opt_state = optimizer.init(params_sh)
+    new_params, _, loss_m = step(params_sh, opt_state, cam_p, target)
+    loss_s = mse_loss(params0, cam_p, target, cfg)
+    assert abs(float(loss_m) - float(loss_s)) < 1e-6 * max(
+        1.0, abs(float(loss_s))
+    )
+    g_multi = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), params_sh, new_params
+    )
+    for name, gs, gm in zip(SceneParams._fields, g_single, g_multi):
+        if gs is None:
+            assert gm is None
+            continue
+        gs = np.asarray(gs)
+        tol = max(3e-7, 3e-7 * float(np.abs(gs).max()))
+        np.testing.assert_allclose(np.asarray(gm), gs, atol=tol, err_msg=name)
