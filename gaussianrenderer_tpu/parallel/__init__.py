@@ -3,7 +3,9 @@ from gaussianrenderer_tpu.parallel.multichip import (
     balance_strips_for_scene,
     make_mesh,
     render_frame_multichip,
+    row_loads_from_rects,
     shard_scene,
+    strip_geometry,
     strip_row_loads,
 )
 
@@ -12,6 +14,8 @@ __all__ = [
     "balance_strips_for_scene",
     "make_mesh",
     "render_frame_multichip",
+    "row_loads_from_rects",
     "shard_scene",
+    "strip_geometry",
     "strip_row_loads",
 ]

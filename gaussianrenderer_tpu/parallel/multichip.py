@@ -124,14 +124,24 @@ def balance_strip_bounds(
     return tuple(bounds)
 
 
+def row_loads_from_rects(tmin_y, tmax_y, rect_w, valid, tiles_y) -> np.ndarray:
+    """Instance lanes per tile row from tile-rect arrays (NumPy). A splat
+    contributes its rect width to every row its rect intersects — exactly
+    how the strip restriction in ``_strip_render`` assigns instances.
+    Shared by :func:`strip_row_loads` and tools/strip_slack_probe.py."""
+    loads = np.zeros(tiles_y, np.int64)
+    for r in range(tiles_y):
+        inter = valid & (tmin_y <= r) & (tmax_y >= r)
+        loads[r] = int(np.sum(rect_w[inter]))
+    return loads
+
+
 def strip_row_loads(scene: GaussianScene, cam: CameraParams,
                     cfg: RenderConfig) -> np.ndarray:
     """Instance lanes per tile row for one pose — the
     :func:`balance_strip_bounds` input. Projection-only (no sort/render);
     run it on a calibration pose like ``render.calibrate_tiers`` does its
-    area probe. A splat's tile rect contributes its width to every row it
-    intersects (exactly how the strip restriction in ``_strip_render``
-    assigns instances)."""
+    area probe."""
     proj = preprocess_gaussians(
         scene,
         cam,
@@ -148,11 +158,35 @@ def strip_row_loads(scene: GaussianScene, cam: CameraParams,
     tmin = np.asarray(proj.tile_min)
     tmax = np.asarray(proj.tile_max)
     rect_w = (tmax[:, 0] - tmin[:, 0] + 1).astype(np.int64)
-    loads = np.zeros(cfg.tiles_y, np.int64)
-    for r in range(cfg.tiles_y):
-        inter = valid & (tmin[:, 1] <= r) & (tmax[:, 1] >= r)
-        loads[r] = int(np.sum(rect_w[inter]))
-    return loads
+    return row_loads_from_rects(
+        tmin[:, 1], tmax[:, 1], rect_w, valid, cfg.tiles_y
+    )
+
+
+def strip_geometry(
+    strip_bounds: Tuple[int, ...], num_devices: int, tiles_y: int
+) -> Tuple[Tuple[int, ...], int]:
+    """Validate ``strip_bounds`` and return ``(per-strip row counts,
+    rows_max)`` — the ONE derivation of the balanced-strip geometry shared
+    by the render path, the training loss, and the reassembly (they must
+    agree exactly or framebuffer shapes desync from loss masks)."""
+    if (
+        len(strip_bounds) != num_devices + 1
+        or strip_bounds[0] != 0
+        or strip_bounds[-1] != tiles_y
+        or any(
+            strip_bounds[i] > strip_bounds[i + 1]
+            for i in range(num_devices)
+        )
+    ):
+        raise ValueError(
+            f"strip_bounds must be {num_devices + 1} non-decreasing row "
+            f"boundaries from 0 to tiles_y={tiles_y}, got {strip_bounds}"
+        )
+    diffs = tuple(
+        strip_bounds[i + 1] - strip_bounds[i] for i in range(num_devices)
+    )
+    return diffs, max(max(diffs), 1)
 
 
 def balance_strips_for_scene(
@@ -205,11 +239,9 @@ def _strip_render(
         # chip COMPUTES rows_max rows (one static shape for shard_map)
         # but OWNS rows_here of them; tiles beyond its range get zero
         # instance counts and cost only Pallas grid overhead.
-        diffs = tuple(
-            strip_bounds[i + 1] - strip_bounds[i]
-            for i in range(num_devices)
+        diffs, tiles_y_local = strip_geometry(
+            strip_bounds, num_devices, cfg.tiles_y
         )
-        tiles_y_local = max(max(diffs), 1)
         strip_y0 = jnp.asarray(strip_bounds[:-1], jnp.int32)[chip]
         rows_here = jnp.asarray(diffs, jnp.int32)[chip]
 
@@ -328,7 +360,7 @@ def _strip_render(
             tile_h=cfg.tile_h,
             width=cfg.width,
             height=strip_h,  # full strip; global crop happens outside
-            chunk=cfg.chunk_size,
+            chunk=cfg.packed_chunk,
         )
         if with_stats:
             return fb_strip, inst.overflow, inst.center_clipped
@@ -411,19 +443,7 @@ def render_frame_multichip(
                 f"tiles_y={cfg.tiles_y} must be divisible by mesh size {d}"
             )
     else:
-        if (
-            len(strip_bounds) != d + 1
-            or strip_bounds[0] != 0
-            or strip_bounds[-1] != cfg.tiles_y
-            or any(
-                strip_bounds[i] > strip_bounds[i + 1] for i in range(d)
-            )
-        ):
-            raise ValueError(
-                f"strip_bounds must be {d + 1} non-decreasing row "
-                f"boundaries from 0 to tiles_y={cfg.tiles_y}, got "
-                f"{strip_bounds}"
-            )
+        strip_geometry(strip_bounds, d, cfg.tiles_y)  # validates
     capacity = cfg.instance_capacity(scene.num_gaussians) // d
     if cfg.compositor == "packed" and cfg.packed_compatible:
         compositor = "packed"
@@ -469,8 +489,7 @@ def render_frame_multichip(
         # Reassemble: chip c's block is rows_max·tile_h rows, of which the
         # first (bounds[c+1]−bounds[c])·tile_h are real. Static offsets →
         # a concat of slices (a layout shuffle XLA schedules on ICI).
-        diffs = [strip_bounds[i + 1] - strip_bounds[i] for i in range(d)]
-        rows_max = max(max(diffs), 1)
+        diffs, rows_max = strip_geometry(strip_bounds, d, cfg.tiles_y)
         blocks = [
             fb[:, c * rows_max * cfg.tile_h :
                c * rows_max * cfg.tile_h + diffs[c] * cfg.tile_h]

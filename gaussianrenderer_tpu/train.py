@@ -252,23 +252,27 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
     the max strip height but owns only its boundary rows; its target
     region is dynamic-sliced from the replicated padded target and the
     loss masks rows outside the owned range."""
-    from gaussianrenderer_tpu.parallel.multichip import AXIS, _strip_render
+    from gaussianrenderer_tpu.parallel.multichip import (
+        AXIS,
+        _strip_render,
+        strip_geometry,
+    )
 
     optimizer = optimizer or make_optimizer()
     d = mesh.shape[AXIS]
     if strip_bounds is None:
+        strip_diffs = strip_rows_max = None
         if cfg.tiles_y % d != 0:
             raise ValueError(
                 f"tiles_y={cfg.tiles_y} must divide mesh size {d}"
             )
     else:
         strip_bounds = tuple(int(b) for b in strip_bounds)
-        if (
-            len(strip_bounds) != d + 1
-            or strip_bounds[0] != 0
-            or strip_bounds[-1] != cfg.tiles_y
-        ):
-            raise ValueError(f"bad strip_bounds {strip_bounds}")
+        # Validates monotonicity too — decreasing bounds would silently
+        # double-count rows in the psum'd loss.
+        strip_diffs, strip_rows_max = strip_geometry(
+            strip_bounds, d, cfg.tiles_y
+        )
     train_cfg = _training_config(cfg)
 
     def loss_fn(params: SceneParams, cam: CameraParams, target):
@@ -297,11 +301,8 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
                 # Balanced strips: target arrives replicated and padded
                 # past the deepest possible slice; each chip slices its
                 # owned region and masks rows beyond it.
-                diffs = tuple(
-                    strip_bounds[i + 1] - strip_bounds[i] for i in range(d)
-                )
                 y0 = jnp.asarray(strip_bounds[:-1], jnp.int32)[chip]
-                rows_here = jnp.asarray(diffs, jnp.int32)[chip]
+                rows_here = jnp.asarray(strip_diffs, jnp.int32)[chip]
                 row0 = y0 * cfg.tile_h
                 target_local = jax.lax.dynamic_slice(
                     target_in,
@@ -333,9 +334,7 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
             # Pad so the deepest slice (last boundary at max strip height)
             # stays in range — dynamic_slice must never clamp, or the
             # row masks would drift off their true offsets.
-            diffs = [strip_bounds[i + 1] - strip_bounds[i] for i in range(d)]
-            rows_max = max(max(diffs), 1)
-            need_h = (cfg.tiles_y + rows_max) * cfg.tile_h
+            need_h = (cfg.tiles_y + strip_rows_max) * cfg.tile_h
             target = jnp.pad(
                 target, ((0, 0), (0, need_h - target.shape[1]), (0, 0))
             )
@@ -610,7 +609,14 @@ def load_checkpoint(
     same budget N): arrays are restored with the template's sharding,
     which is how a resumed multichip session lands parameters directly
     on their mesh shards. Returns ``(params, opt_state, densify, step)``
-    with ``None`` for templates not supplied."""
+    with ``None`` for templates not supplied.
+
+    Partial restores are supported: a checkpoint saved WITH optimizer /
+    densify state restores params-only (inference handoff) — orbax's
+    strict template restore rejects missing subtrees, so in that case the
+    checkpoint is read structure-free and each requested component is
+    remapped onto its template by key path (then device_put to the
+    template's sharding)."""
     import orbax.checkpoint as ocp
     import os
 
@@ -620,7 +626,42 @@ def load_checkpoint(
     if densify_state is not None:
         template["densify"] = densify_state
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), template)
+    path = os.path.abspath(path)
+    on_disk = set(ckptr.metadata(path).item_metadata.keys())
+    if on_disk == set(template.keys()):
+        restored = ckptr.restore(path, template)
+    else:
+        missing = set(template.keys()) - on_disk
+        if missing:
+            raise ValueError(
+                f"checkpoint {path} has no {sorted(missing)} "
+                f"(on disk: {sorted(on_disk)})"
+            )
+        # Template covers a strict subset: structure-free read + path
+        # remap (orbax serializes NamedTuples as field-name dicts and
+        # tuples as lists, so template key paths resolve directly).
+        raw = ckptr.restore(path)
+
+        def remap(raw_tree, tmpl):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(tmpl)
+            leaves = []
+            for kpath, tleaf in flat:
+                node = raw_tree
+                for k in kpath:
+                    if isinstance(k, jax.tree_util.GetAttrKey):
+                        node = node[k.name]
+                    elif isinstance(k, jax.tree_util.DictKey):
+                        node = node[k.key]
+                    elif isinstance(k, jax.tree_util.SequenceKey):
+                        node = node[k.idx]
+                    else:  # FlattenedIndexKey etc.
+                        raise TypeError(f"unsupported key {k!r}")
+                if hasattr(tleaf, "sharding"):
+                    node = jax.device_put(node, tleaf.sharding)
+                leaves.append(node)
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        restored = {k: remap(raw[k], v) for k, v in template.items()}
     return (
         restored["params"],
         restored.get("opt_state"),

@@ -561,3 +561,42 @@ def test_multichip_balanced_strips_gradients_match():
         gs = np.asarray(gs)
         tol = max(3e-7, 3e-7 * float(np.abs(gs).max()))
         np.testing.assert_allclose(np.asarray(gm), gs, atol=tol, err_msg=name)
+
+
+def test_checkpoint_partial_restore_params_only(tmp_path):
+    """A full training checkpoint (params + Adam + densify) must restore
+    params-only (inference handoff) — the orbax strict template restore
+    rejects missing subtrees, so this pins the path-remap fallback."""
+    from gaussianrenderer_tpu.train import load_checkpoint, save_checkpoint
+
+    scene, _, cfg = _setup(n=64)
+    params = SceneParams.from_scene(scene)
+    opt = make_train_step(cfg)[1]
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, opt.init(params), DensifyState.zero(64),
+                    step=9)
+    fresh = SceneParams.from_scene(make_random_scene(64, seed=98))
+    rp, ro, rd, step = load_checkpoint(path, fresh)
+    assert step == 9 and ro is None and rd is None
+    np.testing.assert_array_equal(
+        np.asarray(rp.positions), np.asarray(params.positions)
+    )
+    # A template for a component the checkpoint lacks errors clearly.
+    import pytest
+
+    path2 = str(tmp_path / "ckpt2")
+    save_checkpoint(path2, params, step=1)
+    with pytest.raises(ValueError, match="densify"):
+        load_checkpoint(path2, fresh, None, DensifyState.zero(64))
+
+
+def test_multichip_train_rejects_decreasing_bounds():
+    import pytest
+    from gaussianrenderer_tpu.parallel import make_mesh
+
+    _, _, cfg = _setup()
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="non-decreasing"):
+        make_multichip_train_step(
+            cfg, mesh, strip_bounds=(0, 5, 3, 4, 5, 6, 7, 7, 8)
+        )

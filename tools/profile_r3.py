@@ -132,7 +132,7 @@ def main():
         proj = jax.jit(pre)(scene, params)
         inst = jax.jit(build)(proj)
         tc = np.asarray(inst.tile_count)
-        k = args.chunk or cfg.chunk_size
+        k = args.chunk or cfg.packed_chunk
         extra = {
             "sum_count": int(tc.sum()),
             "max_count": int(tc.max()),
@@ -169,7 +169,7 @@ def main():
         )
         comp = functools.partial(
             composite_tiles_packed,
-            chunk=args.chunk or cfg.chunk_size,
+            chunk=args.chunk or cfg.packed_chunk,
             precision=getattr(jax.lax.Precision, args.precision.upper()),
             mxu_q=not args.no_mxu_q,
             **common,

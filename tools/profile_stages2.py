@@ -147,7 +147,7 @@ def main():
         tile_h=cfg.tile_h,
         width=cfg.width,
         height=cfg.height,
-        chunk=cfg.chunk_size,
+        chunk=cfg.packed_chunk,
     )
     dt(
         "composite packed",

@@ -42,13 +42,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def row_loads(tmin_y, tmax_y, rect_w, valid, tiles_y):
-    """Instances per individual tile row (the balance_strip_bounds input)."""
-    loads = np.zeros(tiles_y, np.int64)
-    for r in range(tiles_y):
-        inter = valid & (tmin_y <= r) & (tmax_y >= r)
-        loads[r] = int(np.sum(rect_w[inter]))
-    return loads
+from gaussianrenderer_tpu.parallel import row_loads_from_rects as row_loads  # noqa: E402
 
 
 def bounded_counts(tmin_y, tmax_y, rect_w, valid, bounds):
