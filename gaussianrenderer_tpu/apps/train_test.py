@@ -100,7 +100,7 @@ def main() -> int:
         losses.append(float(loss))
         if (s + 1) % args.densify_every == 0:
             params, opt_state, dstate, info = densify_step(
-                params, opt_state, dstate
+                params, opt_state, dstate, seed=s + 1
             )
             rec = int(info["recycled"])
             dead = int(info["dead"])

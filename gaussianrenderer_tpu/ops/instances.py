@@ -150,6 +150,20 @@ def _color_bits(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(q, 0, 65535).astype(jnp.uint32)
 
 
+def packed_valid_np(valid, opacity):
+    """The packed emitter's validity rule on HOST arrays: projection-valid
+    AND 16-bit-quantized opacity ≥ ALPHA_EPS — the exact population
+    :func:`build_packed_instances` emits (its ``valid`` at line ~537).
+    The one definition shared by every CPU calibration probe
+    (render.area_histogram, parallel.strip_row_loads,
+    tools/strip_slack_probe.py), so a threshold or quantization change
+    cannot silently desync probe populations from the render path."""
+    import numpy as np
+
+    op_q = np.round(np.asarray(opacity) * COLOR_SCALE) / COLOR_SCALE
+    return np.asarray(valid) & (op_q >= ALPHA_EPS)
+
+
 def _f32_bits(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
 

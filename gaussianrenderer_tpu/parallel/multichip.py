@@ -128,12 +128,20 @@ def row_loads_from_rects(tmin_y, tmax_y, rect_w, valid, tiles_y) -> np.ndarray:
     """Instance lanes per tile row from tile-rect arrays (NumPy). A splat
     contributes its rect width to every row its rect intersects — exactly
     how the strip restriction in ``_strip_render`` assigns instances.
-    Shared by :func:`strip_row_loads` and tools/strip_slack_probe.py."""
-    loads = np.zeros(tiles_y, np.int64)
-    for r in range(tiles_y):
-        inter = valid & (tmin_y <= r) & (tmax_y >= r)
-        loads[r] = int(np.sum(rect_w[inter]))
-    return loads
+    Shared by :func:`strip_row_loads` and tools/strip_slack_probe.py.
+
+    O(N + tiles_y) difference-array form (add the width at the rect's
+    first row, subtract past its last, prefix-sum) — the masked-reduction
+    loop it replaces visited every splat once per row (~200M element
+    visits per calibration pose at the 3M-splat bench scene)."""
+    use = np.asarray(valid) & (tmax_y >= 0) & (tmin_y < tiles_y)
+    lo = np.clip(tmin_y[use], 0, tiles_y - 1)
+    hi = np.clip(tmax_y[use], 0, tiles_y - 1)
+    w = np.asarray(rect_w)[use].astype(np.int64)
+    d = np.zeros(tiles_y + 1, np.int64)
+    np.add.at(d, lo, w)
+    np.subtract.at(d, hi + 1, w)
+    return np.cumsum(d)[:tiles_y]
 
 
 def strip_row_loads(scene: GaussianScene, cam: CameraParams,
@@ -154,7 +162,11 @@ def strip_row_loads(scene: GaussianScene, cam: CameraParams,
         sh_degree=cfg.sh_degree,
         quantize_centers=cfg.quantize_centers,
     )
-    valid = np.asarray(proj.valid)
+    from gaussianrenderer_tpu.ops.instances import packed_valid_np
+
+    # The packed emitter's population (quantized-opacity threshold), so
+    # the balance reflects what each strip actually sorts.
+    valid = packed_valid_np(proj.valid, proj.opacity)
     tmin = np.asarray(proj.tile_min)
     tmax = np.asarray(proj.tile_max)
     rect_w = (tmax[:, 0] - tmin[:, 0] + 1).astype(np.int64)
@@ -288,6 +300,19 @@ def _strip_render(
     y_off = (strip_y0 * cfg.tile_h).astype(jnp.float32)
     shift = jnp.zeros((FEAT_DIM,), jnp.float32).at[jnp.array([1, 10, 12])].set(y_off)
     feats_all = feats_all - shift[None, :]
+    # Clamp the strip-local pixel AABB to the OWNED pixel rows. The packed
+    # path's windowed tiers re-derive tile rects from this AABB
+    # (ops/instances.py "bit-exact" re-derivation) and mask each class
+    # member against its class area; without the clamp a splat straddling
+    # the strip's last owned row sorts into a class by its row-clamped
+    # rect area (tile_max_strip below) but re-derives a LARGER area from
+    # the unclamped AABB — the defense mask then drops it silently from
+    # rows this chip owns (balanced strips only: there rows_here can be
+    # < the static tiles_y_local). Pixels past the owned rows are cropped
+    # at reassembly, so the clamp changes no visible coverage.
+    y_hi = jnp.maximum(rows_here * cfg.tile_h - 1, 0).astype(jnp.float32)
+    aabb_y = jnp.clip(feats_all[:, jnp.array([10, 12])], 0.0, y_hi)
+    feats_all = feats_all.at[:, jnp.array([10, 12])].set(aabb_y)
     tile_min = record_all[:, FEAT_DIM : FEAT_DIM + 2].astype(jnp.int32)
     tile_max = record_all[:, FEAT_DIM + 2 : FEAT_DIM + 4].astype(jnp.int32)
     depth_all = record_all[:, FEAT_DIM + 4]

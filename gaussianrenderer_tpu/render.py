@@ -208,7 +208,14 @@ def render_frame(
     jitted entry points (a single Optional-arg jit trips the C++ fast-path
     argument matching on this jax version when arities are mixed).
     """
-    if cfg.tiers is None and scene.num_gaussians >= 200_000:
+    if (
+        cfg.tiers is None
+        and cfg.compositor == "packed"
+        and scene.num_gaussians >= 200_000
+    ):
+        # Packed path only: the xla/diff compositors have no tier ladder,
+        # so suggesting calibration there (e.g. large-scene training runs
+        # through the diff compositor) would be a no-op tuning knob.
         # The uncalibrated default ladder gives EVERY splat 4 base lanes —
         # up to ~4× sort-lane waste on small-splat scenes (the sort is the
         # frame's scaling cost). One warning per process, not per frame.
@@ -289,7 +296,7 @@ def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
     tests/test_packed_pipeline.py)."""
     import numpy as np
 
-    from gaussianrenderer_tpu.ops.instances import ALPHA_EPS, AREA_BUCKETS
+    from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS, packed_valid_np
 
     proj = preprocess_gaussians(
         scene,
@@ -306,8 +313,7 @@ def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
     tmin = np.asarray(proj.tile_min)
     tmax = np.asarray(proj.tile_max)
     # Same 16-bit-quantized opacity threshold as the packed emitter.
-    op_q = np.round(np.asarray(proj.opacity) * 65535.0) / 65535.0
-    valid = np.asarray(proj.valid) & (op_q >= ALPHA_EPS)
+    valid = packed_valid_np(proj.valid, proj.opacity)
     area = np.where(
         valid, (tmax[:, 0] - tmin[:, 0] + 1) * (tmax[:, 1] - tmin[:, 1] + 1), 0
     )

@@ -144,13 +144,19 @@ def _blur_hw(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     kh = jnp.broadcast_to(window.reshape(1, 1, size, 1), (3, 1, size, 1))
     kw = jnp.broadcast_to(window.reshape(1, 1, 1, size), (3, 1, 1, size))
     x = img[None]  # NCHW
+    # HIGHEST precision: var = blur(a²) − μ² is a catastrophic
+    # cancellation of ~0.25-scale terms down to ~1e-4 variances; the TPU
+    # default bf16 conv pass would dominate it with noise (CPU tests
+    # cannot catch this — conftest forces the CPU backend).
     x = jax.lax.conv_general_dilated(
         x, kh, (1, 1), "VALID", feature_group_count=3,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
         x, kw, (1, 1), "VALID", feature_group_count=3,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x[0]
 
@@ -404,7 +410,9 @@ def densify_step(
     grad_threshold: float = 2e-4,
     prune_opacity: float = 5e-3,
     split_scale_pct: float = 0.75,
-    seed: int = 0,
+    seed: int = 0,  # vary per episode (e.g. the step index) or every
+    # episode draws the SAME eps pattern per slot — a donor recycled in
+    # consecutive episodes resamples identical relative offsets
 ) -> Tuple[SceneParams, object, DensifyState, dict]:
     """One adaptive-density-control episode under a FIXED splat budget.
 

@@ -134,6 +134,25 @@ def test_multichip_compacted_ladder_strips_divide_capacity():
     )
 
 
+def test_row_loads_from_rects_matches_naive():
+    """The O(N + tiles_y) difference-array form must equal the per-row
+    masked reduction it replaced, including out-of-range rects."""
+    from gaussianrenderer_tpu.parallel import row_loads_from_rects
+
+    rng = np.random.default_rng(7)
+    n, tiles_y = 300, 16
+    tmin_y = rng.integers(-3, tiles_y + 3, n)
+    tmax_y = tmin_y + rng.integers(0, 6, n)
+    rect_w = rng.integers(1, 9, n).astype(np.int64)
+    valid = rng.random(n) < 0.8
+    got = row_loads_from_rects(tmin_y, tmax_y, rect_w, valid, tiles_y)
+    want = np.zeros(tiles_y, np.int64)
+    for r in range(tiles_y):
+        inter = valid & (tmin_y <= r) & (tmax_y >= r)
+        want[r] = int(np.sum(rect_w[inter]))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_balance_strip_bounds_partitioner():
     from gaussianrenderer_tpu.parallel import balance_strip_bounds
 
@@ -171,6 +190,38 @@ def test_balanced_strips_match_single_device():
     assert not bool(stats["overflow"])
     np.testing.assert_allclose(
         np.asarray(fb_multi), np.asarray(fb_single), atol=2e-5
+    )
+
+
+def test_balanced_strips_windowed_ladder_keeps_straddlers():
+    """Windowed/compacted ladders re-derive tile rects from the packed
+    pixel AABB; with UNEQUAL strip bounds (rows_here < rows_max) a splat
+    straddling a strip's last owned row used to re-derive a larger area
+    than the row-clamped rect it was classed by, and the class-area
+    defense mask dropped it silently (no overflow) from rows the chip
+    owns. The strip-local AABB clamp in _strip_render pins the fix."""
+    scene, cam, cfg = _setup()
+    wtiers = ((1, 2048), (4, 4096), (16, 2048), (64, 1024), (256, 256))
+    cap = sum(m * k for m, k in wtiers)
+    cfg = RenderConfig(
+        **{
+            **cfg.__dict__,
+            "compositor": "packed",
+            "tiers": ((0, cap),) + wtiers,
+        }
+    )
+    fb_single, st = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert not bool(st.overflow)
+
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    bounds = (0, 2, 3, 4, 5, 6, 7, 7, 8)  # rows_max=2, most chips own 1
+    fb_multi, stats = render_frame_multichip(
+        sharded, cam.params(cfg.k_sigma), cfg, mesh, strip_bounds=bounds
+    )
+    assert not bool(stats["overflow"])
+    np.testing.assert_allclose(
+        np.asarray(fb_multi), np.asarray(fb_single), atol=2e-4
     )
 
 

@@ -114,9 +114,9 @@ def main():
                 sh_degree=cfg.sh_degree,
                 quantize_centers=cfg.quantize_centers,
             )
-            valid = np.asarray(proj.valid) & (
-                np.round(np.asarray(proj.opacity) * 65535.0) / 65535.0 >= 1e-3
-            )
+            from gaussianrenderer_tpu.ops.instances import packed_valid_np
+
+            valid = packed_valid_np(proj.valid, proj.opacity)
             tmin = np.asarray(proj.tile_min)
             tmax = np.asarray(proj.tile_max)
             rect_w = (tmax[:, 0] - tmin[:, 0] + 1).astype(np.int64)
