@@ -281,7 +281,10 @@ def _tile_kernel(
             q = md2 + q0
         alpha = jnp.minimum(_fast_exp(-0.5 * q), ALPHA_MAX)
 
-        # AABB test with 2 unsigned compares per axis folded into 1:
+        # Per-pixel AABB test — REQUIRED semantics, not an optimization:
+        # the reference's hot loop rect-tests every pixel before the
+        # alpha threshold (render.cu:316-317). Folded to 2 unsigned
+        # compares per axis:
         # 0 ≤ px−xmin ≤ xmax−xmin as a single unsigned ≤ (negative wraps
         # high) — 2 int subs + 2 cmps instead of 4 cmps + an extra and.
         ux = (px_i - xmin).astype(jnp.uint32)  # (P, K)
