@@ -25,6 +25,11 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument(
+        "--optimizer", default="adam", choices=["adam", "3dgs"],
+        help="adam: one global --lr; 3dgs: the paper's per-group rates "
+        "(positions decayed, SH bands split, opacity/scale/quat groups)",
+    )
     ap.add_argument("--densify-every", type=int, default=25)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -43,6 +48,7 @@ def main() -> int:
         SceneParams,
         accumulate_densify_stats,
         densify_step,
+        make_3dgs_optimizer,
         make_optimizer,
         mse_loss,
         render_for_training,
@@ -78,7 +84,13 @@ def main() -> int:
     start = make_random_scene(args.n, seed=args.seed + 2,
                               scale_range=(0.05, 0.2))
     params = SceneParams.from_scene(start)
-    optimizer = make_optimizer(args.lr)
+    if args.optimizer == "3dgs":
+        extent = float(np.abs(np.asarray(start.positions)).max())
+        optimizer = make_3dgs_optimizer(
+            scene_extent=extent, position_lr_max_steps=args.steps
+        )
+    else:
+        optimizer = make_optimizer(args.lr)
     opt_state = optimizer.init(params)
     dstate = DensifyState.zero(args.n)
 

@@ -563,6 +563,56 @@ def test_multichip_balanced_strips_gradients_match():
         np.testing.assert_allclose(np.asarray(gm), gs, atol=tol, err_msg=name)
 
 
+def test_3dgs_optimizer_group_rates_and_training():
+    """make_3dgs_optimizer applies the paper's per-group rates: constant
+    unit gradients make Adam's first update ≈ ±lr per group (bias-corrected
+    sign step), higher SH bands train sh_lr/20, and the grouped state
+    composes with densify_step's moment reset and a real train step."""
+    from gaussianrenderer_tpu.train import make_3dgs_optimizer
+
+    scene = make_random_scene(64, seed=5, spacetime=True)
+    params = SceneParams.from_scene(scene)
+    opt = make_3dgs_optimizer(scene_extent=2.0)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, state = opt.update(grads, state, params)
+
+    def rate(leaf):
+        return float(jnp.abs(leaf).max())
+
+    assert abs(rate(updates.positions) - 1.6e-4 * 2.0) < 1e-8
+    assert abs(rate(updates.raw_opacity) - 5e-2) < 1e-6
+    assert abs(rate(updates.raw_scales) - 5e-3) < 1e-7
+    assert abs(rate(updates.quats) - 1e-3) < 1e-8
+    assert abs(rate(updates.time_params) - 1e-3) < 1e-8
+    sh = np.asarray(jnp.abs(updates.sh))
+    np.testing.assert_allclose(sh[:, :3], 2.5e-3, rtol=1e-5)
+    np.testing.assert_allclose(sh[:, 3:], 2.5e-3 / 20.0, rtol=1e-5)
+
+    # Static scenes (no time leaf) label cleanly too.
+    static = SceneParams.from_scene(make_random_scene(16, seed=6))
+    opt2 = make_3dgs_optimizer()
+    opt2.update(
+        jax.tree_util.tree_map(jnp.ones_like, static),
+        opt2.init(static), static,
+    )
+
+    # Composes with the training step and densify's moment reset.
+    scene2, cam, cfg = _setup()
+    params2 = SceneParams.from_scene(scene2)
+    step, opt3 = make_train_step(cfg, optimizer=make_3dgs_optimizer())
+    st3 = opt3.init(params2)
+    target = render_for_training(params2, cam.params(cfg.k_sigma), cfg)
+    p, st3, loss0 = step(params2, st3, cam.params(cfg.k_sigma), target)
+    assert np.isfinite(float(loss0))
+    dstate = accumulate_densify_stats(
+        DensifyState.zero(p.positions.shape[0]),
+        jax.tree_util.tree_map(jnp.ones_like, p),
+    )
+    _, st4, _, _ = densify_step(p, st3, dstate, seed=3)
+    assert jax.tree_util.tree_structure(st4) == jax.tree_util.tree_structure(st3)
+
+
 def test_checkpoint_partial_restore_params_only(tmp_path):
     """A full training checkpoint (params + Adam + densify) must restore
     params-only (inference handoff) — the orbax strict template restore
