@@ -293,6 +293,38 @@ def make_3dgs_optimizer(
     return optax.multi_transform(transforms, labels)
 
 
+def reset_opacity(params: SceneParams, opt_state=None, ceiling: float = 0.01):
+    """The 3DGS recipe's periodic opacity reset (every ~3k steps upstream):
+    clamp every splat's opacity to at most ``ceiling`` so floaters die and
+    only data-supported splats re-grow. With ``opt_state`` given, the
+    opacity Adam moments are zeroed too (upstream resets the optimizer
+    state for the clamped tensor — stale momentum would instantly undo the
+    clamp); ``raw_opacity`` is SceneParams' only (N,) float leaf, which is
+    how its moments are identified structure-agnostically in any optax
+    state (plain adam or multi_transform). Returns ``params`` or
+    ``(params, opt_state)``."""
+    eps = 1e-6
+    c = min(max(ceiling, eps), 1.0 - eps)
+    raw_ceiling = jnp.float32(jnp.log(c / (1.0 - c)))
+    params = params._replace(
+        raw_opacity=jnp.minimum(params.raw_opacity, raw_ceiling)
+    )
+    if opt_state is None:
+        return params
+    n = params.raw_opacity.shape[0]
+
+    def reset(leaf):
+        if (
+            hasattr(leaf, "shape")
+            and leaf.shape == (n,)
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+        ):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return params, jax.tree_util.tree_map(reset, opt_state)
+
+
 def make_train_step(cfg: RenderConfig, optimizer=None, loss_fn=None,
                     timed: bool = False):
     """Single-chip jit train step: Adam against a target frame.

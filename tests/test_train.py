@@ -613,6 +613,34 @@ def test_3dgs_optimizer_group_rates_and_training():
     assert jax.tree_util.tree_structure(st4) == jax.tree_util.tree_structure(st3)
 
 
+def test_reset_opacity_clamps_and_zeros_moments():
+    from gaussianrenderer_tpu.train import make_3dgs_optimizer, reset_opacity
+
+    scene = make_random_scene(64, seed=4)
+    params = SceneParams.from_scene(scene)
+    opt = make_3dgs_optimizer()
+    state = opt.init(params)
+    # Dirty the moments with one update so the reset is observable.
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, state = opt.update(grads, state, params)
+
+    p2, s2 = reset_opacity(params, state, ceiling=0.01)
+    op = np.asarray(jax.nn.sigmoid(p2.raw_opacity))
+    assert op.max() <= 0.0100001
+    # Opacity moments zeroed; position moments untouched.
+    n = params.raw_opacity.shape[0]
+    flat = jax.tree_util.tree_leaves(s2)
+    op_moments = [l for l in flat if hasattr(l, "shape") and l.shape == (n,)]
+    assert op_moments and all(float(jnp.abs(m).max()) == 0.0 for m in op_moments)
+    pos_moments = [
+        l for l in flat if hasattr(l, "shape") and l.shape == (n, 3)
+    ]
+    assert any(float(jnp.abs(m).max()) > 0.0 for m in pos_moments)
+    # Params-only form returns just params.
+    p3 = reset_opacity(params, ceiling=0.5)
+    assert isinstance(p3, SceneParams)
+
+
 def test_checkpoint_partial_restore_params_only(tmp_path):
     """A full training checkpoint (params + Adam + densify) must restore
     params-only (inference handoff) — the orbax strict template restore
