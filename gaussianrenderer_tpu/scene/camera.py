@@ -182,6 +182,59 @@ class Camera:
         self.position = self.look_at + radius_vec
         self.update_camera_matrices()
 
+    @classmethod
+    def from_pose(
+        cls,
+        c2w,
+        *,
+        fov_y_deg: float = None,
+        fy: float = None,
+        height: int = None,
+        aspect: float = 1.0,
+        near: float = 0.1,
+        far: float = 100.0,
+        convention: str = "opencv",
+    ) -> "Camera":
+        """Camera from an external capture pose (real-dataset adapter).
+
+        ``c2w`` is a (3,4)/(4,4) camera-to-world matrix in the given
+        convention — ``"opencv"``/COLMAP (x right, y down, z forward; the
+        convention of 3DGS training datasets) or ``"opengl"`` (y up, −z
+        forward). The vertical field of view comes from ``fov_y_deg`` or
+        the pinhole pair ``(fy, height)`` (fov = 2·atan(H/(2·fy))). The
+        rotation is reproduced exactly through the look-at construction:
+        forward and up from the pose are orthonormal, so
+        :meth:`update_camera_matrices` rebuilds the same basis — and every
+        session control (orbit/zoom/frustum planes) keeps working on top.
+        The reference has no pose import (its camera is interactive-only,
+        ``camera.cpp``); this is the trainer-side extension for fitting
+        captured scenes."""
+        m = np.asarray(c2w, dtype=np.float32)
+        if m.shape == (4, 4):
+            m = m[:3]
+        if m.shape != (3, 4):
+            raise ValueError(f"c2w must be (3,4) or (4,4), got {m.shape}")
+        if convention == "opencv":
+            forward, up = m[:, 2], -m[:, 1]
+        elif convention == "opengl":
+            forward, up = -m[:, 2], m[:, 1]
+        else:
+            raise ValueError(f"unknown convention {convention!r}")
+        if fov_y_deg is None:
+            if fy is None or height is None:
+                raise ValueError("need fov_y_deg or (fy, height)")
+            fov_y_deg = math.degrees(2.0 * math.atan(height / (2.0 * fy)))
+        cam = cls()
+        cam.set_position(m[:, 3])
+        cam.set_look_at(m[:, 3] + forward)
+        cam.set_world_up(up)
+        cam.set_fov_y(fov_y_deg)
+        cam.set_aspect_ratio(aspect)
+        cam.set_clipping_planes(near, far)
+        cam.update_camera_matrices()
+        cam.update_frustum_planes()
+        return cam
+
     def transform_point_to_camera_space(self, point) -> np.ndarray:
         """M·p with w-divide (reference ``camera.cpp:160-170``)."""
         p = np.asarray(point, dtype=np.float32)

@@ -111,3 +111,33 @@ def test_params_pytree_roundtrip():
     assert float(p.k_sigma) == 2.5
     full = np.asarray(p.proj) @ np.asarray(p.view)
     np.testing.assert_allclose(full, cam.full_proj, atol=1e-5)
+
+
+def test_from_pose_opencv_roundtrip():
+    """Camera.from_pose must reproduce an OpenCV/COLMAP extrinsic exactly:
+    world->camera mapping through our view matrix equals (x_cv, -y_cv,
+    -z_cv) of the original R, t (OpenGL-style axes flip)."""
+    rng = np.random.default_rng(3)
+    # Random proper rotation via QR.
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    R = q.astype(np.float32)  # world->camera (OpenCV)
+    t = rng.normal(size=3).astype(np.float32)
+    c2w = np.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+
+    cam = Camera.from_pose(c2w, fy=800.0, height=600, aspect=800 / 600)
+    # fov from the pinhole pair.
+    import math as _m
+
+    assert abs(cam.fov_y - _m.degrees(2 * _m.atan(600 / 1600.0))) < 1e-6
+    for p in rng.normal(size=(5, 3)).astype(np.float32):
+        cv = R @ p + t
+        ours = (cam.view @ np.concatenate([p, [1.0]]))[:3]
+        np.testing.assert_allclose(
+            ours, [cv[0], -cv[1], -cv[2]], atol=1e-5
+        )
+    # OpenGL convention: identity c2w looks down -z from origin.
+    gl = Camera.from_pose(np.eye(4), fov_y_deg=60.0, convention="opengl")
+    np.testing.assert_allclose(gl.position, 0.0, atol=1e-7)
+    np.testing.assert_allclose(gl.look_at, [0.0, 0.0, -1.0], atol=1e-7)
