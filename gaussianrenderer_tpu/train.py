@@ -694,6 +694,126 @@ def densify_step(
     return new_params, new_opt_state, DensifyState.zero(n), info
 
 
+def fit_scene(
+    views,
+    cfg: RenderConfig,
+    params: SceneParams,
+    *,
+    steps: int = 1000,
+    optimizer=None,
+    loss_fn=None,
+    densify_every: int = 0,
+    densify_stop: float = 0.7,
+    opacity_reset_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    log_fn=None,
+    log_every: int = 50,
+):
+    """The full 3DGS training loop as one supported call.
+
+    ``views`` is a sequence of ``(CameraParams, target)`` pairs — or
+    ``(CameraParams, target, time)`` triples for spacetime scenes (all
+    views must agree) — cycled round-robin; ``target`` is a planar
+    (3, H, W) float image like :func:`render_for_training` produces.
+    Composes the pieces this module exposes individually: the jit
+    Adam step with densify-stat accumulation, adaptive density control
+    every ``densify_every`` steps until ``densify_stop·steps`` (upstream
+    3DGS also stops ADC at half training), the periodic
+    :func:`reset_opacity` clamp, and orbax checkpoints every
+    ``checkpoint_every`` steps under ``checkpoint_dir/step_NNNNNN``.
+    Defaults to :func:`make_3dgs_optimizer` with the position schedule
+    horizon at ``steps``. Returns ``(params, history)`` where history
+    carries the loss trajectory and per-episode densify info (device
+    scalars already converted to Python ints/floats).
+
+    The reference never built its training roadmap item (reference
+    README.md:17); this is the one-call form of the capability for users
+    coming from upstream 3DGS trainers."""
+    views = list(views)
+    if not views:
+        raise ValueError("fit_scene needs at least one (cam, target) view")
+    arities = {len(v) for v in views}
+    if len(arities) != 1 or arities - {2, 3}:
+        raise ValueError("views must be all (cam, target) or all "
+                         "(cam, target, time)")
+    timed = arities == {3}
+    optimizer = optimizer or make_3dgs_optimizer(position_lr_max_steps=steps)
+    loss_fn = loss_fn or mse_loss
+
+    if timed:
+
+        @jax.jit
+        def step_fn(params, opt_state, dstate, cam, target, tv):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cam, target, cfg, tv
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, accumulate_densify_stats(
+                dstate, grads
+            ), loss
+
+    else:
+
+        @jax.jit
+        def step_fn(params, opt_state, dstate, cam, target):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cam, target, cfg
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, accumulate_densify_stats(
+                dstate, grads
+            ), loss
+
+    opt_state = optimizer.init(params)
+    n = params.positions.shape[0]
+    dstate = DensifyState.zero(n)
+    losses = []
+    episodes = []
+    for s in range(steps):
+        view = views[s % len(views)]
+        if timed:
+            cam, target, tv = view
+            params, opt_state, dstate, loss = step_fn(
+                params, opt_state, dstate, cam, target, jnp.float32(tv)
+            )
+        else:
+            cam, target = view
+            params, opt_state, dstate, loss = step_fn(
+                params, opt_state, dstate, cam, target
+            )
+        losses.append(float(loss))
+        done = s + 1
+        if (
+            densify_every
+            and done % densify_every == 0
+            and done <= densify_stop * steps
+        ):
+            params, opt_state, dstate, info = densify_step(
+                params, opt_state, dstate, seed=done
+            )
+            episodes.append(
+                {"step": done, **{k: int(v) for k, v in info.items()}}
+            )
+        if opacity_reset_every and done % opacity_reset_every == 0 \
+                and done < steps:
+            params, opt_state = reset_opacity(params, opt_state)
+        if checkpoint_dir and checkpoint_every and (
+            done % checkpoint_every == 0 or done == steps
+        ):
+            import os
+
+            save_checkpoint(
+                os.path.join(checkpoint_dir, f"step_{done:06d}"),
+                params, opt_state, dstate, step=done,
+            )
+        if log_fn and done % max(log_every, 1) == 0:
+            log_fn(done, losses[-1])
+    return params, {"losses": losses, "densify": episodes}
+
+
 # ------------------------------------------------------------- checkpointing
 def save_checkpoint(
     path: str,

@@ -641,6 +641,76 @@ def test_reset_opacity_clamps_and_zeros_moments():
     assert isinstance(p3, SceneParams)
 
 
+def test_fit_scene_end_to_end(tmp_path):
+    """fit_scene composes step + ADC + opacity reset + checkpoints: loss
+    falls toward multi-pose targets, densify episodes run on cadence and
+    stop at densify_stop, and the final checkpoint restores."""
+    from gaussianrenderer_tpu.train import fit_scene, load_checkpoint
+
+    scene, cam, cfg = _setup()
+    truth = SceneParams.from_scene(scene)
+    views = []
+    for i in range(2):
+        c = Camera()
+        c.set_position([0.0, 0.0, 5.0])
+        c.set_look_at([0.0, 0.0, 0.0])
+        c.set_fov_y(60.0)
+        c.set_aspect_ratio(2.0)
+        c.set_clipping_planes(0.2, 100.0)
+        c.update_camera_matrices()
+        c.orbit(15.0 * i, 5.0 * i)
+        cp = c.params(cfg.k_sigma)
+        views.append((cp, render_for_training(truth, cp, cfg)))
+
+    start = SceneParams.from_scene(
+        make_random_scene(120, seed=77, scale_range=(0.05, 0.2))
+    )
+    fitted, hist = fit_scene(
+        views, cfg, start,
+        steps=24, densify_every=8, densify_stop=0.7,
+        opacity_reset_every=23,
+        checkpoint_dir=str(tmp_path), checkpoint_every=24,
+    )
+    assert len(hist["losses"]) == 24
+    # ADC fired at 8 and 16 but NOT 24 (0.7*24 = 16.8 cutoff).
+    assert [e["step"] for e in hist["densify"]] == [8, 16]
+    assert np.mean(hist["losses"][-4:]) < np.mean(hist["losses"][:4])
+    rp, _, _, step = load_checkpoint(str(tmp_path / "step_000024"), fitted)
+    assert step == 24
+    np.testing.assert_array_equal(
+        np.asarray(rp.positions), np.asarray(fitted.positions)
+    )
+
+
+def test_fit_scene_timed_views():
+    """Spacetime form: (cam, target, time) triples train the time leaf."""
+    from gaussianrenderer_tpu.train import fit_scene
+
+    scene, cam, cfg = _setup()
+    truth = SceneParams.from_scene(
+        make_random_scene(120, seed=21, spacetime=True,
+                          scale_range=(0.05, 0.2))
+    )
+    cp = cam.params(cfg.k_sigma)
+    views = [
+        (cp, render_for_training(truth, cp, cfg, jnp.float32(t)), t)
+        for t in (0.2, 0.8)
+    ]
+    start = truth._replace(
+        positions=truth.positions
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(0),
+                                   truth.positions.shape)
+    )
+    fitted, hist = fit_scene(views, cfg, start, steps=10)
+    assert len(hist["losses"]) == 10
+    assert hist["losses"][-1] < hist["losses"][0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="views must"):
+        fit_scene([views[0], views[1][:2]], cfg, start, steps=2)
+
+
 def test_checkpoint_partial_restore_params_only(tmp_path):
     """A full training checkpoint (params + Adam + densify) must restore
     params-only (inference handoff) — the orbax strict template restore
