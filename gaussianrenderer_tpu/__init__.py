@@ -30,9 +30,16 @@ from gaussianrenderer_tpu.scene.io import (
     make_random_scene,
     save_ply,
 )
-from gaussianrenderer_tpu.render import render_frame, make_renderer
+from gaussianrenderer_tpu.render import (
+    framebuffer_to_image,
+    make_renderer,
+    render_frame,
+    save_png,
+)
 
 __all__ = [
+    "framebuffer_to_image",
+    "save_png",
     "RenderConfig",
     "UiSettings",
     "Camera",

@@ -665,3 +665,24 @@ def framebuffer_to_image(fb: jnp.ndarray, flip_y: bool = True):
     if flip_y:
         img = img[::-1]
     return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype("uint8")
+
+
+def save_png(fb, path: str, flip_y: bool = True) -> None:
+    """Write a rendered framebuffer to a PNG file with no image-library
+    dependency (stdlib zlib encoder shared with the browser viewer).
+    Accepts the planar (3, H, W) float framebuffer render_frame returns,
+    or an (H, W, 3) uint8 image."""
+    import numpy as np
+
+    from gaussianrenderer_tpu.web_viewer import _png_encode
+
+    arr = np.asarray(fb)
+    if arr.ndim == 3 and arr.shape[0] == 3 and arr.dtype != np.uint8:
+        arr = framebuffer_to_image(arr, flip_y=flip_y)
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(
+            f"expected (3,H,W) float or (H,W,3) uint8, got "
+            f"{arr.shape} {arr.dtype}"
+        )
+    with open(path, "wb") as fh:
+        fh.write(_png_encode(np.ascontiguousarray(arr)))

@@ -137,3 +137,29 @@ def test_prewarm_compiles_resize_buckets():
     cv.on_resize(64, 96)
     fb, _ = cv.render()
     assert fb.shape == (3, 64, 96)
+
+
+def test_save_png_roundtrip(tmp_path):
+    """save_png writes a valid PNG (stdlib encoder) that PIL re-reads
+    pixel-exact, from both the planar float and (H,W,3) uint8 forms."""
+    import numpy as np
+    from PIL import Image
+
+    from gaussianrenderer_tpu import save_png
+    from gaussianrenderer_tpu.render import framebuffer_to_image
+
+    rng = np.random.default_rng(1)
+    fb = rng.random((3, 20, 31), dtype=np.float32)
+    p1 = str(tmp_path / "a.png")
+    save_png(fb, p1)
+    img = np.asarray(Image.open(p1))
+    np.testing.assert_array_equal(img, framebuffer_to_image(fb))
+
+    p2 = str(tmp_path / "b.png")
+    save_png(framebuffer_to_image(fb), p2)
+    np.testing.assert_array_equal(np.asarray(Image.open(p2)), img)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="expected"):
+        save_png(np.zeros((4, 4), np.uint8), str(tmp_path / "c.png"))
