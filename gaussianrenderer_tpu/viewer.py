@@ -248,6 +248,13 @@ class Canvas:
             self.render()
         return framebuffer_to_image(self._fb, flip_y=self.settings.flip_y)
 
+    def screenshot(self, path: str) -> None:
+        """Save the current frame (rendering one if needed) as a PNG —
+        the headless stand-in for eyeballing the reference's GL window."""
+        from gaussianrenderer_tpu.render import save_png
+
+        save_png(self.draw(), path, flip_y=False)  # draw() already flipped
+
     # ------------------------------------------------------------------ loop
     def run_headless(self, frames: int, orbit_deg_per_frame: float = 1.0):
         """Reference main loop analog (``cull_sort_test.cpp:52-64``): orbit,

@@ -163,3 +163,20 @@ def test_save_png_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="expected"):
         save_png(np.zeros((4, 4), np.uint8), str(tmp_path / "c.png"))
+
+
+def test_canvas_screenshot(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from gaussianrenderer_tpu.scene.io import make_random_scene
+    from gaussianrenderer_tpu.viewer import Canvas
+
+    c = Canvas(height=64, width=96)
+    c.init(prewarm=False)
+    c.set_scene(make_random_scene(500, seed=2))
+    p = str(tmp_path / "shot.png")
+    c.screenshot(p)
+    img = np.asarray(Image.open(p))
+    assert img.shape == (64, 96, 3)
+    np.testing.assert_array_equal(img, c.draw())
