@@ -709,6 +709,8 @@ def fit_scene(
     checkpoint_every: int = 0,
     log_fn=None,
     log_every: int = 50,
+    mesh=None,
+    strip_bounds=None,
 ):
     """The full 3DGS training loop as one supported call.
 
@@ -727,6 +729,12 @@ def fit_scene(
     carries the loss trajectory and per-episode densify info (device
     scalars already converted to Python ints/floats).
 
+    With ``mesh`` (a ``parallel.make_mesh()`` device mesh, plus optional
+    balanced ``strip_bounds``), the same loop runs mesh-parallel via
+    :func:`make_multichip_train_step`: params are Gaussian-sharded onto
+    the mesh and targets strip-padded automatically; ADC and timed views
+    stay single-chip.
+
     The reference never built its training roadmap item (reference
     README.md:17); this is the one-call form of the capability for users
     coming from upstream 3DGS trainers."""
@@ -740,6 +748,55 @@ def fit_scene(
     timed = arities == {3}
     optimizer = optimizer or make_3dgs_optimizer(position_lr_max_steps=steps)
     loss_fn = loss_fn or mse_loss
+
+    if mesh is not None:
+        # Mesh-parallel fit: params Gaussian-sharded, loss strip-parallel
+        # (make_multichip_train_step). ADC/timed views stay single-chip —
+        # densify's global sorts would all_gather the whole scene per
+        # episode, defeating the sharding.
+        if timed:
+            raise ValueError("timed views are single-chip only (mesh=None)")
+        if densify_every:
+            raise ValueError("densify_every requires mesh=None")
+        if loss_fn is not mse_loss:
+            raise ValueError(
+                "mesh mode uses the strip-masked loss built into "
+                "make_multichip_train_step; pass loss_fn=None"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from gaussianrenderer_tpu.parallel.multichip import AXIS
+
+        step_fn, optimizer = make_multichip_train_step(
+            cfg, mesh, optimizer, strip_bounds
+        )
+        sharding = NamedSharding(mesh, PartitionSpec(AXIS))
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), params
+        )
+        views = [(c, pad_target_for_mesh(t, cfg)) for c, t in views]
+        opt_state = optimizer.init(params)
+        losses = []
+        for s in range(steps):
+            cam, target = views[s % len(views)]
+            params, opt_state, loss = step_fn(params, opt_state, cam, target)
+            losses.append(float(loss))
+            done = s + 1
+            if opacity_reset_every and done % opacity_reset_every == 0 \
+                    and done < steps:
+                params, opt_state = reset_opacity(params, opt_state)
+            if checkpoint_dir and checkpoint_every and (
+                done % checkpoint_every == 0 or done == steps
+            ):
+                import os
+
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, f"step_{done:06d}"),
+                    params, opt_state, step=done,
+                )
+            if log_fn and done % max(log_every, 1) == 0:
+                log_fn(done, losses[-1])
+        return params, {"losses": losses, "densify": []}
 
     if timed:
 

@@ -711,6 +711,40 @@ def test_fit_scene_timed_views():
         fit_scene([views[0], views[1][:2]], cfg, start, steps=2)
 
 
+def test_fit_scene_mesh_mode():
+    """fit_scene(mesh=...) runs the strip-parallel step on sharded params
+    and descends; ADC/timed are rejected in this mode."""
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gaussianrenderer_tpu.parallel import make_mesh
+    from gaussianrenderer_tpu.train import fit_scene
+
+    scene, cam, cfg = _setup(n=160, h=128)
+    mesh = make_mesh()
+    truth = SceneParams.from_scene(scene)
+    cp = cam.params(cfg.k_sigma)
+    target = render_for_training(truth, cp, cfg)
+    start = truth._replace(
+        sh=truth.sh
+        + 0.3 * jax.random.normal(jax.random.PRNGKey(1), truth.sh.shape)
+    )
+    fitted, hist = fit_scene(
+        [(cp, target)], cfg, start, steps=8, mesh=mesh,
+        strip_bounds=(0, 2, 3, 4, 5, 6, 7, 7, 8),
+    )
+    assert hist["losses"][-1] < hist["losses"][0]
+    assert isinstance(
+        fitted.positions.sharding, NamedSharding
+    ) and fitted.positions.sharding.spec == P("chips")
+
+    with pytest.raises(ValueError, match="densify_every"):
+        fit_scene([(cp, target)], cfg, start, steps=1, mesh=mesh,
+                  densify_every=2)
+    with pytest.raises(ValueError, match="single-chip"):
+        fit_scene([(cp, target, 0.5)], cfg, start, steps=1, mesh=mesh)
+
+
 def test_checkpoint_partial_restore_params_only(tmp_path):
     """A full training checkpoint (params + Adam + densify) must restore
     params-only (inference handoff) — the orbax strict template restore
