@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -869,6 +870,31 @@ def fit_scene(
         if log_fn and done % max(log_every, 1) == 0:
             log_fn(done, losses[-1])
     return params, {"losses": losses, "densify": episodes}
+
+
+def evaluate(params: SceneParams, views, cfg: RenderConfig):
+    """Fit quality against held-out views: per-view and mean PSNR/SSIM.
+
+    ``views`` uses the :func:`fit_scene` format — (cam, target) pairs or
+    (cam, target, time) triples. Renders through the same differentiable
+    path training sees (so numbers are the training objective's, not the
+    packed inference path's). Returns a dict with ``psnr``/``ssim`` means
+    and a ``per_view`` list."""
+    rows = []
+    for v in views:
+        cam, target = v[0], v[1]
+        tv = jnp.float32(v[2]) if len(v) == 3 else None
+        fb = render_for_training(params, cam, cfg, tv)
+        mse = float(jnp.mean((fb - target) ** 2))
+        rows.append({
+            "psnr": 10.0 * math.log10(1.0 / max(mse, 1e-12)),
+            "ssim": float(ssim(fb, target)),
+        })
+    return {
+        "psnr": sum(r["psnr"] for r in rows) / len(rows),
+        "ssim": sum(r["ssim"] for r in rows) / len(rows),
+        "per_view": rows,
+    }
 
 
 # ------------------------------------------------------------- checkpointing

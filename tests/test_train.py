@@ -782,3 +782,22 @@ def test_multichip_train_rejects_decreasing_bounds():
         make_multichip_train_step(
             cfg, mesh, strip_bounds=(0, 5, 3, 4, 5, 6, 7, 7, 8)
         )
+
+
+def test_evaluate_perfect_fit_is_high_psnr():
+    from gaussianrenderer_tpu.train import evaluate
+
+    scene, cam, cfg = _setup()
+    params = SceneParams.from_scene(scene)
+    cp = cam.params(cfg.k_sigma)
+    target = render_for_training(params, cp, cfg)
+    out = evaluate(params, [(cp, target)], cfg)
+    assert out["psnr"] > 80.0 and out["ssim"] > 0.999
+    # A perturbed fit scores strictly lower on both.
+    worse = params._replace(
+        sh=params.sh
+        + 0.3 * jax.random.normal(jax.random.PRNGKey(2), params.sh.shape)
+    )
+    out2 = evaluate(worse, [(cp, target)], cfg)
+    assert out2["psnr"] < out["psnr"] and out2["ssim"] < out["ssim"]
+    assert len(out2["per_view"]) == 1
