@@ -85,6 +85,13 @@ class RenderConfig:
     #: gradients flow through the screen-space center.
     quantize_centers: bool = True
 
+    #: EWA low-pass dilation added to the 2D covariance diagonal (px²).
+    #: 0.0 matches the reference live path (it keeps the original 3DGS
+    #: rasterizer's +0.3 commented out, reference ``render.cpp:239-242``);
+    #: set 0.3 for upstream-3DGS compatibility — real captures were
+    #: TRAINED with the dilation, so thin splats alias without it.
+    ewa_dilation: float = 0.0
+
     #: Tier-capacity boost (0-3) for the packed path's wide-splat tiers;
     #: each step quadruples them. ``make_renderer(auto_tier=True)`` bumps
     #: this automatically when a frame reports overflow.

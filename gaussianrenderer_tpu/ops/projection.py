@@ -129,6 +129,7 @@ def preprocess_gaussians(
     sh_degree: int = 2,
     extra_opacity_scale: jnp.ndarray | None = None,
     quantize_centers: bool = True,
+    ewa_dilation: float = 0.0,
 ) -> ProjectedGaussians:
     """Vectorized cull + color + EWA projection for all N Gaussians.
 
@@ -270,9 +271,13 @@ def preprocess_gaussians(
 
     half_w = width * 0.5
     half_h = height * 0.5
-    sxx = sxx_ndc * (half_w * half_w)
+    # Optional EWA low-pass dilation (config.ewa_dilation): the original
+    # 3DGS rasterizer's +0.3 px² diagonal, which the reference keeps
+    # commented out (render.cpp:239-242). Applied in pixel units, before
+    # the det guard and the eigen/AABB extents, like upstream does.
+    sxx = sxx_ndc * (half_w * half_w) + ewa_dilation
     sxy = sxy_ndc * (half_w * half_h)
-    syy = syy_ndc * (half_h * half_h)
+    syy = syy_ndc * (half_h * half_h) + ewa_dilation
 
     det = sxx * syy - sxy * sxy
     det_ok = jnp.isfinite(det) & (det >= 1e-8)

@@ -145,6 +145,10 @@ def render_oracle(
         cov2d = jac @ cov_cam @ jac.T
         half = np.array([[w * w, w * h], [h * w, h * h]], dtype=np.float32) * 0.25
         cov2d = cov2d * half
+        # Mirror of config.ewa_dilation (ops/projection.py): upstream
+        # 3DGS's +0.3 px² low-pass, default 0 like the reference.
+        cov2d[0, 0] += getattr(cfg, "ewa_dilation", 0.0)
+        cov2d[1, 1] += getattr(cfg, "ewa_dilation", 0.0)
         det = float(cov2d[0, 0] * cov2d[1, 1] - cov2d[0, 1] * cov2d[1, 0])
         if not np.isfinite(det) or det < 1e-8:
             continue

@@ -161,6 +161,7 @@ def strip_row_loads(scene: GaussianScene, cam: CameraParams,
         tiles_y=cfg.tiles_y,
         sh_degree=cfg.sh_degree,
         quantize_centers=cfg.quantize_centers,
+        ewa_dilation=cfg.ewa_dilation,
     )
     from gaussianrenderer_tpu.ops.instances import packed_valid_np
 
@@ -275,6 +276,7 @@ def _strip_render(
         sh_degree=cfg.sh_degree,
         extra_opacity_scale=extra_opacity,
         quantize_centers=cfg.quantize_centers,
+        ewa_dilation=cfg.ewa_dilation,
     )
     feats_local = build_features(proj)  # (N/D, 16)
 

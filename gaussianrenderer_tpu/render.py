@@ -79,6 +79,7 @@ def _render_impl(
         sh_degree=cfg.sh_degree,
         extra_opacity_scale=extra_opacity,
         quantize_centers=cfg.quantize_centers,
+        ewa_dilation=cfg.ewa_dilation,
     )
 
     capacity = cfg.instance_capacity(scene.num_gaussians)
@@ -309,6 +310,7 @@ def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
         tiles_y=cfg.tiles_y,
         sh_degree=cfg.sh_degree,
         quantize_centers=cfg.quantize_centers,
+        ewa_dilation=cfg.ewa_dilation,
     )
     tmin = np.asarray(proj.tile_min)
     tmax = np.asarray(proj.tile_max)
