@@ -188,6 +188,9 @@ class UiSettings:
     num_tile_x: int = 0
     num_tile_y: int = 0
     lock_tiles: bool = True
+    #: 4D scenes: the slice time (traced, so scrubbing never recompiles).
+    #: None renders static (ignored when the scene has no time_params).
+    time_value: Optional[float] = None
 
     def clamp(self) -> None:
         self.k_sigma = min(max(self.k_sigma, 0.1), 8.0)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from gaussianrenderer_tpu.config import RenderConfig, UiSettings
@@ -234,7 +235,14 @@ class Canvas:
         self.settings.clamp()
         cfg = self.cfg
         params = self.camera.params(self.settings.k_sigma)
-        fb, stats = render_frame(self._prepared, params, cfg)
+        tv = self.settings.time_value
+        if tv is not None and self._prepared.time_params is not None:
+            # 4D scene scrub: time is traced, so the slider never recompiles.
+            fb, stats = render_frame(
+                self._prepared, params, cfg, jnp.float32(tv)
+            )
+        else:
+            fb, stats = render_frame(self._prepared, params, cfg)
         self._fb = fb
         line = self.timer.tick()
         if line:

@@ -68,6 +68,9 @@ body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
   <label>fovY <input id="f" type="range" min="10" max="160" step="1" value="70"/>
   <span id="fv">70</span></label>
   <label><input id="flip" type="checkbox" checked/> flip-Y</label>
+  <label id="tw" style="display:none">time
+  <input id="t" type="range" min="0" max="1" step="0.01" value="0"/>
+  <span id="tv">0.00</span></label>
 </div>
 <div class="panel" id="stats"></div>
 <script>
@@ -103,13 +106,18 @@ async function setParams() {
   const k = document.getElementById('k').value;
   const f = document.getElementById('f').value;
   const flip = document.getElementById('flip').checked ? 1 : 0;
+  const t = document.getElementById('t').value;
   document.getElementById('kv').textContent = k;
   document.getElementById('fv').textContent = f;
-  await fetch(`/set?k_sigma=${k}&fov=${f}&flip=${flip}`);
+  document.getElementById('tv').textContent = Number(t).toFixed(2);
+  await fetch(`/set?k_sigma=${k}&fov=${f}&flip=${flip}&time=${t}`);
   refresh();
 }
-for (const id of ['k', 'f', 'flip'])
-  document.getElementById(id).addEventListener('change', setParams);
+for (const id of ['k', 'f', 'flip', 't'])
+  document.getElementById(id).addEventListener('input', setParams);
+fetch('/stats').then(r => r.json()).then(s => {
+  if (s.spacetime) document.getElementById('tw').style.display = '';
+});
 refresh();
 </script></body></html>"""
 
@@ -162,6 +170,8 @@ def serve_canvas(canvas, host: str = "127.0.0.1", port: int = 8800) -> None:
                             canvas.set_fov(float(q["fov"]))
                         if "flip" in q:
                             canvas.settings.flip_y = q["flip"] == "1"
+                        if "time" in q:
+                            canvas.settings.time_value = float(q["time"])
                         canvas.settings.clamp()
                     self._send(200, "text/plain", b"ok")
                 elif url.path == "/stats":
@@ -176,6 +186,10 @@ def serve_canvas(canvas, host: str = "127.0.0.1", port: int = 8800) -> None:
                                     canvas.scene.num_gaussians
                                     if canvas.scene is not None
                                     else 0
+                                ),
+                                "spacetime": bool(
+                                    canvas.scene is not None
+                                    and canvas.scene.time_params is not None
                                 ),
                             }
                         ).encode()

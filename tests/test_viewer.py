@@ -180,3 +180,28 @@ def test_canvas_screenshot(tmp_path):
     img = np.asarray(Image.open(p))
     assert img.shape == (64, 96, 3)
     np.testing.assert_array_equal(img, c.draw())
+
+
+def test_canvas_time_scrub_changes_frame():
+    """UiSettings.time_value drives 4D slicing in the session: two scrub
+    positions render different frames; static scenes ignore the setting."""
+    import numpy as np
+
+    from gaussianrenderer_tpu.scene.io import make_random_scene
+    from gaussianrenderer_tpu.viewer import Canvas
+
+    c = Canvas(height=64, width=96)
+    c.init(prewarm=False)
+    c.set_scene(make_random_scene(400, seed=3, spacetime=True))
+    c.settings.time_value = 0.0
+    f0, _ = c.render()
+    c.settings.time_value = 1.0
+    f1, _ = c.render()
+    assert not np.array_equal(np.asarray(f0), np.asarray(f1))
+
+    c2 = Canvas(height=64, width=96)
+    c2.init(prewarm=False)
+    c2.set_scene(make_random_scene(400, seed=3))
+    c2.settings.time_value = 0.5  # no time_params: ignored
+    f2, _ = c2.render()
+    assert f2.shape == (3, 64, 96)
