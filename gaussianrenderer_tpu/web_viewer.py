@@ -122,8 +122,10 @@ refresh();
 </script></body></html>"""
 
 
-def serve_canvas(canvas, host: str = "127.0.0.1", port: int = 8800) -> None:
-    """Blocking HTTP viewer for a :class:`gaussianrenderer_tpu.viewer.Canvas`."""
+def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
+    """Build the viewer's ThreadingHTTPServer without starting it — the
+    testable core of :func:`serve_canvas` (drive with ``serve_forever`` /
+    ``shutdown``; ``port=0`` picks a free port)."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -199,6 +201,11 @@ def serve_canvas(canvas, host: str = "127.0.0.1", port: int = 8800) -> None:
             except BrokenPipeError:
                 pass
 
-    server = ThreadingHTTPServer((host, port), Handler)
-    print(f"viewer: http://{host}:{port}/", flush=True)
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_canvas(canvas, host: str = "127.0.0.1", port: int = 8800) -> None:
+    """Blocking HTTP viewer for a :class:`gaussianrenderer_tpu.viewer.Canvas`."""
+    server = make_server(canvas, host, port)
+    print(f"viewer: http://{host}:{server.server_address[1]}/", flush=True)
     server.serve_forever()

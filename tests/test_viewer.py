@@ -205,3 +205,41 @@ def test_canvas_time_scrub_changes_frame():
     c2.settings.time_value = 0.5  # no time_params: ignored
     f2, _ = c2.render()
     assert f2.shape == (3, 64, 96)
+
+
+def test_web_viewer_http_endpoints():
+    """End-to-end HTTP drive of the browser viewer: page, PNG frame,
+    orbit/set controls, stats JSON (incl. the spacetime flag)."""
+    import json
+    import threading
+    from urllib.request import urlopen
+
+    from gaussianrenderer_tpu.scene.io import make_random_scene
+    from gaussianrenderer_tpu.viewer import Canvas
+    from gaussianrenderer_tpu.web_viewer import make_server
+
+    c = Canvas(height=48, width=64)
+    c.init(prewarm=False)
+    c.set_scene(make_random_scene(300, seed=4, spacetime=True))
+    server = make_server(c, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        page = urlopen(base + "/").read()
+        assert b"gaussianrenderer_tpu viewer" in page
+        frame = urlopen(base + "/frame?t=1").read()
+        assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+        assert urlopen(base + "/orbit?dx=5&dy=2").read() == b"ok"
+        assert urlopen(
+            base + "/set?k_sigma=2.5&fov=80&flip=1&time=0.7"
+        ).read() == b"ok"
+        assert c.settings.k_sigma == 2.5 and c.settings.time_value == 0.7
+        stats = json.loads(urlopen(base + "/stats").read())
+        assert stats["gaussians"] == 300 and stats["spacetime"] is True
+        frame2 = urlopen(base + "/frame?t=2").read()
+        assert frame2 != frame  # orbit + time scrub changed the image
+    finally:
+        server.shutdown()
+        server.server_close()
