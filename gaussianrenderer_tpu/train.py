@@ -872,6 +872,69 @@ def fit_scene(
     return params, {"losses": losses, "densify": episodes}
 
 
+def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
+    """Load a capture dataset directory into :func:`fit_scene` views.
+
+    Format: ``poses.json`` — a list of records with ``c2w`` (3×4 or 4×4
+    nested lists), ``target`` (filename), one of ``fov_y``/``fy``, and
+    optional ``near``/``far``/``convention`` (default opencv/COLMAP) and
+    ``time`` (making the view a timed triple). Targets are ``.npy``
+    (H, W, 3) float or uint8 arrays, or image files when PIL is
+    available. Every target must match ``cfg.height × cfg.width``;
+    images are converted to the planar (3, H, W) float layout
+    :func:`render_for_training` produces (row 0 at the image top →
+    flipped into the framebuffer's bottom-up convention).
+
+    The reference has no dataset ingestion (scenes only, via PLY
+    drag-drop) — this is trainer-side surface for fitting real captures
+    with :class:`Camera.from_pose <gaussianrenderer_tpu.scene.camera.Camera>`.
+    """
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.scene.camera import Camera
+
+    with open(os.path.join(dataset_dir, "poses.json")) as fh:
+        records = _json.load(fh)
+    views = []
+    for rec in records:
+        cam = Camera.from_pose(
+            np.asarray(rec["c2w"], np.float32),
+            fov_y_deg=rec.get("fov_y"),
+            fy=rec.get("fy"),
+            height=cfg.height,
+            aspect=cfg.width / cfg.height,
+            near=rec.get("near", 0.1),
+            far=rec.get("far", 100.0),
+            convention=rec.get("convention", "opencv"),
+        )
+        tpath = os.path.join(dataset_dir, rec["target"])
+        if tpath.endswith(".npy"):
+            img = np.load(tpath)
+        else:
+            from PIL import Image  # optional dep, image targets only
+
+            img = np.asarray(Image.open(tpath))
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        if img.shape[:2] != (cfg.height, cfg.width) or img.shape[2] < 3:
+            raise ValueError(
+                f"{rec['target']}: expected ({cfg.height}, {cfg.width}, 3), "
+                f"got {img.shape}"
+            )
+        # (H, W, 3) top-down image → planar (3, H, W) bottom-up target.
+        target = jnp.asarray(
+            img[::-1, :, :3].transpose(2, 0, 1), jnp.float32
+        )
+        if "time" in rec:
+            views.append((cam.params(k_sigma), target, float(rec["time"])))
+        else:
+            views.append((cam.params(k_sigma), target))
+    return views
+
+
 def evaluate(params: SceneParams, views, cfg: RenderConfig):
     """Fit quality against held-out views: per-view and mean PSNR/SSIM.
 

@@ -801,3 +801,59 @@ def test_evaluate_perfect_fit_is_high_psnr():
     out2 = evaluate(worse, [(cp, target)], cfg)
     assert out2["psnr"] < out["psnr"] and out2["ssim"] < out["ssim"]
     assert len(out2["per_view"]) == 1
+
+
+def test_load_views_roundtrip(tmp_path):
+    """A poses.json + targets dataset reproduces the exact cameras and
+    targets: evaluate() on the generating params is near-lossless, for
+    both .npy float targets and a uint8 PNG (PIL path), incl. a timed
+    record."""
+    import json
+
+    from gaussianrenderer_tpu.render import save_png
+    from gaussianrenderer_tpu.train import evaluate, load_views
+
+    scene, cam, cfg = _setup()
+    truth = SceneParams.from_scene(
+        make_random_scene(120, seed=31, spacetime=True,
+                          scale_range=(0.05, 0.2))
+    )
+
+    def c2w_of(c):
+        m = np.zeros((3, 4), np.float32)
+        m[:, 0], m[:, 1], m[:, 2] = c.r_axis, -c.u_axis, -c.f_axis
+        m[:, 3] = c.position
+        return m
+
+    records = []
+    for i, t in enumerate([None, 0.7]):
+        c = Camera()
+        c.set_position([0.5 * i, 0.0, 5.0])
+        c.set_look_at([0.0, 0.0, 0.0])
+        c.set_fov_y(60.0)
+        c.set_aspect_ratio(cfg.width / cfg.height)
+        c.set_clipping_planes(0.2, 100.0)
+        c.update_camera_matrices()
+        cp = c.params(cfg.k_sigma)
+        tv = None if t is None else jnp.float32(t)
+        fb = render_for_training(truth, cp, cfg, tv)
+        rec = {"c2w": c2w_of(c).tolist(), "fov_y": 60.0,
+               "near": 0.2, "far": 100.0}
+        if t is None:
+            # store exactly what load_views expects: top-down (H, W, 3)
+            np.save(tmp_path / f"t{i}.npy",
+                    np.asarray(fb).transpose(1, 2, 0)[::-1])
+            rec["target"] = f"t{i}.npy"
+        else:
+            save_png(fb, str(tmp_path / f"t{i}.png"))
+            rec["target"] = f"t{i}.png"
+            rec["time"] = t
+        records.append(rec)
+    (tmp_path / "poses.json").write_text(json.dumps(records))
+
+    views = load_views(str(tmp_path), cfg)
+    assert len(views) == 2 and len(views[0]) == 2 and len(views[1]) == 3
+    out = evaluate(truth, views, cfg)
+    # npy view is lossless (>100 dB); the PNG view quantizes to 8 bits.
+    assert out["per_view"][0]["psnr"] > 80.0, out
+    assert out["per_view"][1]["psnr"] > 45.0, out
