@@ -1,0 +1,117 @@
+"""gr-fit: train a 3DGS scene from a capture dataset directory.
+
+The trainer-as-a-tool face of the framework (the reference's unbuilt
+"training Gaussians on the fly" roadmap item, reference README.md:17):
+
+    gr-fit DATASET_DIR --out scene.ply --n 100000 --steps 5000
+
+DATASET_DIR holds ``poses.json`` + target images/arrays in the
+``train.load_views`` format. Initialization is random inside a bounding
+box scaled from the camera positions (or ``--init scene.ply`` to refine
+an existing scene). Fits with the standard 3DGS per-group schedule,
+adaptive density control, and periodic opacity resets; writes the fitted
+scene as a standard 3DGS PLY plus a final PSNR/SSIM report.
+"""
+
+import argparse
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("dataset", help="directory with poses.json + targets")
+    ap.add_argument("--out", default="fitted.ply")
+    ap.add_argument("--n", type=int, default=100_000, help="splat budget")
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--height", type=int, default=None,
+                    help="render height (default: first target's)")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--init", default=None, help="PLY to refine instead of "
+                    "random init")
+    ap.add_argument("--loss", default="l1_dssim", choices=["l1_dssim", "mse"])
+    ap.add_argument("--densify-every", type=int, default=300)
+    ap.add_argument("--opacity-reset-every", type=int, default=1500)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import json
+    import os
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.config import RenderConfig
+    from gaussianrenderer_tpu.scene.io import (
+        load_ply,
+        make_random_scene,
+        save_ply,
+    )
+    from gaussianrenderer_tpu.train import (
+        SceneParams,
+        evaluate,
+        fit_scene,
+        l1_dssim_loss,
+        load_views,
+        make_3dgs_optimizer,
+        mse_loss,
+    )
+
+    if args.height is None or args.width is None:
+        with open(os.path.join(args.dataset, "poses.json")) as fh:
+            first = json.load(fh)[0]
+        tpath = os.path.join(args.dataset, first["target"])
+        if tpath.endswith(".npy"):
+            shape = np.load(tpath, mmap_mode="r").shape
+        else:
+            from PIL import Image
+
+            shape = np.asarray(Image.open(tpath)).shape
+        args.height = args.height or shape[0]
+        args.width = args.width or shape[1]
+
+    cfg = RenderConfig(height=args.height, width=args.width)
+    views = load_views(args.dataset, cfg)
+    print(f"{len(views)} views at {args.width}x{args.height}", flush=True)
+
+    if args.init:
+        params = SceneParams.from_scene(load_ply(args.init))
+    else:
+        # Random init spanning the camera rig's bounding sphere.
+        cams = np.stack([np.asarray(v[0].position) for v in views])
+        extent = float(np.abs(cams).max()) or 2.0
+        params = SceneParams.from_scene(
+            make_random_scene(args.n, seed=args.seed, extent=extent)
+        )
+    extent = float(np.abs(np.asarray(params.positions)).max())
+
+    loss_fn = l1_dssim_loss if args.loss == "l1_dssim" else mse_loss
+    params, hist = fit_scene(
+        views, cfg, params,
+        steps=args.steps,
+        optimizer=make_3dgs_optimizer(
+            scene_extent=extent, position_lr_max_steps=args.steps
+        ),
+        loss_fn=loss_fn,
+        densify_every=args.densify_every,
+        opacity_reset_every=args.opacity_reset_every,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        log_fn=lambda s, l: print(f"step {s}: loss {l:.5f}", flush=True),
+    )
+    report = evaluate(params, views, cfg)
+    print(f"final: PSNR {report['psnr']:.2f} dB  SSIM {report['ssim']:.4f}",
+          flush=True)
+    save_ply(params.to_scene(), args.out)
+    print(f"wrote {args.out}", flush=True)
+    k = max(len(views), 1)
+    print(
+        f"loss: first-epoch mean {np.mean(hist['losses'][:k]):.5f} -> "
+        f"last-epoch mean {np.mean(hist['losses'][-k:]):.5f}",
+        flush=True,
+    )
+    return 0 if np.isfinite(hist["losses"]).all() else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

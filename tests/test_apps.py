@@ -150,3 +150,51 @@ def test_train_test_demo(monkeypatch, capsys):
     assert rc == 0, out
     assert "densify recycled=" in out
     assert "final PSNR" in out
+
+
+def test_fit_app_smoke(tmp_path, monkeypatch):
+    """gr-fit end-to-end on a 2-view synthetic dataset: loss falls, a
+    loadable PLY comes out."""
+    import json
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.apps.fit import main
+    from gaussianrenderer_tpu.config import RenderConfig
+    from gaussianrenderer_tpu.scene.camera import Camera
+    from gaussianrenderer_tpu.scene.io import load_ply, make_random_scene
+    from gaussianrenderer_tpu.train import SceneParams, render_for_training
+
+    cfg = RenderConfig(height=48, width=64)
+    truth = SceneParams.from_scene(
+        make_random_scene(150, seed=9, scale_range=(0.05, 0.2))
+    )
+    records = []
+    for i in range(2):
+        c = Camera()
+        c.set_position([0.4 * i, 0.0, 5.0])
+        c.set_look_at([0.0, 0.0, 0.0])
+        c.set_fov_y(60.0)
+        c.set_aspect_ratio(64 / 48)
+        c.set_clipping_planes(0.2, 100.0)
+        c.update_camera_matrices()
+        fb = render_for_training(truth, c.params(cfg.k_sigma), cfg)
+        np.save(tmp_path / f"t{i}.npy",
+                np.asarray(fb).transpose(1, 2, 0)[::-1])
+        m = np.zeros((3, 4), np.float32)
+        m[:, 0], m[:, 1], m[:, 2] = c.r_axis, -c.u_axis, -c.f_axis
+        m[:, 3] = c.position
+        records.append({"c2w": m.tolist(), "fov_y": 60.0, "near": 0.2,
+                        "far": 100.0, "target": f"t{i}.npy"})
+    (tmp_path / "poses.json").write_text(json.dumps(records))
+
+    out = str(tmp_path / "fitted.ply")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-fit", str(tmp_path), "--out", out, "--n", "150",
+         "--steps", "12", "--loss", "mse", "--densify-every", "0",
+         "--opacity-reset-every", "0"],
+    )
+    assert main() == 0
+    fitted = load_ply(out, use_native=False)
+    assert fitted.num_gaussians == 150
