@@ -23,6 +23,8 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=1500)
     ap.add_argument("--tiles", type=int, default=0, help="explicit NxN tile grid (reference used 50)")
     ap.add_argument("--serve", action="store_true", help="start the browser viewer instead of the headless loop")
+    ap.add_argument("--screenshot", default=None, metavar="PNG",
+                    help="save the last headless frame as PNG")
     ap.add_argument("--port", type=int, default=8800)
     args = ap.parse_args()
 
@@ -62,6 +64,9 @@ def main() -> int:
         return 0
 
     canvas.run_headless(args.frames, orbit_deg_per_frame=1.0)
+    if args.screenshot:
+        canvas.screenshot(args.screenshot)
+        print(f"wrote {args.screenshot}")
     if canvas.timer.ema_ms is not None:
         print(
             f"final: {canvas.timer.ema_ms:.3f} ms/frame "
