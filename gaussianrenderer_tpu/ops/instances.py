@@ -87,11 +87,11 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from gaussianrenderer_tpu.ops.projection import ProjectedGaussians
+from gaussianrenderer_tpu.ops.projection import ALPHA_EPS, ProjectedGaussians
 
-#: Kernel alpha threshold — splats with opacity below this can never pass
-#: the blend test (alpha = op·exp(−½md²) ≤ op), so they emit no instances.
-ALPHA_EPS = 1e-3
+#: ALPHA_EPS (re-exported from ops/projection): splats with opacity below
+#: it can never pass the blend test (alpha = op·exp(−½md²) ≤ op), so they
+#: emit no instances; projection uses the same value for its coverage bound.
 
 #: Fixed-point encodings (must match ops/pallas/tile_render2.py).
 #: 13.3 fixed point: tile-local centers in [−4096, +4095.875] at 1/8-px

@@ -44,6 +44,11 @@ from gaussianrenderer_tpu.ops.sh import eval_sh_columns
 from gaussianrenderer_tpu.scene.camera import CameraParams
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
 
+#: Blend threshold (render.cu:334). ops/instances.py re-exports this one
+#: definition so the coverage bound below, the emission prune, and the
+#: compositor kernels can never silently desynchronize.
+ALPHA_EPS = 1e-3
+
 
 class ProjectedGaussians(NamedTuple):
     """Per-Gaussian screen-space quantities (all leading dim N)."""
@@ -327,17 +332,47 @@ def preprocess_gaussians(
         cx_px = jnp.round(cx_px)
         cy_px = jnp.round(cy_px)
 
-    valid = survived_cull & det_ok & on_screen
+    opacity = scene.opacity.astype(f32)
+    if extra_opacity_scale is not None:
+        opacity = opacity * extra_opacity_scale
+
+    # ---- threshold-ellipse coverage bound (output-identical tightening)
+    # A pixel contributes only when α = op·exp(−½md²) ≥ ALPHA_EPS
+    # (render.cu:334), i.e. md² ≤ gain = 2·ln(op/ε); the exact pixel AABB
+    # of that ellipse is ±√(gain·Σxx) per axis (the marginal variances
+    # sxx/syy are already in hand). The emitted AABB becomes the
+    # INTERSECTION of the reference's k·σ eigen box with this bound: every
+    # pixel between the two fails the kernels' α ≥ ε test, so the per-pixel
+    # rect test, the tile coverage, and the instance count all shrink with
+    # ZERO output change (the compositors and the oracle all apply the same
+    # threshold). Unlike a k·σ marginal-box rebuild — rejected in
+    # PERF_NOTES round 3 because high-opacity splats pass α ≥ ε beyond k·σ
+    # — the gain-scaled bound covers every passing pixel by construction.
+    # Conservative margins so the bound also holds for the packed path's
+    # quantized conic (rel err ≤ 2⁻⁹), 16-bit opacity (≤ 7.6e-6, covered by
+    # +1e-4 on op), fast_exp (2.6e-6 rel), and the 13.3/rounded centers
+    # (≤ 0.56 px, covered by +1 px). Opacity-blind k·σ boxes also made the
+    # k_sigma UI slider (0.1–8, canvas.cpp:298-335) a coverage cliff at
+    # high k; the threshold bound caps that for free.
+    gain = 2.0 * jnp.log((opacity + 1e-4) * (1.0 / ALPHA_EPS))
+    gain = jnp.maximum(gain, 0.0) * (1.0 + 2.0**-6)
+    ext_x = jnp.sqrt(gain * jnp.maximum(sxx, 0.0)) + 1.0
+    ext_y = jnp.sqrt(gain * jnp.maximum(syy, 0.0)) + 1.0
+    xmin_px = jnp.maximum(xmin_px, jnp.floor(cx_px - ext_x))
+    xmax_px = jnp.minimum(xmax_px, jnp.ceil(cx_px + ext_x))
+    ymin_px = jnp.maximum(ymin_px, jnp.floor(cy_px - ext_y))
+    ymax_px = jnp.minimum(ymax_px, jnp.ceil(cy_px + ext_y))
+    # Empty intersection ⇒ no pixel can pass the blend test anywhere
+    # (e.g. a faint splat whose screen-clamped box misses its own center).
+    nonempty = (xmax_px >= xmin_px) & (ymax_px >= ymin_px)
+
+    valid = survived_cull & det_ok & on_screen & nonempty
 
     # Tile coverage via integer stride division (render.cu:761-764).
     tmin_x = jnp.clip(xmin_px.astype(jnp.int32) // tile_w, 0, tiles_x - 1)
     tmax_x = jnp.clip(xmax_px.astype(jnp.int32) // tile_w, 0, tiles_x - 1)
     tmin_y = jnp.clip(ymin_px.astype(jnp.int32) // tile_h, 0, tiles_y - 1)
     tmax_y = jnp.clip(ymax_px.astype(jnp.int32) // tile_h, 0, tiles_y - 1)
-
-    opacity = scene.opacity.astype(f32)
-    if extra_opacity_scale is not None:
-        opacity = opacity * extra_opacity_scale
 
     return ProjectedGaussians(
         valid=valid,
