@@ -37,11 +37,18 @@ microbenchmarks (tools/micro_bench*.py, tools/profile_sub.py):
 So instead of the reference's count → prefix-sum → scatter expansion
 (``render.cu:767-857``), every Gaussian is given a FIXED number of
 instance lanes by broadcasting — no data-dependent placement at all.
-An area ladder ((m, k), …) assigns the k members of each tile-area
-class m lanes each via exact per-class windows over one descending-area
-order; ladders come from ``render.calibrate_tiers`` (cost-model driven)
-or :func:`default_tiers`. Two emission modes (chosen by the ladder
-shape, see build_packed_instances):
+An area ladder ((m, k), …) assigns the k members of each class m lanes
+each via exact per-class windows over one descending order; ladders come
+from ``render.calibrate_tiers`` (cost-model driven) or
+:func:`default_tiers`. In windowed mode the class metric is the
+EFFECTIVE lane count: for rects with area ≤ ENUM_AREA an N-scale scan
+(:func:`_live_scan`) runs the exact dead-tile test at every rect
+position, classes key on the LIVE-tile count, and emission maps lane j
+to the (j+1)-th live tile via an 8-bit mask riding aabb_x's spare
+nibbles (:func:`_emit_tier_mask_slabs`) — the dead corner tiles of
+anisotropic splats (13-15% of all lanes on the bench scenes) never
+reach the frame sort. Two emission modes (chosen by the ladder shape,
+see build_packed_instances):
 
   BASE mode (ladder[0] = (m₀, 0)): all N Gaussians get m₀ broadcast
              lanes; only wider tiers are windowed (selection gather).
@@ -140,8 +147,10 @@ class PackedInstances(NamedTuple):
     #: the affected splat's alpha is wrong in the saturating tiles.
     #: Never silent, per the project truncation rule.
     center_clipped: jnp.ndarray = None
-    #: (len(AREA_BUCKETS)+1,) int32 — valid-Gaussian tile-area histogram
-    #: over the ~1.5×-step AREA_BUCKETS edges; drives tier calibration.
+    #: (len(AREA_BUCKETS)+1,) int32 — valid-Gaussian EFFECTIVE-lane
+    #: histogram over the ~1.5×-step AREA_BUCKETS edges (buckets ≤
+    #: ENUM_AREA count live tiles, wider buckets rect areas — see
+    #: _nscale_prepack); drives tier calibration.
     area_hist: jnp.ndarray = None
 
 
@@ -243,6 +252,68 @@ def _rgb10_bits(color: jnp.ndarray) -> jnp.ndarray:
 #: to 33% (area-3 splats paying 4 lanes).
 AREA_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192,
                 256, 384, 512, 768, 1024)
+
+#: Max rect area for live-tile enumeration: the per-splat live mask must
+#: fit the 8 spare bits of the packed aabb_x row (see _live_scan).
+ENUM_AREA = 8
+
+
+def _enum_ok(tiles_x: int, tiles_y: int, tile_w: int, tile_h: int) -> bool:
+    """Live-tile enumeration packs an 8-bit live mask into aabb_x's spare
+    nibbles, which requires both pixel-AABB halves to fit 12 bits
+    (coords ≤ 4095 — true for every ≤4K output, same envelope as the
+    13.3 center encode). Larger grids fall back to pure rect-area
+    emission (the pre-enumeration behavior, still exact via the per-lane
+    prune)."""
+    return tiles_x * tile_w <= 4095 and tiles_y * tile_h <= 4095
+
+
+def _live_scan(
+    prune, cq, ax, ay, tmin_x, tmin_y, rect_w, area, scan_ok,
+    *, tile_w: int, tile_h: int,
+):
+    """8-position live-tile scan for rects with area ≤ ENUM_AREA.
+
+    Returns ``(mask8 (G,) u32, live (G,) int32)``: bit p of ``mask8`` is
+    set iff rect position p's tile (row-major over the rect) is LIVE
+    under the exact dead-tile test (:func:`_tile_dead`), and ``live`` is
+    its popcount. This is what lets emission give a splat lanes for its
+    LIVE tiles only — a diagonal needle whose 2×4 rect has 3 live tiles
+    pays 3 sort lanes, not 8 — whereas the per-lane prune alone still
+    paid a (SENTINEL) sort lane per dead tile. ``ax``/``ay`` are the
+    PURE packed AABB rows (mask nibbles not yet inserted). The (dx, dy)
+    rect walk is division-free: increment-and-wrap against rect_w."""
+    qx = (cq >> 16).astype(jnp.int32)
+    qy = (cq & 0xFFFF).astype(jnp.int32)
+    cx_f = (qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
+    cy_f = (qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
+    xmin_f = (ax >> 16).astype(jnp.float32)
+    xmax_f = (ax & 0xFFFF).astype(jnp.float32)
+    ymin_f = (ay >> 16).astype(jnp.float32)
+    ymax_f = (ay & 0xFFFF).astype(jnp.float32)
+    safe_w = jnp.maximum(rect_w, 1)
+    dx = jnp.zeros_like(rect_w)
+    dy = jnp.zeros_like(rect_w)
+    mask = jnp.zeros(area.shape, jnp.uint32)
+    cnt = jnp.zeros(area.shape, jnp.int32)
+    for p in range(ENUM_AREA):
+        tx = tmin_x + dx
+        ty = tmin_y + dy
+        dead = _tile_dead(
+            prune, cx_f, cy_f,
+            (tx * tile_w).astype(jnp.float32),
+            (ty * tile_h).astype(jnp.float32),
+            xmin_f, ymin_f, xmax_f, ymax_f, tile_w, tile_h,
+        )
+        live = scan_ok & (p < area) & ~dead
+        mask = mask | jnp.where(live, jnp.uint32(1 << p), jnp.uint32(0))
+        cnt = cnt + live.astype(jnp.int32)
+        if p + 1 < ENUM_AREA:
+            dx = dx + 1
+            wrap = dx >= safe_w
+            dx = jnp.where(wrap, 0, dx)
+            dy = dy + wrap.astype(jnp.int32)
+    return mask, cnt
 
 
 def default_tiers(n: int, boost: int = 0) -> Tuple[Tuple[int, int], ...]:
@@ -351,6 +422,8 @@ def _emit_tier(
     tile_h: int,
     depth_bits: int,
     member_major: bool = False,
+    live_mask: bool = False,
+    aabb_bits: int = 0xFFFF,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Broadcast one tier: each Gaussian × m tile lanes.
 
@@ -378,14 +451,29 @@ def _emit_tier(
     ONE contiguous run that a single dynamic_update_slice can place.
     Compute stays lane-major (G on the lane axis); only the final flatten
     pays one relayout per row.
+
+    ``live_mask=True`` (windowed classes with m ≤ ENUM_AREA when the
+    8-bit live mask rides aabb_x — see :func:`_live_scan`): lane j maps
+    to the member's (j+1)-th LIVE tile instead of rect position j, so
+    dead tiles consume no lanes at all. ``aabb_bits`` masks the AABB
+    halves on decode (0xFFF when the mask nibbles are packed).
     """
+    if live_mask:
+        assert m <= ENUM_AREA
+        return _emit_tier_mask_slabs(
+            tmin_x, tmin_y, rect_w, emit, depth_q, rows6,
+            m=m, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+            depth_bits=depth_bits, member_major=member_major,
+        )
     if m < 8:
         return _emit_tier_slabs(
             tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, prune,
             m=m, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
             depth_bits=depth_bits, member_major=member_major,
+            aabb_bits=aabb_bits,
         )
     cq, ac, bop, rgb, ax, ay = rows6
+    abx = aabb_bits
     off = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
     safe_w = jnp.maximum(rect_w, 1)[None, :]
     dx = off % safe_w  # (m, G)
@@ -416,9 +504,9 @@ def _emit_tier(
         prune_b = tuple(p[None, :] for p in prune)
         dead = _tile_dead(
             prune_b, cx_g, cy_g, x0f, y0f,
-            (ax >> 16).astype(jnp.float32)[None, :],
+            ((ax >> 16) & abx).astype(jnp.float32)[None, :],
             (ay >> 16).astype(jnp.float32)[None, :],
-            (ax & 0xFFFF).astype(jnp.float32)[None, :],
+            (ax & abx).astype(jnp.float32)[None, :],
             (ay & 0xFFFF).astype(jnp.float32)[None, :],
             tile_w, tile_h,
         )
@@ -434,8 +522,8 @@ def _emit_tier(
     rely = jnp.clip(qy[None, :] + REL_ADJ - y0i * int(CENTER_SCALE), 0, 65535)
     row0 = (relx.astype(jnp.uint32) << 16) | rely.astype(jnp.uint32)
 
-    xmin = jnp.clip((ax >> 16).astype(jnp.int32)[None, :] - x0i, 0, 255)
-    xmax = jnp.clip((ax & 0xFFFF).astype(jnp.int32)[None, :] - x0i, 0, 255)
+    xmin = jnp.clip(((ax >> 16) & abx).astype(jnp.int32)[None, :] - x0i, 0, 255)
+    xmax = jnp.clip((ax & abx).astype(jnp.int32)[None, :] - x0i, 0, 255)
     ymin = jnp.clip((ay >> 16).astype(jnp.int32)[None, :] - y0i, 0, 255)
     ymax = jnp.clip((ay & 0xFFFF).astype(jnp.int32)[None, :] - y0i, 0, 255)
     row4 = (
@@ -476,6 +564,7 @@ def _emit_tier(
 def _emit_tier_slabs(
     tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, prune,
     *, m, tiles_x, tile_w, tile_h, depth_bits, member_major=False,
+    aabb_bits=0xFFFF,
 ):
     """Small-m tier emission as m full-lane-width 1-D slabs (see
     :func:`_emit_tier` — identical outputs and lane order)."""
@@ -486,8 +575,8 @@ def _emit_tier_slabs(
     qy = (cq & 0xFFFF).astype(jnp.int32)
     cx_f = (qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
     cy_f = (qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
-    xmin_g = (ax >> 16).astype(jnp.int32)
-    xmax_g = (ax & 0xFFFF).astype(jnp.int32)
+    xmin_g = ((ax >> 16) & aabb_bits).astype(jnp.int32)
+    xmax_g = (ax & aabb_bits).astype(jnp.int32)
     ymin_g = (ay >> 16).astype(jnp.int32)
     ymax_g = (ay & 0xFFFF).astype(jnp.int32)
     xmin_f = xmin_g.astype(jnp.float32)
@@ -548,31 +637,135 @@ def _emit_tier_slabs(
     return jnp.concatenate(keys), rows5
 
 
-def build_packed_instances(
+def _emit_tier_mask_slabs(
+    tmin_x, tmin_y, rect_w, emit, depth_q, rows6,
+    *, m, tiles_x, tile_w, tile_h, depth_bits, member_major=False,
+):
+    """Live-tile-enumerated emission for small classes (m ≤ ENUM_AREA).
+
+    Slab j maps to each member's (j+1)-th LIVE rect tile, read from the
+    8-bit live mask :func:`_live_scan` packed into aabb_x's spare
+    nibbles (bits 28-31 = mask[0:4], bits 12-15 = mask[4:8]) — dead
+    tiles consume NO lanes (the positional path emitted them as SENTINEL
+    keys that still rode the frame sort, ~13-15% of all lanes on the
+    bench scenes, tools/live_lanes_probe.py). Rank extraction clears the
+    lowest set bit per slab (ctz via popcount); (dx, dy) = divmod(p, w)
+    uses 7 integer compares — exact for p ≤ 7, no division. No dead-tile
+    test here: the mask already encodes it exactly."""
+    cq, ac, bop, rgb, ax, ay = rows6
+    qx = (cq >> 16).astype(jnp.int32)
+    qy = (cq & 0xFFFF).astype(jnp.int32)
+    xmin_g = ((ax >> 16) & 0xFFF).astype(jnp.int32)
+    xmax_g = (ax & 0xFFF).astype(jnp.int32)
+    ymin_g = (ay >> 16).astype(jnp.int32)
+    ymax_g = (ay & 0xFFFF).astype(jnp.int32)
+    msk = ((ax >> 28) & jnp.uint32(0xF)) | (((ax >> 12) & jnp.uint32(0xF)) << 4)
+    w = jnp.maximum(rect_w, 1)
+
+    keys, row0s, row4s = [], [], []
+    for _ in range(m):
+        low = msk & (~msk + jnp.uint32(1))  # lowest set bit (0 if none)
+        # ctz(low) = popcount(low − 1); msk == 0 → p = 32 → lane_ok False
+        # masks the garbage position below (clips keep values in-range).
+        p = jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32)
+        has = msk != 0
+        msk = msk & (msk - jnp.uint32(1))
+        dy = jnp.zeros_like(p)
+        for t in range(1, ENUM_AREA):
+            dy = dy + (p >= t * w).astype(jnp.int32)
+        dx = p - dy * w
+        tx = tmin_x + dx
+        ty = tmin_y + dy
+        lane_ok = emit & has
+        x0i = tx * tile_w
+        y0i = ty * tile_h
+        tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
+        key = (tile_id << depth_bits) | depth_q
+        keys.append(jnp.where(lane_ok, key, SENTINEL))
+
+        relx = jnp.clip(qx + REL_ADJ - x0i * int(CENTER_SCALE), 0, 65535)
+        rely = jnp.clip(qy + REL_ADJ - y0i * int(CENTER_SCALE), 0, 65535)
+        row0s.append(
+            (relx.astype(jnp.uint32) << 16) | rely.astype(jnp.uint32)
+        )
+        xmin = jnp.clip(xmin_g - x0i, 0, 255).astype(jnp.uint32)
+        xmax = jnp.clip(xmax_g - x0i, 0, 255).astype(jnp.uint32)
+        ymin = jnp.clip(ymin_g - y0i, 0, 255).astype(jnp.uint32)
+        ymax = jnp.clip(ymax_g - y0i, 0, 255).astype(jnp.uint32)
+        row4s.append(xmin | (ymin << 8) | (xmax << 16) | (ymax << 24))
+
+    if member_major:
+        g = keys[0].shape[0]
+
+        def mm(slabs):
+            return jnp.stack(slabs, axis=1).reshape(-1)
+
+        def bc(row):
+            return jnp.broadcast_to(row[:, None], (g, m)).reshape(-1)
+
+        rows5 = (mm(row0s), bc(ac), bc(bop), bc(rgb), mm(row4s))
+        return mm(keys), rows5
+
+    rows5 = (
+        jnp.concatenate(row0s),
+        jnp.tile(ac, m),
+        jnp.tile(bop, m),
+        jnp.tile(rgb, m),
+        jnp.concatenate(row4s),
+    )
+    return jnp.concatenate(keys), rows5
+
+
+class _Prepack(NamedTuple):
+    """N-scale pre-packing shared by the device path and the CPU probe."""
+
+    valid: jnp.ndarray  # (N,) bool — emitter validity (quantized-op rule)
+    area: jnp.ndarray  # (N,) int32 rect tile area, 0 for invalid
+    eff: jnp.ndarray  # (N,) int32 EFFECTIVE lanes (live tiles ≤ ENUM_AREA)
+    rows6: Tuple[jnp.ndarray, ...]  # packed field rows, mask nibbles in ax
+    prune_all: Tuple[jnp.ndarray, ...]  # _prune_params 6-tuple
+    tmin_x: jnp.ndarray
+    tmin_y: jnp.ndarray
+    rect_w: jnp.ndarray
+    rect_h: jnp.ndarray
+
+
+def _nscale_prepack(
     proj: ProjectedGaussians,
     *,
     tiles_x: int,
     tiles_y: int,
     tile_w: int,
     tile_h: int,
-    capacity: int = 0,  # unused (static size = tier sum); kept for API compat
-    near=0.1,
-    far=100.0,
-    tier_boost: int = 0,
-    tiers: Optional[Tuple[Tuple[int, int], ...]] = None,
-    skip_sort: bool = False,  # PROFILING ONLY: emission without sort/bounds
-    _skip: Tuple[str, ...] = (),  # PROFILING ONLY: drop "hist"/"prune"/"wide"
-) -> PackedInstances:
-    del capacity
-    num_tiles = tiles_x * tiles_y
-    tile_bits = max(int(num_tiles).bit_length(), 1)
-    depth_bits = min(32 - tile_bits, 24)
+    skip_prune: bool = False,
+) -> _Prepack:
+    """Per-Gaussian pre-packing + live-tile scan (N-scale, elementwise).
 
-    # ---- per-Gaussian pre-packing (N-scale, elementwise) -------------------
-    # Everything downstream (emission prune, kernel blend) reads the
-    # QUANTIZED values, so they are computed once here. The kernel rebuilds
-    # q0 = −2 ln(op) from the 16-bit opacity; conic and colors decode from
-    # the 16/10-bit fields (error budget: module docstring).
+    Everything downstream (emission prune, kernel blend) reads the
+    QUANTIZED values, so they are computed once here. The kernel rebuilds
+    q0 = −2 ln(op) from the 16-bit opacity; conic and colors decode from
+    the 16/10-bit fields (error budget: module docstring).
+
+    The live-tile enumeration: for rects with area ≤ ENUM_AREA (the
+    overwhelming majority of instances on real scenes), every rect
+    position is scanned with the exact dead-tile test ONCE here — ``eff``
+    is the number of LIVE tiles, and the 8-bit live mask rides aabb_x's
+    spare nibbles so windowed emission can map lane j to the (j+1)-th
+    live tile with no rescan (:func:`_emit_tier_mask_slabs`). Windowed
+    classes key on ``eff``, not rect area, so the dead corner tiles of
+    anisotropic splats stop costing frame-sort lanes entirely (~13-15%
+    of all lanes on the bench scenes, tools/live_lanes_probe.py — the
+    reference's buildLwgs emits every rect tile and filters per pixel in
+    the hot loop instead, ``render.cu:841-855``). Splats whose EVERY
+    rect tile is dead drop out of ``valid``: they cannot contribute a
+    pixel anywhere.
+
+    ONE implementation shared by :func:`build_packed_instances` and the
+    CPU calibration probe (:func:`effective_hist` ←
+    ``render.area_histogram``), so the probe's histogram cannot drift
+    from the one the render path reports. ``skip_prune`` mirrors the
+    ``_skip=("prune",)`` profiling knob: every rect tile counts as live
+    (eff == area), recovering the pre-enumeration emission exactly."""
     op16 = _color_bits(proj.opacity)
     op_q = op16.astype(jnp.float32) * (1.0 / COLOR_SCALE)
     ch_u, ch_v, ch_w = _conic_chol(
@@ -594,24 +787,124 @@ def build_packed_instances(
     aabb_y = (
         jnp.clip(ax4[:, 1], 0, 65535).astype(jnp.uint32) << 16
     ) | jnp.clip(ax4[:, 3], 0, 65535).astype(jnp.uint32)
-    rows6 = (cq, ac, bop, rgb, aabb_x, aabb_y)
 
     tmin = proj.tile_min
     tmax = proj.tile_max
+    tmin_x = tmin[:, 0].astype(jnp.int32)
+    tmin_y = tmin[:, 1].astype(jnp.int32)
     rect_w = (tmax[:, 0] - tmin[:, 0] + 1).astype(jnp.int32)
     rect_h = (tmax[:, 1] - tmin[:, 1] + 1).astype(jnp.int32)
     # Opacity below the blend threshold can never contribute (alpha ≤ op).
     # Uses the QUANTIZED opacity — the value the kernel's threshold sees.
     valid = proj.valid & (op_q >= ALPHA_EPS)
-    counts = jnp.where(valid, rect_w * rect_h, 0).astype(jnp.int32)
-    total = jnp.sum(counts)
+    area = jnp.where(valid, rect_w * rect_h, 0).astype(jnp.int32)
+
+    # Exact-prune constants from the QUANTIZED conic and opacity — the
+    # exact inputs the compositor kernel rebuilds, so prune and kernel
+    # agree bit-for-bit (see _prune_params/_tile_dead).
+    prune_all = _prune_params(
+        *_chol_conic(
+            _dec_e6m10(enc_u), _dec_s1e6m9(enc_v), _dec_e6m10(enc_w)
+        ),
+        op_q,
+    )
+    if skip_prune:
+        # A +inf kill threshold disables the dead-tile test per lane AND
+        # makes the live scan see every rect tile as live (eff == area).
+        prune_all = prune_all[:5] + (
+            jnp.full(area.shape, _PRUNE_OFF),
+        )
+
+    if _enum_ok(tiles_x, tiles_y, tile_w, tile_h):
+        scan_ok = valid & (area <= ENUM_AREA)
+        mask8, live_cnt = _live_scan(
+            prune_all, cq, aabb_x, aabb_y, tmin_x, tmin_y,
+            rect_w, area, scan_ok, tile_w=tile_w, tile_h=tile_h,
+        )
+        valid = valid & (~scan_ok | (live_cnt > 0))
+        eff = jnp.where(scan_ok, live_cnt, area)
+        eff = jnp.where(valid, eff, 0)
+        aabb_x = aabb_x | ((mask8 & 0xF) << 28) | ((mask8 >> 4) << 12)
+    else:
+        eff = area
+
+    rows6 = (cq, ac, bop, rgb, aabb_x, aabb_y)
+    return _Prepack(
+        valid, area, eff, rows6, prune_all, tmin_x, tmin_y, rect_w, rect_h
+    )
+
+
+def _eff_hist(valid: jnp.ndarray, eff: jnp.ndarray) -> jnp.ndarray:
+    """Effective-lane histogram over the AREA_BUCKETS edges — the tier
+    calibrator's input. Buckets ≤ ENUM_AREA count LIVE tiles, wider
+    buckets rect areas — exactly the quantity each class's lanes cost."""
+    hist = []
+    prev = 0
+    for edge in AREA_BUCKETS:
+        hist.append(
+            jnp.sum((valid & (eff > prev) & (eff <= edge)).astype(jnp.int32))
+        )
+        prev = edge
+    hist.append(jnp.sum((valid & (eff > prev)).astype(jnp.int32)))
+    return jnp.stack(hist)
+
+
+def effective_hist(
+    proj: ProjectedGaussians,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+) -> jnp.ndarray:
+    """The calibration histogram from projection outputs — the SAME code
+    path (:func:`_nscale_prepack` + :func:`_eff_hist`) the device render
+    reports in ``stats.area_hist``, exposed for the CPU probe
+    (``render.area_histogram``). Equality is pinned by
+    tests/test_packed_pipeline.py."""
+    pk = _nscale_prepack(
+        proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h
+    )
+    return _eff_hist(pk.valid, pk.eff)
+
+
+def build_packed_instances(
+    proj: ProjectedGaussians,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    capacity: int = 0,  # unused (static size = tier sum); kept for API compat
+    near=0.1,
+    far=100.0,
+    tier_boost: int = 0,
+    tiers: Optional[Tuple[Tuple[int, int], ...]] = None,
+    skip_sort: bool = False,  # PROFILING ONLY: emission without sort/bounds
+    _skip: Tuple[str, ...] = (),  # PROFILING ONLY: drop "hist"/"prune"/"wide"
+) -> PackedInstances:
+    del capacity
+    num_tiles = tiles_x * tiles_y
+    tile_bits = max(int(num_tiles).bit_length(), 1)
+    depth_bits = min(32 - tile_bits, 24)
+
+    pk = _nscale_prepack(
+        proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,
+        tile_h=tile_h, skip_prune="prune" in _skip,
+    )
+    valid, area, eff, rows6 = pk.valid, pk.area, pk.eff, pk.rows6
+    prune_all = pk.prune_all
+    tmin_x, tmin_y = pk.tmin_x, pk.tmin_y
+    rect_w, rect_h = pk.rect_w, pk.rect_h
+    enum_ok = _enum_ok(tiles_x, tiles_y, tile_w, tile_h)
+    abx = 0xFFF if enum_ok else 0xFFFF
 
     span = jnp.maximum(jnp.float32(far) - jnp.float32(near), 1e-6)
     depth01 = jnp.clip((proj.depth - near) / span, 0.0, 1.0)
     dmax = float((1 << depth_bits) - 1)
     depth_q = jnp.where(valid, (depth01 * dmax), 0.0).astype(jnp.uint32)
 
-    n = counts.shape[0]
+    n = area.shape[0]
     if tiers is None:
         tiers = default_tiers(n, tier_boost)
     # A (0, C) head entry is the COMPACTED-mode lane capacity (module
@@ -633,22 +926,8 @@ def build_packed_instances(
     assert capacity is None or "wide" not in _skip, (
         "the 'wide' profiling knob cannot combine with compacted mode"
     )
-    area = counts  # 0 for invalid
 
-    tmin_x = tmin[:, 0].astype(jnp.int32)
-    tmin_y = tmin[:, 1].astype(jnp.int32)
-
-    # Exact-prune constants from the QUANTIZED conic and opacity — the
-    # exact inputs the compositor kernel rebuilds, so prune and kernel
-    # agree bit-for-bit (see _prune_params/_tile_dead).
-    prune_all = _prune_params(
-        *_chol_conic(
-            _dec_e6m10(enc_u), _dec_s1e6m9(enc_v), _dec_e6m10(enc_w)
-        ),
-        op_q,
-    )
-
-    def emit(tx, ty, w, h, ok, dq, rows, m, prune, mm=False):
+    def emit(tx, ty, w, h, ok, dq, rows, m, prune, mm=False, lm=False):
         return _emit_tier(
             tx, ty, w, h, ok, dq, rows, prune,
             m=m,
@@ -657,51 +936,41 @@ def build_packed_instances(
             tile_h=tile_h,
             depth_bits=depth_bits,
             member_major=mm,
+            live_mask=lm,
+            aabb_bits=abx,
         )
 
     m0 = ladder[0][0]
 
-    # Valid-area histogram over the AREA_BUCKETS edges — feeds the session
-    # calibrator AND (when the tier areas are bucket edges, as calibrated
-    # ladders are) the per-class counts below, replacing one N-scale
-    # masked reduction per tier with tiny hist slices.
+    # Effective-lane histogram over the AREA_BUCKETS edges — feeds the
+    # session calibrator AND (when the tier bounds are bucket edges, as
+    # calibrated ladders are) the windowed per-class counts below,
+    # replacing one N-scale masked reduction per tier with tiny hist
+    # slices. Buckets ≤ ENUM_AREA count LIVE tiles (eff), wider buckets
+    # rect areas — exactly the quantity each class's lanes cost.
     if "hist" in _skip:
         area_hist = jnp.zeros((len(AREA_BUCKETS) + 1,), jnp.int32)
     else:
-        hist = []
-        prev = 0
-        for edge in AREA_BUCKETS:
-            hist.append(
-                jnp.sum(
-                    (valid & (area > prev) & (area <= edge)).astype(jnp.int32)
-                )
-            )
-            prev = edge
-        hist.append(jnp.sum((valid & (area > prev)).astype(jnp.int32)))
-        area_hist = jnp.stack(hist)
+        area_hist = _eff_hist(valid, eff)
     edge_index = {e: i for i, e in enumerate(AREA_BUCKETS)}
 
-    def class_count(m_lo, m_hi):
-        """Count of valid Gaussians with area ∈ (m_lo, m_hi] — from hist
-        slices when the bounds resolve to bucket edges (calibrated ladders
-        always do), else an N-scale masked sum. m_lo = 0 means 'from the
-        smallest class' (fully-windowed ladders); m_hi ≥ num_tiles counts
-        as unbounded exactly (screen-clipped areas cannot exceed
-        num_tiles)."""
-        if (m_lo == 0 or m_lo in edge_index) and "hist" not in _skip:
+    def class_count(m_lo, m_hi, arr, use_hist):
+        """Count of valid Gaussians with arr ∈ (m_lo, m_hi] — from hist
+        slices when ``use_hist`` (windowed mode: the hist is over the
+        same eff metric) and the bounds resolve to bucket edges
+        (calibrated ladders always do), else an N-scale masked sum.
+        m_lo = 0 means 'from the smallest class' (fully-windowed
+        ladders); m_hi ≥ num_tiles counts as unbounded exactly
+        (screen-clipped areas cannot exceed num_tiles)."""
+        if use_hist and (m_lo == 0 or m_lo in edge_index) and "hist" not in _skip:
             lo_i = 0 if m_lo == 0 else edge_index[m_lo] + 1
             if m_hi in edge_index:
                 return jnp.sum(area_hist[lo_i : edge_index[m_hi] + 1])
             if m_hi >= num_tiles:
                 return jnp.sum(area_hist[lo_i:])
         return jnp.sum(
-            (valid & (area > m_lo) & (area <= m_hi)).astype(jnp.int32)
+            (valid & (arr > m_lo) & (arr <= m_hi)).astype(jnp.int32)
         )
-
-    if "prune" in _skip:
-        # A +inf kill threshold disables the prune per lane but keeps the
-        # graph shape (profiling knob).
-        prune_all = prune_all[:5] + (jnp.full((n,), _PRUNE_OFF),)
 
     # ---- emission modes ----------------------------------------------------
     # BASE mode (ladder[0] = (m0, 0)): every Gaussian gets m0 broadcast
@@ -738,7 +1007,12 @@ def build_packed_instances(
         wide = ladder if windowed else ladder[1:]
     else:
         wide = []
-    overflow = jnp.any(valid & (area > ladder[-1][0]))
+    # Windowed classes key on the EFFECTIVE lane count (live tiles for
+    # small rects — see the enumeration block above); base mode keeps
+    # pure rect areas (its base tier enumerates rect positions, so its
+    # membership bound must be the rect area).
+    cmetric = eff if windowed else area
+    overflow = jnp.any(valid & (cmetric > ladder[-1][0]))
     if wide:
         if windowed:
             # The 6 payload rows RIDE the area sort directly (7 stable
@@ -753,7 +1027,7 @@ def build_packed_instances(
             # both schemes (stable sorts, equal fold keys).
             amax = jnp.uint32((1 << tile_bits) - 1)
             akey = (
-                (amax - area.astype(jnp.uint32)) << depth_bits
+                (amax - eff.astype(jnp.uint32)) << depth_bits
             ) | depth_q
             sorted_sel = jax.lax.sort(
                 (akey, *rows6), num_keys=1, is_stable=True
@@ -802,8 +1076,8 @@ def build_packed_instances(
         # same integer stride division as projection.py), and the prune
         # constants are recomputed from the quantized conic + 16-bit
         # opacity (the same inputs the compositor kernel uses).
-        s_xmin = (s_ax >> 16).astype(jnp.int32)
-        s_xmax = (s_ax & 0xFFFF).astype(jnp.int32)
+        s_xmin = ((s_ax >> 16) & abx).astype(jnp.int32)
+        s_xmax = (s_ax & abx).astype(jnp.int32)
         s_ymin = (s_ay >> 16).astype(jnp.int32)
         s_ymax = (s_ay & 0xFFFF).astype(jnp.int32)
         s_tmin_x = jnp.clip(s_xmin // tile_w, 0, tiles_x - 1)
@@ -824,25 +1098,45 @@ def build_packed_instances(
         if "prune" in _skip:
             s_prune = s_prune[:5] + (jnp.full((k_sel,), _PRUNE_OFF),)
 
+        # Post-sort effective lane count, re-derived exactly as the
+        # N-scale pass computed it: live-mask popcount for small rects
+        # (the mask rides s_ax's spare nibbles through the area sort),
+        # rect area otherwise. Compacted zero-pad lanes decode to
+        # s_area_w == 1 with an empty mask → s_eff == 0 → excluded by
+        # every class mask.
+        s_area_w = s_w * s_h
+        if enum_ok:
+            s_mask8 = ((s_ax >> 28) & jnp.uint32(0xF)) | (
+                ((s_ax >> 12) & jnp.uint32(0xF)) << 4
+            )
+            s_eff = jnp.where(
+                s_area_w <= ENUM_AREA,
+                jax.lax.population_count(s_mask8).astype(jnp.int32),
+                s_area_w,
+            )
+        else:
+            s_eff = s_area_w
+        s_cmetric = s_eff if windowed else s_area_w
+
         # Class populations and segment starts (device scalars). Class c of
-        # tier (m_hi, k_c) is area ∈ (m_lo, m_hi]; its segment starts after
-        # every wider class in the descending-area order — INCLUDING the
-        # uncovered giants (area > the widest tier), which occupy the
+        # tier (m_hi, k_c) is cmetric ∈ (m_lo, m_hi]; its segment starts
+        # after every wider class in the descending order — INCLUDING the
+        # uncovered giants (cmetric > the widest tier), which occupy the
         # sorted prefix without belonging to any class (possible only with
         # non-calibrated ladders; the overflow flag above already fires).
-        # In windowed mode the narrowest class reaches down to area 1
+        # In windowed mode the narrowest class reaches down to eff 1
         # (m_lo = 0).
         first_lo = 0 if windowed else m0
         lo_list = [m for m, _ in ([(first_lo, 0)] + list(wide[:-1]))]
         cls_count = [
-            class_count(m_lo, m_hi)
+            class_count(m_lo, m_hi, cmetric, windowed)
             for (m_hi, _), m_lo in zip(wide, lo_list)
         ]
         cls_start = [None] * len(wide)
         if ladder[-1][0] >= num_tiles:
             acc = jnp.int32(0)  # widest tier covers every possible area
         else:
-            acc = class_count(ladder[-1][0], 1 << 30)
+            acc = class_count(ladder[-1][0], 1 << 30, cmetric, windowed)
         for c in range(len(wide) - 1, -1, -1):  # widest class sorts first
             cls_start[c] = acc
             acc = acc + cls_count[c]
@@ -870,31 +1164,34 @@ def build_packed_instances(
                 return jax.lax.dynamic_slice_in_dim(a, start_cl, k_c)
 
             gpos = start_cl + jnp.arange(k_c, dtype=jnp.int32)
-            # Position window + class-area re-check (from the re-derived
-            # rects — free). In the no-overflow regime the window alone IS
-            # the class (contiguous segments, counts over the same data);
-            # the area mask is defense-in-depth for the overflow regime:
-            # when a WIDER class exceeds its k, its surplus members occupy
-            # sorted positions this class's clamped window can cover, and
-            # without the mask they would emit at the wrong tier width
-            # (silently truncating their rects). With it they are masked
-            # out; the starved class's own members beyond k_sel stay
-            # dropped — but that frame already raises `overflow`, and the
-            # session response (auto_tier recalibration) resizes the
-            # ladder. Truncation is flagged, never silent.
-            s_area_w = dsl(s_w) * dsl(s_h)
+            # Position window + class-metric re-check (from the re-derived
+            # rects/masks — free). In the no-overflow regime the window
+            # alone IS the class (contiguous segments, counts over the
+            # same data); the metric mask is defense-in-depth for the
+            # overflow regime: when a WIDER class exceeds its k, its
+            # surplus members occupy sorted positions this class's clamped
+            # window can cover, and without the mask they would emit at
+            # the wrong tier width (silently truncating their rects). With
+            # it they are masked out; the starved class's own members
+            # beyond k_sel stay dropped — but that frame already raises
+            # `overflow`, and the session response (auto_tier
+            # recalibration) resizes the ladder. Truncation is flagged,
+            # never silent.
+            s_cm = dsl(s_cmetric)
             mask = (
                 (gpos >= start)
                 & (gpos < start + cls_count[c])
-                & (s_area_w > m_lo)
-                & (s_area_w <= m_hi)
+                & (s_cm > m_lo)
+                & (s_cm <= m_hi)
             )
+            use_mask = enum_ok and windowed and m_hi <= ENUM_AREA
             kk, rr = emit(
                 dsl(s_tmin_x), dsl(s_tmin_y), dsl(s_w), dsl(s_h),
                 mask, dsl(s_depth),
                 tuple(dsl(r) for r in s_rows), m_hi,
                 tuple(dsl(p) for p in s_prune),
                 mm=capacity is not None,
+                lm=use_mask,
             )
             if capacity is not None:
                 off_cl = jnp.minimum(off, jnp.int32(capacity))
@@ -932,9 +1229,15 @@ def build_packed_instances(
             (qx_raw < 0) | (qx_raw > 65535)
             | (qy_raw < 0) | (qy_raw > 65535)
             | (cx_f - tmin_x.astype(jnp.float32) * tile_w > enc_max)
-            | (cx_f - tmax[:, 0].astype(jnp.float32) * tile_w < -CENTER_OFFSET)
+            | (
+                cx_f - (tmin_x + rect_w - 1).astype(jnp.float32) * tile_w
+                < -CENTER_OFFSET
+            )
             | (cy_f - tmin_y.astype(jnp.float32) * tile_h > enc_max)
-            | (cy_f - tmax[:, 1].astype(jnp.float32) * tile_h < -CENTER_OFFSET)
+            | (
+                cy_f - (tmin_y + rect_h - 1).astype(jnp.float32) * tile_h
+                < -CENTER_OFFSET
+            )
         )
     )
 
@@ -946,8 +1249,7 @@ def build_packed_instances(
     else:
         key = jnp.concatenate(keys)
         rows = [jnp.concatenate(rs) for rs in zip(*rows_out)]
-    # Instances actually emitted (post tier masking AND ellipse prune) —
-    # `total` above is the pre-prune AABB count, kept for the overflow math.
+    # Instances actually emitted (post tier masking AND live-tile pruning).
     emitted = jnp.sum((key != SENTINEL).astype(jnp.int32))
 
     if skip_sort:

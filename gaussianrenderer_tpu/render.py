@@ -288,44 +288,42 @@ def ladder_lanes(tiers, num_gaussians: int) -> int:
 
 
 def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
-    """Projection-only tile-area histogram over AREA_BUCKETS — the input
-    :func:`calibrate_tiers` needs, WITHOUT compositing. Cheap enough to run
-    on the CPU backend (full-scene projection takes seconds), which lets
-    calibration probes avoid both a TPU session claim and a second large
-    TPU executable in the measuring process. Must agree exactly with the
+    """Projection-only effective-lane histogram over AREA_BUCKETS — the
+    input :func:`calibrate_tiers` needs, WITHOUT compositing. Cheap enough
+    to run on the CPU backend (full-scene projection takes seconds), which
+    lets calibration probes avoid both a TPU session claim and a second
+    large TPU executable in the measuring process. Runs the SAME jax code
+    path as the device render (ops.instances.effective_hist — prepack +
+    live-tile scan + bucket loop), so it must agree exactly with the
     histogram the packed render path reports (pinned by
     tests/test_packed_pipeline.py)."""
     import numpy as np
 
-    from gaussianrenderer_tpu.ops.instances import AREA_BUCKETS, packed_valid_np
+    from gaussianrenderer_tpu.ops.instances import effective_hist
 
-    proj = preprocess_gaussians(
-        scene,
-        cam_params,
-        width=cfg.width,
-        height=cfg.height,
-        tile_w=cfg.tile_w,
-        tile_h=cfg.tile_h,
-        tiles_x=cfg.tiles_x,
-        tiles_y=cfg.tiles_y,
-        sh_degree=cfg.sh_degree,
-        quantize_centers=cfg.quantize_centers,
-        ewa_dilation=cfg.ewa_dilation,
-    )
-    tmin = np.asarray(proj.tile_min)
-    tmax = np.asarray(proj.tile_max)
-    # Same 16-bit-quantized opacity threshold as the packed emitter.
-    valid = packed_valid_np(proj.valid, proj.opacity)
-    area = np.where(
-        valid, (tmax[:, 0] - tmin[:, 0] + 1) * (tmax[:, 1] - tmin[:, 1] + 1), 0
-    )
-    hist = []
-    prev = 0
-    for edge in AREA_BUCKETS:
-        hist.append(int(((area > prev) & (area <= edge) & valid).sum()))
-        prev = edge
-    hist.append(int(((area > prev) & valid).sum()))
-    return np.asarray(hist, dtype=np.int64)
+    def probe(scene, cam_params):
+        proj = preprocess_gaussians(
+            scene,
+            cam_params,
+            width=cfg.width,
+            height=cfg.height,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            sh_degree=cfg.sh_degree,
+            quantize_centers=cfg.quantize_centers,
+            ewa_dilation=cfg.ewa_dilation,
+        )
+        return effective_hist(
+            proj,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+        )
+
+    return np.asarray(jax.jit(probe)(scene, cam_params), dtype=np.int64)
 
 
 def calibrate_tiers(

@@ -147,9 +147,14 @@ def test_windowed_ladder_matches_base_mode():
         height=128, width=160, compositor="packed",
         tiers=((2, 0), (4, 2048), (6, 512), (12, 256), (20, 256)),
     )
+    # Narrow windows sized for EFF classes: live-tile enumeration moves
+    # splats with dead corner tiles DOWN the ladder (an area-4 splat with
+    # one live tile is an eff-1 member), so eff-1/eff-2 populations
+    # exceed the area-1/area-2 ones.
     windowed = dataclasses.replace(
         base,
-        tiers=((1, 512), (2, 1024), (4, 2048), (6, 512), (12, 256), (20, 256)),
+        tiers=((1, 2048), (2, 2048), (4, 2048), (6, 512), (12, 256),
+               (20, 256)),
     )
     fb_b, st_b = render_frame(scene, cam.params(3.0), base)
     fb_w, st_w = render_frame(scene, cam.params(3.0), windowed)
@@ -766,6 +771,134 @@ def test_needle_scene_prune_is_invisible():
     assert not bool(inst_on.overflow)
     n_on, n_off = int(inst_on.total_instances), int(inst_off.total_instances)
     assert n_on < 0.8 * n_off, (n_on, n_off)
+    ckw = dict(
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        width=cfg.width, height=cfg.height, chunk=cfg.packed_chunk,
+    )
+    fb_on = composite_tiles_packed(
+        inst_on.packed_feats, inst_on.tile_start, inst_on.tile_count, **ckw
+    )
+    fb_off = composite_tiles_packed(
+        inst_off.packed_feats, inst_off.tile_start, inst_off.tile_count, **ckw
+    )
+    assert float(jnp.max(jnp.abs(fb_on - fb_off))) < 1e-5
+
+
+def test_mask_slab_enumeration_exhaustive():
+    """_emit_tier_mask_slabs must map lane j to the (j+1)-th set bit of
+    the 8-bit live mask riding aabb_x's spare nibbles, decoded to rect
+    position (p % w, p // w) — exhaustively over every rect shape with
+    area <= ENUM_AREA and every mask subset (the divmod runs on integer
+    compares; this pins it for all (p, w) pairs)."""
+    from gaussianrenderer_tpu.ops.instances import (
+        ENUM_AREA,
+        SENTINEL,
+        _emit_tier_mask_slabs,
+    )
+
+    shapes = [
+        (w, h)
+        for w in range(1, ENUM_AREA + 1)
+        for h in range(1, ENUM_AREA + 1)
+        if w * h <= ENUM_AREA
+    ]
+    rng = np.random.default_rng(5)
+    members = []
+    for w, h in shapes:
+        for _ in range(12):
+            area = w * h
+            msk = int(rng.integers(0, 1 << area))
+            members.append((w, h, msk))
+    g = len(members)
+    tiles_x, tile_w, tile_h, depth_bits = 16, 32, 32, 10
+    tmin_x = rng.integers(0, 6, g).astype(np.int32)
+    tmin_y = rng.integers(0, 6, g).astype(np.int32)
+    rect_w = np.array([m[0] for m in members], np.int32)
+    masks = np.array([m[2] for m in members], np.uint32)
+    depth_q = rng.integers(0, 1 << depth_bits, g).astype(np.uint32)
+    # aabb_x with the mask packed into the spare nibbles (bits 28-31 =
+    # mask[0:4], 12-15 = mask[4:8]); aabb coords arbitrary 12-bit.
+    xmin = rng.integers(0, 500, g).astype(np.uint32)
+    xmax = xmin + rng.integers(0, 100, g).astype(np.uint32)
+    ax = (xmin << 16) | xmax
+    ax = ax | ((masks & 0xF) << 28) | ((masks >> 4) << 12)
+    ay = (rng.integers(0, 500, g).astype(np.uint32) << 16) | rng.integers(
+        500, 900, g
+    ).astype(np.uint32)
+    cq = rng.integers(0, 1 << 16, (2, g)).astype(np.uint32)
+    rows6 = (
+        (cq[0] << 16) | cq[1],
+        rng.integers(0, 1 << 32, g, dtype=np.uint32),
+        rng.integers(0, 1 << 32, g, dtype=np.uint32),
+        rng.integers(0, 1 << 30, g, dtype=np.uint32),
+        ax,
+        ay,
+    )
+    m_out = ENUM_AREA
+    keys, _rows = _emit_tier_mask_slabs(
+        jnp.asarray(tmin_x), jnp.asarray(tmin_y), jnp.asarray(rect_w),
+        jnp.ones(g, bool), jnp.asarray(depth_q),
+        tuple(jnp.asarray(r) for r in rows6),
+        m=m_out, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        depth_bits=depth_bits,
+    )
+    keys = np.asarray(keys).reshape(m_out, g)  # slab-major
+    for i, (w, h, msk) in enumerate(members):
+        live = [p for p in range(w * h) if msk >> p & 1]
+        for j in range(m_out):
+            if j < len(live):
+                p = live[j]
+                tx = tmin_x[i] + p % w
+                ty = tmin_y[i] + p // w
+                want = np.uint32((tx + ty * tiles_x) << depth_bits) | depth_q[i]
+                assert keys[j, i] == want, (i, j, w, h, msk)
+            else:
+                assert keys[j, i] == SENTINEL, (i, j, w, h, msk)
+
+
+def test_live_enumeration_windowed_needle_scene():
+    """Windowed eff-classed emission on a diagonal-needle scene: the
+    frame-sort lane count must shrink versus the rect-area classes the
+    prune-off build uses (dead tiles no longer occupy lanes), the
+    emitted instances must drop vs prune-off, and the composited image
+    must match the prune-off build (pruned tiles have alpha < 1e-3 at
+    every pixel)."""
+    from gaussianrenderer_tpu.ops.instances import build_packed_instances
+    from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
+        composite_tiles_packed,
+    )
+    from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+
+    scene, cam = _setup(n=1500, seed=21)
+    s = np.asarray(scene.scales)
+    s = np.stack([s[:, 0] * 8.0, s[:, 1] * 0.05, s[:, 2] * 0.05], 1)
+    scene = scene._replace(scales=jnp.asarray(s, jnp.float32))
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    camp = cam.params(3.0)
+    proj = preprocess_gaussians(
+        scene, camp, width=cfg.width, height=cfg.height,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree, quantize_centers=cfg.quantize_centers,
+    )
+    tiers = ((1, 1500), (2, 1500), (4, 1500), (8, 1500), (16, 1500),
+             (64, 1500), (256, 512))
+    kw = dict(
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        near=camp.near, far=camp.far, tiers=tiers,
+    )
+    inst_on = build_packed_instances(proj, **kw)
+    inst_off = build_packed_instances(proj, _skip=("prune",), **kw)
+    assert not bool(inst_on.overflow)
+    n_on, n_off = int(inst_on.total_instances), int(inst_off.total_instances)
+    assert n_on < 0.85 * n_off, (n_on, n_off)
+    # eff-classed windows move splats DOWN the ladder: the histogram the
+    # calibrator sees puts strictly more splats in the narrow buckets.
+    h_on = np.asarray(inst_on.area_hist)
+    h_off = np.asarray(inst_off.area_hist)
+    assert h_on[:3].sum() > h_off[:3].sum()
     ckw = dict(
         tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h,

@@ -74,6 +74,7 @@ def main():
         width=args.width,
         compositor="packed",
         tiers=parse_tiers(args.tiers),
+        **({"packed_chunk": args.chunk} if args.chunk else {}),
     )
     scene = make_random_scene(
         args.gaussians, seed=0, extent=4.0, scale_range=(0.004, 0.03)
