@@ -52,7 +52,9 @@ see build_packed_instances):
 
   BASE mode (ladder[0] = (m₀, 0)): all N Gaussians get m₀ broadcast
              lanes; only wider tiers are windowed (selection gather).
-             Robust without calibration.
+             Robust without calibration. Class membership keys on eff
+             here too (both modes share the eff histogram the
+             calibrator sizes ladders from).
   FULLY-WINDOWED mode (every k > 0): every tier windowed; the payload
              rides the area sort itself (no gather), and total lanes ≈
              the true instance count — which keeps the frame sort under
@@ -260,12 +262,13 @@ ENUM_AREA = 8
 
 def _enum_ok(tiles_x: int, tiles_y: int, tile_w: int, tile_h: int) -> bool:
     """Live-tile enumeration packs an 8-bit live mask into aabb_x's spare
-    nibbles, which requires both pixel-AABB halves to fit 12 bits
-    (coords ≤ 4095 — true for every ≤4K output, same envelope as the
-    13.3 center encode). Larger grids fall back to pure rect-area
-    emission (the pre-enumeration behavior, still exact via the per-lane
-    prune)."""
-    return tiles_x * tile_w <= 4095 and tiles_y * tile_h <= 4095
+    nibbles, which requires the X pixel-AABB halves to fit 12 bits
+    (x coords ≤ 4095 — true for every ≤4K-wide output, same envelope as
+    the 13.3 center encode; aabb_y keeps full 16-bit halves). Wider
+    grids fall back to pure rect-area emission (the pre-enumeration
+    behavior, still exact via the per-lane prune)."""
+    del tiles_y, tile_h
+    return tiles_x * tile_w <= 4095
 
 
 def _live_scan(
@@ -954,22 +957,22 @@ def build_packed_instances(
         area_hist = _eff_hist(valid, eff)
     edge_index = {e: i for i, e in enumerate(AREA_BUCKETS)}
 
-    def class_count(m_lo, m_hi, arr, use_hist):
-        """Count of valid Gaussians with arr ∈ (m_lo, m_hi] — from hist
-        slices when ``use_hist`` (windowed mode: the hist is over the
-        same eff metric) and the bounds resolve to bucket edges
-        (calibrated ladders always do), else an N-scale masked sum.
-        m_lo = 0 means 'from the smallest class' (fully-windowed
+    def class_count(m_lo, m_hi):
+        """Count of valid Gaussians with eff ∈ (m_lo, m_hi] — from hist
+        slices when the bounds resolve to bucket edges (calibrated
+        ladders always do; the hist is over the same eff metric class
+        membership uses in BOTH emission modes), else an N-scale masked
+        sum. m_lo = 0 means 'from the smallest class' (fully-windowed
         ladders); m_hi ≥ num_tiles counts as unbounded exactly
         (screen-clipped areas cannot exceed num_tiles)."""
-        if use_hist and (m_lo == 0 or m_lo in edge_index) and "hist" not in _skip:
+        if (m_lo == 0 or m_lo in edge_index) and "hist" not in _skip:
             lo_i = 0 if m_lo == 0 else edge_index[m_lo] + 1
             if m_hi in edge_index:
                 return jnp.sum(area_hist[lo_i : edge_index[m_hi] + 1])
             if m_hi >= num_tiles:
                 return jnp.sum(area_hist[lo_i:])
         return jnp.sum(
-            (valid & (arr > m_lo) & (arr <= m_hi)).astype(jnp.int32)
+            (valid & (eff > m_lo) & (eff <= m_hi)).astype(jnp.int32)
         )
 
     # ---- emission modes ----------------------------------------------------
@@ -987,10 +990,17 @@ def build_packed_instances(
     keys = []
     rows_out = []
     if not windowed:
-        # base tier: every Gaussian × m0 lanes (areas ≤ m0)
+        # Base tier: every Gaussian × m0 lanes, membership eff ≤ m0 —
+        # the SAME metric the histogram (and so the calibrator that
+        # sized this ladder) uses. For m0 ≤ ENUM_AREA the live mask
+        # enumerates (a rect bigger than m0 with ≤ m0 LIVE tiles is a
+        # base-tier member); wider m0 falls back to positional
+        # enumeration, which covers every member because eff ≤ m0 with
+        # area > ENUM_AREA implies area = eff ≤ m0.
         k1, r1 = emit(
             tmin_x, tmin_y, rect_w, rect_h,
-            valid & (area <= m0), depth_q, rows6, m0, prune_all,
+            valid & (eff <= m0), depth_q, rows6, m0, prune_all,
+            lm=enum_ok and m0 <= ENUM_AREA,
         )
         keys.append(k1)
         rows_out.append(r1)
@@ -1007,12 +1017,13 @@ def build_packed_instances(
         wide = ladder if windowed else ladder[1:]
     else:
         wide = []
-    # Windowed classes key on the EFFECTIVE lane count (live tiles for
-    # small rects — see the enumeration block above); base mode keeps
-    # pure rect areas (its base tier enumerates rect positions, so its
-    # membership bound must be the rect area).
-    cmetric = eff if windowed else area
-    overflow = jnp.any(valid & (cmetric > ladder[-1][0]))
+    # BOTH emission modes key class membership on the EFFECTIVE lane
+    # count (live tiles for small rects — see _nscale_prepack): the
+    # histogram the calibrator sizes ladders from is eff-based, so any
+    # other runtime metric would systematically under-size windows
+    # (caught in review: an area-keyed base mode truncated every frame
+    # on ladders the eff-hist calibrated).
+    overflow = jnp.any(valid & (eff > ladder[-1][0]))
     if wide:
         if windowed:
             # The 6 payload rows RIDE the area sort directly (7 stable
@@ -1054,7 +1065,7 @@ def build_packed_instances(
             s_ac, s_bop = s_rows[1], s_rows[2]
         else:
             _, idx_sorted = jax.lax.sort(
-                (-area, jnp.arange(n, dtype=jnp.int32)),
+                (-eff, jnp.arange(n, dtype=jnp.int32)),
                 num_keys=1,
                 is_stable=True,
             )
@@ -1116,12 +1127,11 @@ def build_packed_instances(
             )
         else:
             s_eff = s_area_w
-        s_cmetric = s_eff if windowed else s_area_w
 
         # Class populations and segment starts (device scalars). Class c of
-        # tier (m_hi, k_c) is cmetric ∈ (m_lo, m_hi]; its segment starts
+        # tier (m_hi, k_c) is eff ∈ (m_lo, m_hi]; its segment starts
         # after every wider class in the descending order — INCLUDING the
-        # uncovered giants (cmetric > the widest tier), which occupy the
+        # uncovered giants (eff > the widest tier), which occupy the
         # sorted prefix without belonging to any class (possible only with
         # non-calibrated ladders; the overflow flag above already fires).
         # In windowed mode the narrowest class reaches down to eff 1
@@ -1129,14 +1139,14 @@ def build_packed_instances(
         first_lo = 0 if windowed else m0
         lo_list = [m for m, _ in ([(first_lo, 0)] + list(wide[:-1]))]
         cls_count = [
-            class_count(m_lo, m_hi, cmetric, windowed)
+            class_count(m_lo, m_hi)
             for (m_hi, _), m_lo in zip(wide, lo_list)
         ]
         cls_start = [None] * len(wide)
         if ladder[-1][0] >= num_tiles:
             acc = jnp.int32(0)  # widest tier covers every possible area
         else:
-            acc = class_count(ladder[-1][0], 1 << 30, cmetric, windowed)
+            acc = class_count(ladder[-1][0], 1 << 30)
         for c in range(len(wide) - 1, -1, -1):  # widest class sorts first
             cls_start[c] = acc
             acc = acc + cls_count[c]
@@ -1177,14 +1187,14 @@ def build_packed_instances(
             # `overflow`, and the session response (auto_tier
             # recalibration) resizes the ladder. Truncation is flagged,
             # never silent.
-            s_cm = dsl(s_cmetric)
+            s_cm = dsl(s_eff)
             mask = (
                 (gpos >= start)
                 & (gpos < start + cls_count[c])
                 & (s_cm > m_lo)
                 & (s_cm <= m_hi)
             )
-            use_mask = enum_ok and windowed and m_hi <= ENUM_AREA
+            use_mask = enum_ok and m_hi <= ENUM_AREA
             kk, rr = emit(
                 dsl(s_tmin_x), dsl(s_tmin_y), dsl(s_w), dsl(s_h),
                 mask, dsl(s_depth),

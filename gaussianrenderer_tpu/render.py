@@ -299,9 +299,18 @@ def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
     tests/test_packed_pipeline.py)."""
     import numpy as np
 
-    from gaussianrenderer_tpu.ops.instances import effective_hist
+    return np.asarray(_hist_probe(cfg)(scene, cam_params), dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=32)
+def _hist_probe(cfg):
+    """One jitted histogram probe per static cfg — calibration loops call
+    area_histogram once per orbit pose, so a fresh jit closure per call
+    would retrace the full N-scale projection+prepack graph every pose."""
 
     def probe(scene, cam_params):
+        from gaussianrenderer_tpu.ops.instances import effective_hist
+
         proj = preprocess_gaussians(
             scene,
             cam_params,
@@ -323,7 +332,7 @@ def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
             tile_h=cfg.tile_h,
         )
 
-    return np.asarray(jax.jit(probe)(scene, cam_params), dtype=np.int64)
+    return jax.jit(probe)
 
 
 def calibrate_tiers(

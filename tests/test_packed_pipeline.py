@@ -911,3 +911,38 @@ def test_live_enumeration_windowed_needle_scene():
         inst_off.packed_feats, inst_off.tile_start, inst_off.tile_count, **ckw
     )
     assert float(jnp.max(jnp.abs(fb_on - fb_off))) < 1e-5
+
+
+def test_base_mode_eff_ladder_no_truncation():
+    """Review regression (round 3): class membership must key on the SAME
+    eff metric in BOTH emission modes. The calibrator sizes ladders from
+    the eff histogram; when base-mode membership keyed on rect AREA, a
+    needle splat with area 12 / eff 2 needed an area-class window that
+    was sized only for the eff-in-class count — truncating every frame
+    with no recalibration escape. A base-mode ladder derived from the
+    calibrated eff windows must render without overflow and emit exactly
+    the windowed ladder's instance set."""
+    import dataclasses
+
+    scene, cam = _setup(n=3000, seed=21)
+    s = np.asarray(scene.scales)
+    s = np.stack([s[:, 0] * 8.0, s[:, 1] * 0.05, s[:, 2] * 0.05], 1)
+    scene = scene._replace(scales=jnp.asarray(s, jnp.float32))
+    cfg0 = RenderConfig(height=128, width=160, compositor="packed")
+    from gaussianrenderer_tpu.render import area_histogram, calibrate_tiers
+
+    hist = area_histogram(scene, cam.params(3.0), cfg0)
+    tiers = calibrate_tiers(hist, num_tiles=cfg0.tiles_x * cfg0.tiles_y)
+    if tiers[0][0] == 0:  # drop a compacted head for the windowed variant
+        tiers = tiers[1:]
+    base_tiers = ((2, 0),) + tuple((m, k) for m, k in tiers if m > 2)
+    fb_b, st_b = render_frame(
+        scene, cam.params(3.0), dataclasses.replace(cfg0, tiers=base_tiers)
+    )
+    fb_w, st_w = render_frame(
+        scene, cam.params(3.0), dataclasses.replace(cfg0, tiers=tiers)
+    )
+    assert not bool(st_b.overflow), "base-mode eff ladder truncated"
+    assert not bool(st_w.overflow)
+    assert int(st_b.num_instances) == int(st_w.num_instances)
+    assert psnr(np.asarray(fb_b), np.asarray(fb_w)) > 60.0

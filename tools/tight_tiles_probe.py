@@ -95,7 +95,9 @@ def exact_dead_fraction(proj, cfg, max_splats=4_000_000):
     tmin = np.asarray(proj.tile_min, np.int64)
     tmax = np.asarray(proj.tile_max, np.int64)
     gain = np.maximum(2.0 * np.log(np.maximum(op, 1e-12) / ALPHA_EPS), 0.0)
-    # isotropic prune radius² (lambda_min bound), as ops/instances._prune_r2
+    # ROUND-2 isotropic prune radius² (lambda_min bound) — the baseline
+    # this probe compares the exact test against; the render path itself
+    # now uses the exact visible-face test (ops/instances._tile_dead).
     lam = 0.5 * (A + C) - np.sqrt(np.maximum(0.25 * (A - C) ** 2 + 0.25 * B * B, 0))
     r2max = np.where(lam > 1e-20, gain / np.maximum(lam, 1e-20), -1.0)
 
