@@ -946,3 +946,59 @@ def test_base_mode_eff_ladder_no_truncation():
     assert not bool(st_w.overflow)
     assert int(st_b.num_instances) == int(st_w.num_instances)
     assert psnr(np.asarray(fb_b), np.asarray(fb_w)) > 60.0
+
+
+def test_edge_cases_all_culled_single_splat_portrait():
+    """Degenerate inputs must render cleanly, not crash or NaN:
+    (a) every splat behind the camera -> black frame, zero instances;
+    (b) a single-splat scene -> matches the oracle;
+    (c) portrait (tall) resolution -> live-tile enumeration still active
+        (the mask rides aabb_x only; height does not gate it) and the
+        packed image matches the xla compositor."""
+    # (a) all culled: look away from the cloud
+    scene, cam = _setup(n=500, seed=3)
+    cam.set_position([0.0, 0.0, 6.0])
+    cam.set_look_at([0.0, 0.0, 12.0])  # cloud at origin is BEHIND
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    fb, st = render_frame(scene, cam.params(3.0), cfg)
+    assert int(st.num_instances) == 0
+    assert not bool(st.overflow)
+    assert float(jnp.max(jnp.abs(fb))) == 0.0
+
+    # (b) single splat
+    scene1, cam1 = _setup(n=1, seed=4)
+    fb1, st1 = render_frame(scene1, cam1.params(3.0), cfg)
+    assert np.isfinite(np.asarray(fb1)).all()
+    golden = render_oracle(scene1, cam1, cfg)
+    assert psnr(golden, np.asarray(fb1)) > 60.0
+
+    # (c) portrait resolution
+    scene2, cam2 = _setup(n=2000, h=256, w=128, seed=6)
+    from gaussianrenderer_tpu.ops.instances import _enum_ok
+
+    cfg_p = RenderConfig(height=256, width=128, compositor="packed")
+    assert _enum_ok(cfg_p.tiles_x, cfg_p.tiles_y, cfg_p.tile_w, cfg_p.tile_h)
+    fb_p, st_p = render_frame(scene2, cam2.params(3.0), cfg_p)
+    cfg_x = RenderConfig(height=256, width=128, compositor="xla")
+    fb_x, _ = render_frame(scene2, cam2.params(3.0), cfg_x)
+    assert psnr(np.asarray(fb_x), np.asarray(fb_p)) > 60.0
+
+
+def test_k_sigma_extremes_render_cleanly():
+    """The UI slider's full range (0.1 - 8, canvas.cpp:311): k is traced,
+    so both extremes run in one executable; tiny k shrinks coverage to
+    (almost) nothing, k=8 must not overflow a calibrated ladder thanks to
+    the alpha-threshold coverage bound (opacity-blind k-sigma boxes made
+    high k a coverage cliff)."""
+    from gaussianrenderer_tpu.render import make_renderer
+
+    scene, cam = _setup(n=2000, seed=9)
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    render = make_renderer(scene, cfg, auto_tier=True)
+    fb_hi, st_hi = render(cam.params(8.0))
+    fb_lo, st_lo = render(cam.params(0.1))
+    assert np.isfinite(np.asarray(fb_hi)).all()
+    assert np.isfinite(np.asarray(fb_lo)).all()
+    assert not bool(st_hi.overflow)
+    assert int(st_lo.num_instances) < int(st_hi.num_instances)
