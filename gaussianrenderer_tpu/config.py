@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -72,6 +72,21 @@ class RenderConfig:
     #: while_loop reference), or "diff" (fixed-trip scan,
     #: reverse-differentiable — used by training).
     compositor: str = "packed"
+
+    #: Composite the frame over a background color (r, g, b in [0, 1])
+    #: instead of the reference's implicit black. Standard for 3DGS
+    #: training on white-background captures (the upstream rasterizer
+    #: takes bg_color); applied OUTSIDE the compositors as
+    #: rgb + T_final*bg using the accumulated-alpha channel, so every
+    #: compositor (packed/xla/diff) supports it identically. Static:
+    #: changing it recompiles (colors change rarely; keep it out of the
+    #: traced camera params).
+    background: "Optional[Tuple[float, float, float]]" = None
+
+    #: Return a (4, H, W) framebuffer whose row 3 is the accumulated
+    #: opacity per pixel (1 - final transmittance) — the alpha matte
+    #: upstream 3DGS tooling expects. Off: the reference's (3, H, W).
+    output_alpha: bool = False
 
     #: Static per-tile chunk bound for the differentiable compositor.
     diff_max_chunks: int = 32

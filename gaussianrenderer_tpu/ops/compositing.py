@@ -161,6 +161,7 @@ def composite_tiles_diff(
     height: int,
     chunk_size: int,
     max_chunks: int = 32,
+    return_alpha: bool = False,
 ) -> jnp.ndarray:
     """Differentiable compositor: fixed-trip ``lax.scan`` instead of the
     early-exit ``while_loop`` (which has no reverse-mode AD).
@@ -248,15 +249,18 @@ def composite_tiles_diff(
             jnp.ones((p,), dtype=jnp.float32),
             jnp.zeros((3, p), dtype=jnp.float32),
         )
-        (_, rgb), _ = jax.lax.scan(
+        (t_final, rgb), _ = jax.lax.scan(
             body, init, jnp.arange(max_chunks, dtype=jnp.int32)
         )
+        if return_alpha:
+            return jnp.concatenate([rgb, (1.0 - t_final)[None]], axis=0)
         return rgb
 
+    nc = 4 if return_alpha else 3
     tile_rgb = jax.vmap(render_tile)(tile_start, tile_count, tx, ty)
-    fb = tile_rgb.reshape(tiles_y, tiles_x, 3, tile_h, tile_w)
+    fb = tile_rgb.reshape(tiles_y, tiles_x, nc, tile_h, tile_w)
     fb = fb.transpose(2, 0, 3, 1, 4).reshape(
-        3, tiles_y * tile_h, tiles_x * tile_w
+        nc, tiles_y * tile_h, tiles_x * tile_w
     )
     return fb[:, :height, :width]
 
@@ -273,12 +277,16 @@ def composite_tiles_xla(
     width: int,
     height: int,
     chunk_size: int,
+    return_alpha: bool = False,
 ) -> jnp.ndarray:
-    """Composite every tile; returns a planar (3, H, W) framebuffer.
+    """Composite every tile; returns a planar (3, H, W) framebuffer —
+    or (4, H, W) with an accumulated-alpha (1 − T_final) row when
+    ``return_alpha``.
 
     vmap over tiles of a chunk-granular ``while_loop`` with the reference's
     early-termination rule (stop when every pixel's transmittance < 1e-3).
     """
+    nc = 4 if return_alpha else 3
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     k = chunk_size
@@ -314,14 +322,16 @@ def composite_tiles_xla(
             jnp.ones((p,), dtype=jnp.float32),
             jnp.zeros((3, p), dtype=jnp.float32),
         )
-        _, _, rgb = jax.lax.while_loop(cond, body, init)
+        _, t_final, rgb = jax.lax.while_loop(cond, body, init)
+        if return_alpha:
+            return jnp.concatenate([rgb, (1.0 - t_final)[None]], axis=0)
         return rgb
 
-    tile_rgb = jax.vmap(render_tile)(tile_start, tile_count, tx, ty)  # (T,3,P)
+    tile_rgb = jax.vmap(render_tile)(tile_start, tile_count, tx, ty)  # (T,nc,P)
 
-    # Assemble the padded framebuffer, then crop to (3, H, W).
-    fb = tile_rgb.reshape(tiles_y, tiles_x, 3, tile_h, tile_w)
+    # Assemble the padded framebuffer, then crop to (nc, H, W).
+    fb = tile_rgb.reshape(tiles_y, tiles_x, nc, tile_h, tile_w)
     fb = fb.transpose(2, 0, 3, 1, 4).reshape(
-        3, tiles_y * tile_h, tiles_x * tile_w
+        nc, tiles_y * tile_h, tiles_x * tile_w
     )
     return fb[:, :height, :width]

@@ -168,6 +168,7 @@ def _tile_kernel(
     chunk: int,
     precision=jax.lax.Precision.HIGHEST,
     mxu_q: bool = True,
+    out_alpha: bool = False,
 ):
     k = chunk
     p = tile_h * tile_w
@@ -328,21 +329,30 @@ def _tile_kernel(
         jnp.ones((p, 1), dtype=jnp.float32),
         jnp.zeros((p, 3), dtype=jnp.float32),
     )
-    i_end, _, rgb = jax.lax.while_loop(cond, body, init)
+    i_end, t_final, rgb = jax.lax.while_loop(cond, body, init)
 
     # Drain the prefetched-but-unconsumed DMA after an early exit.
     @pl.when(i_end < num_chunks)
     def _():
         chunk_dma(jax.lax.rem(i_end, 2), i_end).wait()
 
-    out_ref[:] = rgb.T  # (3, P)
+    if out_alpha:
+        # Row 3 = accumulated opacity (1 − final transmittance). The
+        # kernel's T update is UNGATED past the 1e-3 stop (see the note
+        # in `body`), so converged pixels report alpha ∈ [0.999, 1]
+        # rather than freezing exactly at the stop value like the
+        # gated xla/diff/oracle paths — a ≤1e-3 difference, the same
+        # envelope as the stop rule itself.
+        out_ref[:] = jnp.concatenate([rgb, 1.0 - t_final], axis=1).T
+    else:
+        out_ref[:] = rgb.T  # (3, P)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_w", "tile_h", "width", "height",
-        "chunk", "precision", "mxu_q",
+        "chunk", "precision", "mxu_q", "out_alpha",
     ),
 )
 def composite_tiles_packed(
@@ -359,8 +369,10 @@ def composite_tiles_packed(
     chunk: int = 128,
     precision=jax.lax.Precision.HIGHEST,
     mxu_q: bool = True,
+    out_alpha: bool = False,
 ) -> jnp.ndarray:
-    """Composite all tiles from packed features; returns (3, H, W) f32."""
+    """Composite all tiles from packed features; returns (3, H, W) f32 —
+    or (4, H, W) with an accumulated-alpha row when ``out_alpha``."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     # Pad the instance axis so every aligned chunk window is in bounds, and
@@ -369,16 +381,17 @@ def composite_tiles_packed(
     feats = jnp.zeros((DMA_ROWS, c + 2 * chunk), dtype=packed_feats.dtype)
     feats = jax.lax.dynamic_update_slice(feats, packed_feats, (0, 0))
 
+    nc = 4 if out_alpha else 3
     kernel = functools.partial(
         _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
-        precision=precision, mxu_q=mxu_q,
+        precision=precision, mxu_q=mxu_q, out_alpha=out_alpha,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (3, p), lambda t, *prefetch: (0, t), memory_space=pltpu.VMEM
+            (nc, p), lambda t, *prefetch: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, DMA_ROWS, chunk), jnp.uint32),
@@ -388,13 +401,13 @@ def composite_tiles_packed(
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((3, num_tiles * p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc, num_tiles * p), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, tile_count, feats)
 
-    fb = out.reshape(3, tiles_y, tiles_x, tile_h, tile_w)
+    fb = out.reshape(nc, tiles_y, tiles_x, tile_h, tile_w)
     fb = fb.transpose(0, 1, 3, 2, 4).reshape(
-        3, tiles_y * tile_h, tiles_x * tile_w
+        nc, tiles_y * tile_h, tiles_x * tile_w
     )
     return fb[:, :height, :width]

@@ -74,7 +74,11 @@ def render_oracle(
     cfg: RenderConfig,
     time_value: Optional[float] = None,
 ) -> np.ndarray:
-    """Render with the reference algorithm; returns planar (3, H, W) f32."""
+    """Render with the reference algorithm; returns planar (3, H, W) f32.
+
+    Honors ``cfg.background`` (rgb + T_final·bg) and ``cfg.output_alpha``
+    (a 4th accumulated-opacity row) exactly as render.py's ``_finish_fb``
+    does, so the PSNR gates cover those output modes too."""
     positions = np.asarray(scene.positions, dtype=np.float32)
     shs = np.asarray(scene.sh, dtype=np.float32)
     opacities = np.asarray(scene.opacity, dtype=np.float32)
@@ -241,6 +245,11 @@ def render_oracle(
                 for c in range(3):
                     fb[c, gy, gx] += color[c] * alpha * t_cur
                 transmittance[gy, gx] = t_cur * (1.0 - alpha)
+    if getattr(cfg, "background", None) is not None:
+        bg = np.asarray(cfg.background, np.float32)
+        fb = fb + transmittance[None, :, :] * bg[:, None, None]
+    if getattr(cfg, "output_alpha", False):
+        fb = np.concatenate([fb, (1.0 - transmittance)[None]], axis=0)
     return fb
 
 

@@ -32,6 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussianrenderer_tpu.config import RenderConfig
+from gaussianrenderer_tpu.render import _finish_fb  # noqa: F401 (strip bg/alpha)
 from gaussianrenderer_tpu.ops.compositing import (
     FEAT_CONIC_A,
     FEAT_CX,
@@ -388,7 +389,9 @@ def _strip_render(
             width=cfg.width,
             height=strip_h,  # full strip; global crop happens outside
             chunk=cfg.packed_chunk,
+            out_alpha=cfg.output_alpha or cfg.background is not None,
         )
+        fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha are per-pixel
         if with_stats:
             return fb_strip, inst.overflow, inst.center_clipped
         return fb_strip
@@ -427,7 +430,9 @@ def _strip_render(
         width=cfg.width,
         height=strip_h,  # full strip; global crop happens outside
         chunk_size=cfg.chunk_size,
-    )  # (3, strip_h, W)
+        return_alpha=cfg.output_alpha or cfg.background is not None,
+    )  # (3|4, strip_h, W)
+    fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha are per-pixel
     if with_stats:
         return fb_strip, assignment.overflow, jnp.bool_(False)
     return fb_strip
@@ -447,6 +452,8 @@ def render_frame_multichip(
     """Render one frame across every chip of ``mesh``.
 
     Returns ``(fb, stats)`` where ``fb`` is the (3, H, W) framebuffer
+    ((4, H, W) with ``cfg.output_alpha``; ``cfg.background`` composites
+    per strip, identically to the single-chip path)
     (row-strip sharded over the mesh) and ``stats`` is a dict of mesh-reduced
     flags: ``overflow`` (instance truncation on any chip) and
     ``center_clipped`` (packed center-encode saturation on any chip) —

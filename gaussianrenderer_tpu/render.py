@@ -83,6 +83,10 @@ def _render_impl(
     )
 
     capacity = cfg.instance_capacity(scene.num_gaussians)
+    # Alpha is needed when the caller wants the matte OR a background
+    # composite (rgb + T_final*bg happens here, outside the compositors,
+    # so packed/xla/diff all support cfg.background identically).
+    want_alpha = cfg.output_alpha or cfg.background is not None
 
     if cfg.compositor == "packed" and cfg.packed_compatible:
         # Fast path: gather-free packed expansion + single-key sort + v2
@@ -115,7 +119,9 @@ def _render_impl(
             width=cfg.width,
             height=cfg.height,
             chunk=cfg.packed_chunk,
+            out_alpha=want_alpha,
         )
+        fb = _finish_fb(fb, cfg)
         stats = RenderStats(
             num_culled=jnp.sum(proj.valid.astype(jnp.int32)),
             num_instances=inst.total_instances,
@@ -151,6 +157,7 @@ def _render_impl(
             height=cfg.height,
             chunk_size=cfg.chunk_size,
             max_chunks=cfg.diff_max_chunks,
+            return_alpha=want_alpha,
         )
     else:
         if cfg.compositor not in ("xla", "packed"):
@@ -171,14 +178,31 @@ def _render_impl(
             width=cfg.width,
             height=cfg.height,
             chunk_size=cfg.chunk_size,
+            return_alpha=want_alpha,
         )
 
+    fb = _finish_fb(fb, cfg)
     stats = RenderStats(
         num_culled=jnp.sum(proj.valid.astype(jnp.int32)),
         num_instances=assignment.total_instances,
         overflow=assignment.overflow,
     )
     return fb, stats
+
+
+def _finish_fb(fb: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """Background composite + output-channel selection.
+
+    ``fb`` is (4, H, W) when the impl requested alpha, else (3, H, W).
+    ``cfg.background`` composites rgb + T_final·bg (T_final = 1 − alpha);
+    the alpha row is kept only when ``cfg.output_alpha``."""
+    if cfg.background is not None:
+        bg = jnp.asarray(cfg.background, jnp.float32)[:, None, None]
+        rgb = fb[:3] + (1.0 - fb[3:4]) * bg
+        if cfg.output_alpha:
+            return jnp.concatenate([rgb, fb[3:4]], axis=0)
+        return rgb
+    return fb
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

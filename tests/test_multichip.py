@@ -268,3 +268,28 @@ def test_balance_strips_for_scene_end_to_end():
     bal = [int(loads[bounds[i]:bounds[i + 1]].sum()) for i in range(8)]
     eq = [int(loads[i:i + 1].sum()) for i in range(8)]  # 8 rows, 1 each
     assert max(bal) <= max(eq)
+
+
+def test_multichip_background_and_alpha_match_single_device():
+    """cfg.background / cfg.output_alpha apply per strip (both are
+    per-pixel), so the multichip frame must equal the single-chip one
+    including the composited background and the alpha row."""
+    import dataclasses
+
+    scene, cam, cfg0 = _setup()
+    cfg = dataclasses.replace(
+        cfg0, background=(1.0, 1.0, 1.0), output_alpha=True
+    )
+    fb_single, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert fb_single.shape[0] == 4
+
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    fb_multi, stats = render_frame_multichip(
+        sharded, cam.params(cfg.k_sigma), cfg, mesh
+    )
+    assert fb_multi.shape == fb_single.shape
+    np.testing.assert_allclose(
+        np.asarray(fb_multi), np.asarray(fb_single), atol=1e-5
+    )
+    assert not bool(stats["overflow"])

@@ -1002,3 +1002,38 @@ def test_k_sigma_extremes_render_cleanly():
     assert np.isfinite(np.asarray(fb_lo)).all()
     assert not bool(st_hi.overflow)
     assert int(st_lo.num_instances) < int(st_hi.num_instances)
+
+
+def test_alpha_output_and_background_all_compositors():
+    """cfg.output_alpha appends an accumulated-opacity row and
+    cfg.background composites rgb + T_final*bg — identically across
+    packed/xla/diff and matching the oracle's mirror of the same math
+    (the packed kernel's ungated-T alpha differs from the frozen-T
+    reference by <= the 1e-3 stop threshold itself)."""
+    import dataclasses
+
+    scene, cam = _setup(n=2000, seed=0)
+    base = RenderConfig(
+        height=128, width=160, background=(1.0, 1.0, 1.0), output_alpha=True
+    )
+    golden = render_oracle(scene, cam, base)
+    assert golden.shape[0] == 4
+    for comp in ("packed", "xla", "diff"):
+        cfg = dataclasses.replace(base, compositor=comp)
+        fb, _ = render_frame(scene, cam.params(3.0), cfg)
+        assert fb.shape == (4, 128, 160), comp
+        assert psnr(golden[:3], np.asarray(fb[:3])) > 60.0, comp
+        assert psnr(golden[3], np.asarray(fb[3])) > 60.0, comp
+        a = np.asarray(fb[3])
+        assert a.min() >= 0.0 and a.max() <= 1.0 + 1e-6
+
+    # bg-only keeps the reference's (3, H, W); empty corners are pure bg.
+    cfg_bg = dataclasses.replace(base, compositor="packed", output_alpha=False)
+    fb_bg, _ = render_frame(scene, cam.params(3.0), cfg_bg)
+    assert fb_bg.shape == (3, 128, 160)
+    assert float(fb_bg[0, 0, 0]) == 1.0
+    # default output is bit-unchanged by the feature existing
+    cfg0 = RenderConfig(height=128, width=160, compositor="packed")
+    fb0, _ = render_frame(scene, cam.params(3.0), cfg0)
+    assert fb0.shape == (3, 128, 160)
+    assert float(fb0[0, 0, 0]) == 0.0
