@@ -88,6 +88,14 @@ class RenderConfig:
     #: upstream 3DGS tooling expects. Off: the reference's (3, H, W).
     output_alpha: bool = False
 
+    #: Append an expected-depth row to the framebuffer: per pixel
+    #: sum(w_i * d_i) over the blend weights w_i = alpha_i*T_i and
+    #: camera-space depths d_i (divide by the alpha row for the
+    #: normalized depth map). Standard 3DGS tooling output for depth
+    #: supervision/visualization; the reference has no depth output.
+    #: Channel order: rgb, [alpha], [depth].
+    output_depth: bool = False
+
     #: Static per-tile chunk bound for the differentiable compositor.
     diff_max_chunks: int = 32
 

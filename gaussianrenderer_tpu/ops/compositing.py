@@ -52,6 +52,7 @@ FEAT_XMIN = 9
 FEAT_YMIN = 10
 FEAT_XMAX = 11
 FEAT_YMAX = 12
+FEAT_DEPTH = 13  # camera-space depth (expected-depth output)
 FEAT_DIM = 16
 
 ALPHA_EPS = 1e-3
@@ -70,6 +71,7 @@ def build_features(proj: ProjectedGaussians) -> jnp.ndarray:
             jnp.where(proj.valid, proj.opacity, 0.0)[:, None],
             proj.color,  # r, g, b
             proj.aabb_px,  # xmin, ymin, xmax, ymax
+            proj.depth[:, None],  # camera-space depth (expected-depth row)
         ],
         axis=-1,
     )
@@ -97,7 +99,8 @@ def composite_chunk(
     gy: jnp.ndarray,  # (P,) pixel y coords
     transmittance: jnp.ndarray,  # (P,)
     rgb: jnp.ndarray,  # (3, P)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    depth_acc: "jnp.ndarray | None" = None,  # (P,) expected-depth row
+) -> Tuple[jnp.ndarray, jnp.ndarray, "jnp.ndarray | None"]:
     """Composite one chunk of K sorted instances over P pixels.
 
     Shared by the XLA and Pallas compositors — pure jnp on values.
@@ -142,10 +145,17 @@ def composite_chunk(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,  # full-f32 color accumulation
     )  # (3, P)
+    if depth_acc is not None:
+        depth_acc = depth_acc + jnp.dot(
+            feats[:, FEAT_DEPTH][None, :],
+            weights,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]  # (P,)
     transmittance = transmittance * jnp.prod(
         jnp.where(gate, one_minus, 1.0), axis=0
     )
-    return transmittance, rgb
+    return transmittance, rgb, depth_acc
 
 
 def composite_tiles_diff(
@@ -162,6 +172,7 @@ def composite_tiles_diff(
     chunk_size: int,
     max_chunks: int = 32,
     return_alpha: bool = False,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
     """Differentiable compositor: fixed-trip ``lax.scan`` instead of the
     early-exit ``while_loop`` (which has no reverse-mode AD).
@@ -190,7 +201,7 @@ def composite_tiles_diff(
 
         @jax.checkpoint
         def body(state, i):
-            transmittance, rgb = state
+            transmittance, rgb, depth = state
             feats = jax.lax.dynamic_slice(
                 sorted_feats, (start + i * k, 0), (k, FEAT_DIM)
             )
@@ -240,23 +251,34 @@ def composite_tiles_diff(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            if depth is not None:
+                depth = depth + jnp.dot(
+                    feats[:, FEAT_DEPTH][None, :],
+                    weights,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )[0]
             transmittance = transmittance * jnp.min(
                 jnp.where(gate, u, 1.0), axis=0
             )
-            return (transmittance, rgb), None
+            return (transmittance, rgb, depth), None
 
         init = (
             jnp.ones((p,), dtype=jnp.float32),
             jnp.zeros((3, p), dtype=jnp.float32),
+            jnp.zeros((p,), dtype=jnp.float32) if return_depth else None,
         )
-        (t_final, rgb), _ = jax.lax.scan(
+        (t_final, rgb, depth), _ = jax.lax.scan(
             body, init, jnp.arange(max_chunks, dtype=jnp.int32)
         )
+        rows = [rgb]
         if return_alpha:
-            return jnp.concatenate([rgb, (1.0 - t_final)[None]], axis=0)
-        return rgb
+            rows.append((1.0 - t_final)[None])
+        if return_depth:
+            rows.append(depth[None])
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rgb
 
-    nc = 4 if return_alpha else 3
+    nc = 3 + int(return_alpha) + int(return_depth)
     tile_rgb = jax.vmap(render_tile)(tile_start, tile_count, tx, ty)
     fb = tile_rgb.reshape(tiles_y, tiles_x, nc, tile_h, tile_w)
     fb = fb.transpose(2, 0, 3, 1, 4).reshape(
@@ -278,15 +300,16 @@ def composite_tiles_xla(
     height: int,
     chunk_size: int,
     return_alpha: bool = False,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
-    """Composite every tile; returns a planar (3, H, W) framebuffer —
-    or (4, H, W) with an accumulated-alpha (1 − T_final) row when
-    ``return_alpha``.
+    """Composite every tile; returns a planar (3, H, W) framebuffer,
+    with optional extra rows in [alpha, depth] order: accumulated alpha
+    (1 − T_final) and expected depth Σ w·d (``return_depth``).
 
     vmap over tiles of a chunk-granular ``while_loop`` with the reference's
     early-termination rule (stop when every pixel's transmittance < 1e-3).
     """
-    nc = 4 if return_alpha else 3
+    nc = 3 + int(return_alpha) + int(return_depth)
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     k = chunk_size
@@ -303,29 +326,33 @@ def composite_tiles_xla(
         gy = ty_i.astype(jnp.float32) * tile_h + local_y
 
         def cond(state):
-            i, transmittance, _ = state
+            i, transmittance = state[0], state[1]
             return (i * k < count) & (jnp.max(transmittance) >= T_EPS)
 
         def body(state):
-            i, transmittance, rgb = state
+            i, transmittance, rgb, depth = state
             feats = jax.lax.dynamic_slice(
                 sorted_feats, (start + i * k, 0), (k, FEAT_DIM)
             )
             k_valid = (i * k + k_iota) < count
-            transmittance, rgb = composite_chunk(
-                feats, k_valid, gx, gy, transmittance, rgb
+            transmittance, rgb, depth = composite_chunk(
+                feats, k_valid, gx, gy, transmittance, rgb, depth
             )
-            return i + 1, transmittance, rgb
+            return i + 1, transmittance, rgb, depth
 
         init = (
             jnp.int32(0),
             jnp.ones((p,), dtype=jnp.float32),
             jnp.zeros((3, p), dtype=jnp.float32),
+            jnp.zeros((p,), dtype=jnp.float32) if return_depth else None,
         )
-        _, t_final, rgb = jax.lax.while_loop(cond, body, init)
+        _, t_final, rgb, depth = jax.lax.while_loop(cond, body, init)
+        rows = [rgb]
         if return_alpha:
-            return jnp.concatenate([rgb, (1.0 - t_final)[None]], axis=0)
-        return rgb
+            rows.append((1.0 - t_final)[None])
+        if return_depth:
+            rows.append(depth[None])
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rgb
 
     tile_rgb = jax.vmap(render_tile)(tile_start, tile_count, tx, ty)  # (T,nc,P)
 

@@ -154,6 +154,10 @@ class PackedInstances(NamedTuple):
     #: ENUM_AREA count live tiles, wider buckets rect areas — see
     #: _nscale_prepack); drives tier calibration.
     area_hist: jnp.ndarray = None
+    #: (C,) f32 camera-space depth per sorted lane (want_depth only) —
+    #: decoded from the frame-sort key's quantized-depth bits, feeds the
+    #: packed kernel's expected-depth output row.
+    depth_f32: Optional[jnp.ndarray] = None
 
 
 def _color_bits(c: jnp.ndarray) -> jnp.ndarray:
@@ -884,6 +888,7 @@ def build_packed_instances(
     tier_boost: int = 0,
     tiers: Optional[Tuple[Tuple[int, int], ...]] = None,
     skip_sort: bool = False,  # PROFILING ONLY: emission without sort/bounds
+    want_depth: bool = False,  # decode per-lane depth from the sorted keys
     _skip: Tuple[str, ...] = (),  # PROFILING ONLY: drop "hist"/"prune"/"wide"
 ) -> PackedInstances:
     del capacity
@@ -1284,6 +1289,15 @@ def build_packed_instances(
     key_sorted = sorted_ops[0]
     packed = jnp.stack(sorted_ops[1:], axis=0)  # (5, C) u32
 
+    depth_f32 = None
+    if want_depth:
+        # Quantized depth (the sort key's low bits) → camera-space depth.
+        # 21+-bit quantization over [near, far]; SENTINEL lanes decode to
+        # garbage but sort past every tile range, so the kernel never
+        # weights them.
+        depth_f32 = jnp.float32(near) + (
+            key_sorted & jnp.uint32((1 << depth_bits) - 1)
+        ).astype(jnp.float32) * (span / dmax)
     tile_sorted = (key_sorted >> depth_bits).astype(jnp.int32)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tids, side="left").astype(
@@ -1301,4 +1315,5 @@ def build_packed_instances(
         overflow=overflow,
         center_clipped=center_clipped,
         area_hist=area_hist,
+        depth_f32=depth_f32,
     )

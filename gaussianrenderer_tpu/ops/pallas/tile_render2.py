@@ -169,6 +169,7 @@ def _tile_kernel(
     precision=jax.lax.Precision.HIGHEST,
     mxu_q: bool = True,
     out_alpha: bool = False,
+    out_depth: bool = False,
 ):
     k = chunk
     p = tile_h * tile_w
@@ -309,13 +310,19 @@ def _tile_kernel(
         weights = jnp.where(gate, t_before * alpha, 0.0)
 
         colors = jnp.concatenate([red, grn, blu], axis=0)  # (3, K)
+        if out_depth:
+            # Row 5 of the DMA window carries the per-lane camera-space
+            # depth as f32 bits (see composite_tiles_packed) — the
+            # expected-depth accumulation rides the same weights.
+            dlane = jax.lax.bitcast_convert_type(raw[5:6, :], jnp.float32)
+            colors = jnp.concatenate([colors, dlane], axis=0)  # (4, K)
         rgb = rgb + jax.lax.dot_general(
             weights,
             colors,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
-        )  # (P, 3)
+        )  # (P, 3|4)
         # T *= ∏(1−α) UNGATED: once a pixel's t_before falls below the stop
         # threshold its gate is false in every later chunk regardless
         # (T only decreases), so skipping the reference's freeze-at-stop
@@ -327,7 +334,7 @@ def _tile_kernel(
     init = (
         jnp.int32(0),
         jnp.ones((p, 1), dtype=jnp.float32),
-        jnp.zeros((p, 3), dtype=jnp.float32),
+        jnp.zeros((p, 4 if out_depth else 3), dtype=jnp.float32),
     )
     i_end, t_final, rgb = jax.lax.while_loop(cond, body, init)
 
@@ -336,16 +343,19 @@ def _tile_kernel(
     def _():
         chunk_dma(jax.lax.rem(i_end, 2), i_end).wait()
 
+    # Output rows: rgb(3), [alpha], [depth] — matching _finish_fb's
+    # channel convention. Accumulated alpha = 1 − final transmittance;
+    # the kernel's T update is UNGATED past the 1e-3 stop (see the note
+    # in `body`), so converged pixels report alpha ∈ [0.999, 1] rather
+    # than freezing exactly at the stop value like the gated
+    # xla/diff/oracle paths — a ≤1e-3 difference, the same envelope as
+    # the stop rule itself.
+    cols = [rgb[:, :3]]
     if out_alpha:
-        # Row 3 = accumulated opacity (1 − final transmittance). The
-        # kernel's T update is UNGATED past the 1e-3 stop (see the note
-        # in `body`), so converged pixels report alpha ∈ [0.999, 1]
-        # rather than freezing exactly at the stop value like the
-        # gated xla/diff/oracle paths — a ≤1e-3 difference, the same
-        # envelope as the stop rule itself.
-        out_ref[:] = jnp.concatenate([rgb, 1.0 - t_final], axis=1).T
-    else:
-        out_ref[:] = rgb.T  # (3, P)
+        cols.append(1.0 - t_final)
+    if out_depth:
+        cols.append(rgb[:, 3:4])
+    out_ref[:] = (jnp.concatenate(cols, axis=1) if len(cols) > 1 else rgb).T
 
 
 @functools.partial(
@@ -370,9 +380,12 @@ def composite_tiles_packed(
     precision=jax.lax.Precision.HIGHEST,
     mxu_q: bool = True,
     out_alpha: bool = False,
+    depth_row: "jnp.ndarray | None" = None,  # (C,) f32 camera-space depth
 ) -> jnp.ndarray:
-    """Composite all tiles from packed features; returns (3, H, W) f32 —
-    or (4, H, W) with an accumulated-alpha row when ``out_alpha``."""
+    """Composite all tiles from packed features; returns (3, H, W) f32,
+    plus optional rows in [alpha, depth] order: accumulated alpha
+    (``out_alpha``) and expected depth Σ w·d (``depth_row`` — rides the
+    spare DMA row 5, costing the sort nothing)."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
     # Pad the instance axis so every aligned chunk window is in bounds, and
@@ -380,11 +393,21 @@ def composite_tiles_packed(
     c = packed_feats.shape[1]
     feats = jnp.zeros((DMA_ROWS, c + 2 * chunk), dtype=packed_feats.dtype)
     feats = jax.lax.dynamic_update_slice(feats, packed_feats, (0, 0))
+    out_depth = depth_row is not None
+    if out_depth:
+        feats = jax.lax.dynamic_update_slice(
+            feats,
+            jax.lax.bitcast_convert_type(
+                depth_row.astype(jnp.float32), jnp.uint32
+            )[None, :],
+            (PACK_ROWS, 0),
+        )
 
-    nc = 4 if out_alpha else 3
+    nc = 3 + int(out_alpha) + int(out_depth)
     kernel = functools.partial(
         _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
         precision=precision, mxu_q=mxu_q, out_alpha=out_alpha,
+        out_depth=out_depth,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -207,6 +207,7 @@ def render_oracle(
             opacity,
             color,
             (xmin_px, ymin_px, xmax_px, ymax_px),
+            float(depth),
         )
         for txi in range(min_tx, max_tx + 1):
             for tyi in range(min_ty, max_ty + 1):
@@ -216,6 +217,7 @@ def render_oracle(
     instances.sort(key=lambda rec: (rec[0], rec[1], rec[2]))
 
     fb = np.zeros((3, h, w), dtype=np.float32)
+    depth_fb = np.zeros((h, w), dtype=np.float32)
     transmittance = np.ones((h, w), dtype=np.float32)
 
     current_tile = -1
@@ -225,7 +227,7 @@ def render_oracle(
         txi = tile_id % tiles_x
         tyi = tile_id // tiles_x
         x0, y0 = txi * tile_w, tyi * tile_h
-        px_x, px_y, conic, opacity, color, aabb = payload
+        px_x, px_y, conic, opacity, color, aabb, depth_v = payload
         xmin_px, ymin_px, xmax_px, ymax_px = aabb
         for gy in range(y0, min(y0 + tile_h, h)):
             if gy < ymin_px or gy > ymax_px:
@@ -244,12 +246,15 @@ def render_oracle(
                     continue
                 for c in range(3):
                     fb[c, gy, gx] += color[c] * alpha * t_cur
+                depth_fb[gy, gx] += depth_v * alpha * t_cur
                 transmittance[gy, gx] = t_cur * (1.0 - alpha)
     if getattr(cfg, "background", None) is not None:
         bg = np.asarray(cfg.background, np.float32)
         fb = fb + transmittance[None, :, :] * bg[:, None, None]
     if getattr(cfg, "output_alpha", False):
         fb = np.concatenate([fb, (1.0 - transmittance)[None]], axis=0)
+    if getattr(cfg, "output_depth", False):
+        fb = np.concatenate([fb, depth_fb[None]], axis=0)
     return fb
 
 

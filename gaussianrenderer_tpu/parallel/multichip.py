@@ -377,6 +377,7 @@ def _strip_render(
             far=cam.far,
             tier_boost=cfg.tier_boost,
             tiers=strip_tiers,
+            want_depth=cfg.output_depth,
         )
         fb_strip = composite_tiles_packed(
             inst.packed_feats,
@@ -390,8 +391,9 @@ def _strip_render(
             height=strip_h,  # full strip; global crop happens outside
             chunk=cfg.packed_chunk,
             out_alpha=cfg.output_alpha or cfg.background is not None,
+            depth_row=inst.depth_f32,
         )
-        fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha are per-pixel
+        fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha/depth are per-pixel
         if with_stats:
             return fb_strip, inst.overflow, inst.center_clipped
         return fb_strip
@@ -431,7 +433,8 @@ def _strip_render(
         height=strip_h,  # full strip; global crop happens outside
         chunk_size=cfg.chunk_size,
         return_alpha=cfg.output_alpha or cfg.background is not None,
-    )  # (3|4, strip_h, W)
+        return_depth=cfg.output_depth,
+    )  # (3.., strip_h, W)
     fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha are per-pixel
     if with_stats:
         return fb_strip, assignment.overflow, jnp.bool_(False)

@@ -87,6 +87,7 @@ def _render_impl(
     # composite (rgb + T_final*bg happens here, outside the compositors,
     # so packed/xla/diff all support cfg.background identically).
     want_alpha = cfg.output_alpha or cfg.background is not None
+    want_depth = cfg.output_depth
 
     if cfg.compositor == "packed" and cfg.packed_compatible:
         # Fast path: gather-free packed expansion + single-key sort + v2
@@ -107,6 +108,7 @@ def _render_impl(
             far=cam.far,
             tier_boost=cfg.tier_boost,
             tiers=cfg.tiers,
+            want_depth=want_depth,
         )
         fb = composite_tiles_packed(
             inst.packed_feats,
@@ -120,6 +122,7 @@ def _render_impl(
             height=cfg.height,
             chunk=cfg.packed_chunk,
             out_alpha=want_alpha,
+            depth_row=inst.depth_f32,
         )
         fb = _finish_fb(fb, cfg)
         stats = RenderStats(
@@ -158,6 +161,7 @@ def _render_impl(
             chunk_size=cfg.chunk_size,
             max_chunks=cfg.diff_max_chunks,
             return_alpha=want_alpha,
+            return_depth=want_depth,
         )
     else:
         if cfg.compositor not in ("xla", "packed"):
@@ -179,6 +183,7 @@ def _render_impl(
             height=cfg.height,
             chunk_size=cfg.chunk_size,
             return_alpha=want_alpha,
+            return_depth=want_depth,
         )
 
     fb = _finish_fb(fb, cfg)
@@ -193,15 +198,19 @@ def _render_impl(
 def _finish_fb(fb: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     """Background composite + output-channel selection.
 
-    ``fb`` is (4, H, W) when the impl requested alpha, else (3, H, W).
-    ``cfg.background`` composites rgb + T_final·bg (T_final = 1 − alpha);
-    the alpha row is kept only when ``cfg.output_alpha``."""
+    ``fb`` rows arrive as [rgb(3)] [alpha (when requested)] [depth (when
+    cfg.output_depth)]. ``cfg.background`` composites rgb + T_final·bg
+    (T_final = 1 − alpha); the alpha row is kept only when
+    ``cfg.output_alpha``; the depth row always passes through."""
     if cfg.background is not None:
         bg = jnp.asarray(cfg.background, jnp.float32)[:, None, None]
         rgb = fb[:3] + (1.0 - fb[3:4]) * bg
+        rows = [rgb]
         if cfg.output_alpha:
-            return jnp.concatenate([rgb, fb[3:4]], axis=0)
-        return rgb
+            rows.append(fb[3:4])
+        if cfg.output_depth:
+            rows.append(fb[4:5])
+        return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rgb
     return fb
 
 

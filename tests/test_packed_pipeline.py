@@ -1037,3 +1037,33 @@ def test_alpha_output_and_background_all_compositors():
     fb0, _ = render_frame(scene, cam.params(3.0), cfg0)
     assert fb0.shape == (3, 128, 160)
     assert float(fb0[0, 0, 0]) == 0.0
+
+
+def test_depth_output_matches_oracle():
+    """cfg.output_depth appends an expected-depth row (sum of w_i * d_i
+    over the blend weights) after the alpha row. xla/diff accumulate the
+    true f32 camera depth (exact vs the oracle mirror); the packed path
+    reconstructs depth from the frame-sort key's 21+-bit quantization
+    (rides the spare DMA row, costing the sort nothing) — within ~1e-3
+    relative."""
+    import dataclasses
+
+    scene, cam = _setup(n=2000, seed=0)
+    base = RenderConfig(
+        height=128, width=160, output_alpha=True, output_depth=True
+    )
+    golden = render_oracle(scene, cam, base)
+    assert golden.shape[0] == 5
+    peak = float(golden[4].max())
+    for comp in ("packed", "xla", "diff"):
+        cfg = dataclasses.replace(base, compositor=comp)
+        fb, _ = render_frame(scene, cam.params(3.0), cfg)
+        assert fb.shape == (5, 128, 160), comp
+        rel = float(np.abs(np.asarray(fb[4]) - golden[4]).max()) / peak
+        assert rel < (2e-3 if comp == "packed" else 1e-5), (comp, rel)
+    # depth-only: rows are [rgb, depth]
+    cfg_d = RenderConfig(height=128, width=160, output_depth=True)
+    fb_d, _ = render_frame(scene, cam.params(3.0), cfg_d)
+    assert fb_d.shape == (4, 128, 160)
+    g_d = render_oracle(scene, cam, cfg_d)
+    assert float(np.abs(np.asarray(fb_d[3]) - g_d[3]).max()) / peak < 2e-3
