@@ -214,9 +214,15 @@ class UiSettings:
     #: 4D scenes: the slice time (traced, so scrubbing never recompiles).
     #: None renders static (ignored when the scene has no time_params).
     time_value: Optional[float] = None
+    #: Display mode: "rgb" or "depth" (normalized expected-depth map via
+    #: cfg.output_depth). Toggling switches executables (first visit
+    #: compiles; the persistent cache makes later visits instant).
+    view_mode: str = "rgb"
 
     def clamp(self) -> None:
         self.k_sigma = min(max(self.k_sigma, 0.1), 8.0)
         self.fov_y = min(max(self.fov_y, 10.0), 160.0)
+        if self.view_mode not in ("rgb", "depth"):
+            self.view_mode = "rgb"
         if self.lock_tiles and self.num_tile_x > 0:
             self.num_tile_y = self.num_tile_x

@@ -160,6 +160,11 @@ class Canvas:
             cfg = dataclasses.replace(
                 cfg, num_tile_x=s.num_tile_x, num_tile_y=s.num_tile_y
             )
+        if s.view_mode == "depth":
+            # The depth display needs the alpha row for normalization.
+            cfg = dataclasses.replace(
+                cfg, output_alpha=True, output_depth=True
+            )
         return cfg
 
     # --------------------------------------------------------------- loading
@@ -251,10 +256,25 @@ class Canvas:
 
     def draw(self) -> np.ndarray:
         """Fetch the frame for display: (H, W, 3) uint8, Y-flip per settings
-        (the reference's D2H + SSBO + fragment-shader flip)."""
+        (the reference's D2H + SSBO + fragment-shader flip). In depth view
+        mode the expected-depth row is alpha-normalized and min-max scaled
+        to a grayscale image (uncovered pixels black)."""
         if self._fb is None:
             self.render()
-        return framebuffer_to_image(self._fb, flip_y=self.settings.flip_y)
+        fb = self._fb
+        if self.settings.view_mode == "depth" and fb.shape[0] >= 5:
+            fb = np.asarray(fb)
+            alpha, depth = fb[3], fb[4]
+            covered = alpha > 0.05
+            nd = np.where(covered, depth / np.maximum(alpha, 1e-6), 0.0)
+            vis = nd[covered]
+            lo = float(vis.min()) if vis.size else 0.0
+            hi = float(vis.max()) if vis.size else 1.0
+            gray = np.where(
+                covered, (nd - lo) / max(hi - lo, 1e-6), 0.0
+            ).astype(np.float32)
+            fb = np.broadcast_to(gray[None], (3,) + gray.shape)
+        return framebuffer_to_image(fb, flip_y=self.settings.flip_y)
 
     def screenshot(self, path: str) -> None:
         """Save the current frame (rendering one if needed) as a PNG —

@@ -68,6 +68,9 @@ body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
   <label>fovY <input id="f" type="range" min="10" max="160" step="1" value="70"/>
   <span id="fv">70</span></label>
   <label><input id="flip" type="checkbox" checked/> flip-Y</label>
+  <label>view <select id="view">
+  <option value="rgb" selected>rgb</option>
+  <option value="depth">depth</option></select></label>
   <label id="tw" style="display:none">time
   <input id="t" type="range" min="0" max="1" step="0.01" value="0"/>
   <span id="tv">0.00</span></label>
@@ -107,13 +110,14 @@ async function setParams() {
   const f = document.getElementById('f').value;
   const flip = document.getElementById('flip').checked ? 1 : 0;
   const t = document.getElementById('t').value;
+  const view = document.getElementById('view').value;
   document.getElementById('kv').textContent = k;
   document.getElementById('fv').textContent = f;
   document.getElementById('tv').textContent = Number(t).toFixed(2);
-  await fetch(`/set?k_sigma=${k}&fov=${f}&flip=${flip}&time=${t}`);
+  await fetch(`/set?k_sigma=${k}&fov=${f}&flip=${flip}&time=${t}&view=${view}`);
   refresh();
 }
-for (const id of ['k', 'f', 'flip', 't'])
+for (const id of ['k', 'f', 'flip', 't', 'view'])
   document.getElementById(id).addEventListener('input', setParams);
 fetch('/stats').then(r => r.json()).then(s => {
   if (s.spacetime) document.getElementById('tw').style.display = '';
@@ -174,6 +178,8 @@ def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
                             canvas.settings.flip_y = q["flip"] == "1"
                         if "time" in q:
                             canvas.settings.time_value = float(q["time"])
+                        if "view" in q:
+                            canvas.settings.view_mode = q["view"]
                         canvas.settings.clamp()
                     self._send(200, "text/plain", b"ok")
                 elif url.path == "/stats":

@@ -207,6 +207,29 @@ def test_canvas_time_scrub_changes_frame():
     assert f2.shape == (3, 64, 96)
 
 
+def test_canvas_depth_view_mode():
+    """view_mode='depth' renders the alpha+depth rows and draws a
+    grayscale normalized depth image; invalid modes clamp back to rgb."""
+    c = _canvas()
+    c.settings.view_mode = "depth"
+    fb, _ = c.render()
+    assert fb.shape == (5, 96, 128)  # rgb + alpha + depth
+    img = c.draw()
+    assert img.shape == (96, 128, 3) and img.dtype == np.uint8
+    # grayscale: all three channels identical, with covered pixels lit
+    np.testing.assert_array_equal(img[..., 0], img[..., 1])
+    np.testing.assert_array_equal(img[..., 1], img[..., 2])
+    assert img.max() > 0
+    # rgb mode still draws in color from a fresh render
+    c.settings.view_mode = "rgb"
+    fb2, _ = c.render()
+    assert fb2.shape == (3, 96, 128)
+    # clamp() rejects unknown modes
+    c.settings.view_mode = "bogus"
+    c.settings.clamp()
+    assert c.settings.view_mode == "rgb"
+
+
 def test_web_viewer_http_endpoints():
     """End-to-end HTTP drive of the browser viewer: page, PNG frame,
     orbit/set controls, stats JSON (incl. the spacetime flag)."""
@@ -233,9 +256,14 @@ def test_web_viewer_http_endpoints():
         assert frame[:8] == b"\x89PNG\r\n\x1a\n"
         assert urlopen(base + "/orbit?dx=5&dy=2").read() == b"ok"
         assert urlopen(
-            base + "/set?k_sigma=2.5&fov=80&flip=1&time=0.7"
+            base + "/set?k_sigma=2.5&fov=80&flip=1&time=0.7&view=depth"
         ).read() == b"ok"
         assert c.settings.k_sigma == 2.5 and c.settings.time_value == 0.7
+        assert c.settings.view_mode == "depth"
+        depth_frame = urlopen(base + "/frame?t=3").read()
+        assert depth_frame[:8] == b"\x89PNG\r\n\x1a\n"
+        assert urlopen(base + "/set?view=rgb").read() == b"ok"
+        assert c.settings.view_mode == "rgb"
         stats = json.loads(urlopen(base + "/stats").read())
         assert stats["gaussians"] == 300 and stats["spacetime"] is True
         frame2 = urlopen(base + "/frame?t=2").read()
