@@ -170,6 +170,8 @@ def _tile_kernel(
     mxu_q: bool = True,
     out_alpha: bool = False,
     out_depth: bool = False,
+    term_stride: int = 1,
+    dma_depth: int = 2,
 ):
     k = chunk
     p = tile_h * tile_w
@@ -201,24 +203,41 @@ def _tile_kernel(
             sem_ref.at[slot],
         )
 
-    @pl.when(num_chunks > 0)
-    def _():
-        chunk_dma(0, 0).start()
+    for j in range(dma_depth - 1):
+        @pl.when(j < num_chunks)
+        def _(j=j):
+            chunk_dma(j % dma_depth, j).start()
 
+    # Early-termination check cadence (the reference stops per-pixel,
+    # render.cu:328; chunk granularity is this kernel's analog):
+    #   term_stride=1  — max(T) reduce in the loop condition every chunk
+    #   term_stride=s  — the (P,1) reduce runs every s-th chunk only (an
+    #                    `alive` bool rides the carry); a terminating tile
+    #                    may run ≤ s−1 extra chunks whose weights the
+    #                    per-pixel gate zeroes, so output is IDENTICAL
+    #   term_stride=0  — no early termination (measurement baseline)
     def cond(state):
-        i, transmittance, _ = state
-        return jnp.logical_and(i < num_chunks, jnp.max(transmittance) >= T_EPS)
+        i, alive, transmittance, _ = state
+        if term_stride == 0:
+            return i < num_chunks
+        if term_stride == 1:
+            return jnp.logical_and(
+                i < num_chunks, jnp.max(transmittance) >= T_EPS
+            )
+        return jnp.logical_and(i < num_chunks, alive)
 
     def body(state):
-        i, transmittance, rgb = state
-        slot = jax.lax.rem(i, 2)
-        next_slot = jax.lax.rem(i + 1, 2)
+        i, alive, transmittance, rgb = state
 
-        @pl.when(i + 1 < num_chunks)
+        @pl.when(i + (dma_depth - 1) < num_chunks)
         def _():
-            chunk_dma(next_slot, i + 1).start()
+            chunk_dma(
+                jax.lax.rem(i + (dma_depth - 1), dma_depth),
+                i + (dma_depth - 1),
+            ).start()
 
-        chunk_dma(slot, i).wait()
+        chunk_dma(jax.lax.rem(i, dma_depth), i).wait()
+        slot = jax.lax.rem(i, dma_depth)
         raw = chunk_ref[slot]  # (DMA_ROWS, K) u32 — rows 5-7 are DMA padding
 
         cx = _center_decode(raw[0:1, :] >> 16)  # (1, K) tile-local center
@@ -329,19 +348,30 @@ def _tile_kernel(
         # bookkeeping changes no emitted weight — and saves a where + a
         # lane reduction per chunk.
         transmittance = transmittance * u[:, -1:]
-        return i + 1, transmittance, rgb
+        if term_stride > 1:
+            alive = jax.lax.cond(
+                jax.lax.rem(i, term_stride) == term_stride - 1,
+                lambda t: jnp.max(t) >= T_EPS,
+                lambda t: alive,
+                transmittance,
+            )
+        return i + 1, alive, transmittance, rgb
 
     init = (
         jnp.int32(0),
+        jnp.bool_(True),
         jnp.ones((p, 1), dtype=jnp.float32),
         jnp.zeros((p, 4 if out_depth else 3), dtype=jnp.float32),
     )
-    i_end, t_final, rgb = jax.lax.while_loop(cond, body, init)
+    i_end, _, t_final, rgb = jax.lax.while_loop(cond, body, init)
 
-    # Drain the prefetched-but-unconsumed DMA after an early exit.
-    @pl.when(i_end < num_chunks)
-    def _():
-        chunk_dma(jax.lax.rem(i_end, 2), i_end).wait()
+    # Drain the prefetched-but-unconsumed DMAs after an early exit
+    # (started = [0, min(num_chunks, i_end + dma_depth − 1)), waited =
+    # [0, i_end); j ≤ dma_depth − 2 makes the min redundant).
+    for j in range(dma_depth - 1):
+        @pl.when(i_end + j < num_chunks)
+        def _(j=j):
+            chunk_dma(jax.lax.rem(i_end + j, dma_depth), i_end + j).wait()
 
     # Output rows: rgb(3), [alpha], [depth] — matching _finish_fb's
     # channel convention. Accumulated alpha = 1 − final transmittance;
@@ -362,7 +392,8 @@ def _tile_kernel(
     jax.jit,
     static_argnames=(
         "tiles_x", "tiles_y", "tile_w", "tile_h", "width", "height",
-        "chunk", "precision", "mxu_q", "out_alpha",
+        "chunk", "precision", "mxu_q", "out_alpha", "term_stride",
+        "dma_depth",
     ),
 )
 def composite_tiles_packed(
@@ -381,6 +412,8 @@ def composite_tiles_packed(
     mxu_q: bool = True,
     out_alpha: bool = False,
     depth_row: "jnp.ndarray | None" = None,  # (C,) f32 camera-space depth
+    term_stride: int = 1,
+    dma_depth: int = 2,
 ) -> jnp.ndarray:
     """Composite all tiles from packed features; returns (3, H, W) f32,
     plus optional rows in [alpha, depth] order: accumulated alpha
@@ -407,7 +440,7 @@ def composite_tiles_packed(
     kernel = functools.partial(
         _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
         precision=precision, mxu_q=mxu_q, out_alpha=out_alpha,
-        out_depth=out_depth,
+        out_depth=out_depth, term_stride=term_stride, dma_depth=dma_depth,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -417,8 +450,8 @@ def composite_tiles_packed(
             (nc, p), lambda t, *prefetch: (0, t), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, DMA_ROWS, chunk), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((dma_depth, DMA_ROWS, chunk), jnp.uint32),
+            pltpu.SemaphoreType.DMA((dma_depth,)),
         ],
     )
     interpret = jax.default_backend() != "tpu"

@@ -59,6 +59,49 @@ def test_packed_chunk_size_equivalence():
     assert float(jnp.max(jnp.abs(fb_a - fb_b))) < 1e-5
 
 
+def test_packed_term_stride_dma_depth_equivalence():
+    """term_stride and dma_depth are pure scheduling knobs of the packed
+    kernel: a strided (or disabled) early-termination check may run extra
+    chunks whose weights the per-pixel gate zeroes, and deeper DMA
+    buffering only changes prefetch distance — outputs must be
+    BIT-identical to the default (term_stride=1, dma_depth=2) kernel."""
+    import functools
+
+    from gaussianrenderer_tpu.ops.instances import build_packed_instances
+    from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
+        composite_tiles_packed,
+    )
+    from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+
+    scene, cam = _setup()
+    cfg = RenderConfig(height=128, width=160, compositor="packed")
+    pre = functools.partial(
+        preprocess_gaussians, width=cfg.width, height=cfg.height,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h, tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y, sh_degree=cfg.sh_degree,
+    )
+    proj = jax.jit(pre)(scene.prepared(), cam.params(3.0))
+    inst = build_packed_instances(
+        proj, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h, near=0.2, far=100.0, tiers=cfg.tiers,
+    )
+    common = dict(
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h, width=cfg.width, height=cfg.height, chunk=64,
+    )
+    base = composite_tiles_packed(
+        inst.packed_feats, inst.tile_start, inst.tile_count, **common
+    )
+    for term_stride, dma_depth in [(0, 2), (4, 2), (1, 3), (4, 4)]:
+        out = composite_tiles_packed(
+            inst.packed_feats, inst.tile_start, inst.tile_count,
+            term_stride=term_stride, dma_depth=dma_depth, **common,
+        )
+        assert float(jnp.max(jnp.abs(out - base))) == 0.0, (
+            term_stride, dma_depth,
+        )
+
+
 def test_packed_matches_oracle():
     scene, cam = _setup(seed=5)
     cfg = RenderConfig(height=128, width=160, compositor="packed")

@@ -48,6 +48,9 @@ def main():
                     choices=["default", "high", "highest"])
     ap.add_argument("--no-mxu-q", action="store_true",
                     help="direct VPU quadratic instead of the basis matmul")
+    ap.add_argument("--term-stride", type=int, default=1,
+                    help="early-term check cadence (0 = never check)")
+    ap.add_argument("--dma-depth", type=int, default=2)
     ap.add_argument("--out", default="profile_r3.jsonl")
     args = ap.parse_args()
 
@@ -173,6 +176,8 @@ def main():
             chunk=args.chunk or cfg.packed_chunk,
             precision=getattr(jax.lax.Precision, args.precision.upper()),
             mxu_q=not args.no_mxu_q,
+            term_stride=args.term_stride,
+            dma_depth=args.dma_depth,
             **common,
         )
         if stage == "comp_check":
@@ -210,6 +215,8 @@ def main():
         "chunk": args.chunk or None,
         "precision": args.precision,
         "mxu_q": not args.no_mxu_q,
+        "term_stride": args.term_stride,
+        "dma_depth": args.dma_depth,
         **extra,
     }
     with open(args.out, "a") as f:
