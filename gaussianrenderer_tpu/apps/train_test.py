@@ -46,7 +46,6 @@ def main() -> int:
     from gaussianrenderer_tpu.train import (
         DensifyState,
         SceneParams,
-        accumulate_densify_stats,
         densify_step,
         make_3dgs_optimizer,
         make_optimizer,
@@ -94,13 +93,10 @@ def main() -> int:
     opt_state = optimizer.init(params)
     dstate = DensifyState.zero(args.n)
 
-    @jax.jit
-    def step(params, opt_state, dstate, cam, target):
-        loss, grads = jax.value_and_grad(mse_loss)(params, cam, target, cfg)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        dstate = accumulate_densify_stats(dstate, grads)
-        return params, opt_state, dstate, loss
+    from gaussianrenderer_tpu.train import _make_step_fn
+
+    # The shared densify-aware step body (view-space ADC gradients).
+    step = _make_step_fn(cfg, optimizer, mse_loss, timed=False, densify=True)
 
     losses = []
     episodes = []

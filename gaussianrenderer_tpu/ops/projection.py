@@ -135,6 +135,7 @@ def preprocess_gaussians(
     extra_opacity_scale: jnp.ndarray | None = None,
     quantize_centers: bool = True,
     ewa_dilation: float = 0.0,
+    ndc_probe: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Vectorized cull + color + EWA projection for all N Gaussians.
 
@@ -142,6 +143,12 @@ def preprocess_gaussians(
     opacities before thresholding — the hook used by the 4D spacetime
     extension (time-conditioned opacity slicing; reference roadmap
     README.md:16).
+
+    ``ndc_probe`` is an optional (2, N) all-zeros array added to the NDC
+    center after projection: a forward no-op whose gradient under
+    ``jax.grad`` is dL/d(NDC center) — the view-space positional gradient
+    upstream 3DGS accumulates (as ``means2D`` grads) for adaptive density
+    control. Training-only hook (see train.accumulate_densify_stats).
     """
     f32 = jnp.float32
     if hasattr(scene, "pos_t"):
@@ -189,6 +196,11 @@ def preprocess_gaussians(
     ndc_x = clip_x / safe_w
     ndc_y = clip_y / safe_w
     ndc_z = clip_z / safe_w
+    if ndc_probe is not None:
+        # Zero-valued probe: shifts nothing, but carries the view-space
+        # center gradient out through jax.grad (docstring above).
+        ndc_x = ndc_x + ndc_probe[0]
+        ndc_y = ndc_y + ndc_probe[1]
 
     finite_cam = jnp.isfinite(cx) & jnp.isfinite(cy) & jnp.isfinite(cz)
     finite_ndc = jnp.isfinite(ndc_x) & jnp.isfinite(ndc_y) & jnp.isfinite(ndc_z)

@@ -62,6 +62,7 @@ def _render_impl(
     cam: CameraParams,
     cfg: RenderConfig,
     time_value: Optional[jnp.ndarray] = None,
+    ndc_probe: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, RenderStats]:
     # 4D spacetime Gaussians: time-conditioned opacity AND position slicing
     # before projection (reference roadmap README.md:16; BASELINE config 5).
@@ -80,6 +81,7 @@ def _render_impl(
         extra_opacity_scale=extra_opacity,
         quantize_centers=cfg.quantize_centers,
         ewa_dilation=cfg.ewa_dilation,
+        ndc_probe=ndc_probe,
     )
 
     capacity = cfg.instance_capacity(scene.num_gaussians)
@@ -245,6 +247,7 @@ def render_frame(
     if (
         cfg.tiers is None
         and cfg.compositor == "packed"
+        and cfg.packed_compatible
         and scene.num_gaussians >= 200_000
     ):
         # Packed path only: the xla/diff compositors have no tier ladder,

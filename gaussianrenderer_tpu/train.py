@@ -109,12 +109,27 @@ def render_for_training(
     cam: CameraParams,
     cfg: RenderConfig,
     time_value: Optional[jnp.ndarray] = None,
+    ndc_probe: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable forward render of trainable parameters (at an
-    optional traced time for spacetime scenes)."""
-    fb, _ = render_frame(
-        params.to_scene(), cam, _training_config(cfg), time_value
-    )
+    optional traced time for spacetime scenes).
+
+    ``ndc_probe``: optional (2, N) zeros whose gradient is the
+    view-space center gradient ADC keys on (projection.py docstring).
+    Probe renders call the impl directly — they only ever run inside an
+    already-jitted train step, so the public dispatch layer would add
+    nothing."""
+    if ndc_probe is None:
+        fb, _ = render_frame(
+            params.to_scene(), cam, _training_config(cfg), time_value
+        )
+    else:
+        from gaussianrenderer_tpu.render import _render_impl
+
+        fb, _ = _render_impl(
+            params.to_scene(), cam, _training_config(cfg), time_value,
+            ndc_probe=ndc_probe,
+        )
     return fb
 
 
@@ -124,8 +139,9 @@ def mse_loss(
     target: jnp.ndarray,
     cfg: RenderConfig,
     time_value: Optional[jnp.ndarray] = None,
+    ndc_probe: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    fb = render_for_training(params, cam, cfg, time_value)
+    fb = render_for_training(params, cam, cfg, time_value, ndc_probe)
     return jnp.mean((fb - target) ** 2)
 
 
@@ -192,13 +208,14 @@ def l1_dssim_loss(
     target: jnp.ndarray,
     cfg: RenderConfig,
     time_value: Optional[jnp.ndarray] = None,
+    ndc_probe: Optional[jnp.ndarray] = None,
     ssim_weight: float = 0.2,
 ) -> jnp.ndarray:
     """The standard 3DGS photometric loss: (1−λ)·L1 + λ·(1−SSIM)/2
     (Kerbl et al. §5, λ = 0.2). The reference never got to training
     (reference README.md:17), so this follows the paper all trained
     3DGS captures were produced with."""
-    fb = render_for_training(params, cam, cfg, time_value)
+    fb = render_for_training(params, cam, cfg, time_value, ndc_probe)
     l1 = jnp.mean(jnp.abs(fb - target))
     dssim = (1.0 - ssim(fb, target)) / 2.0
     return (1.0 - ssim_weight) * l1 + ssim_weight * dssim
@@ -326,42 +343,62 @@ def reset_opacity(params: SceneParams, opt_state=None, ceiling: float = 0.01):
     return params, jax.tree_util.tree_map(reset, opt_state)
 
 
+def _make_step_fn(cfg, optimizer, loss_fn, *, timed: bool, densify: bool):
+    """THE jit train-step body, shared by :func:`make_train_step` and
+    :func:`fit_scene` (one implementation, four fixed arities — each
+    (timed, densify) combination gets its own jit entry point; a single
+    mixed-arity function is the recompile trap render.py:214 documents).
+
+    ``densify=True`` prepends a :class:`DensifyState` operand/result and
+    differentiates the loss w.r.t. an all-zeros NDC probe as well — the
+    probe gradient IS the view-space positional gradient upstream 3DGS
+    keys adaptive density control on (DensifyState docstring)."""
+
+    @jax.jit
+    def step_fn(params: SceneParams, opt_state, *rest):
+        if densify:
+            dstate, cam, target = rest[0], rest[1], rest[2]
+            extra = (rest[3],) if timed else ()
+        else:
+            cam, target = rest[0], rest[1]
+            extra = (rest[2],) if timed else ()
+        if densify:
+            probe = jnp.zeros((2, params.positions.shape[0]), jnp.float32)
+            loss, (grads, view_grads) = jax.value_and_grad(
+                lambda p, pr: loss_fn(
+                    p, cam, target, cfg, *extra, ndc_probe=pr
+                ),
+                argnums=(0, 1),
+            )(params, probe)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cam, target, cfg, *extra
+            )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if densify:
+            return params, opt_state, accumulate_densify_stats(
+                dstate, view_grads
+            ), loss
+        return params, opt_state, loss
+
+    return step_fn
+
+
 def make_train_step(cfg: RenderConfig, optimizer=None, loss_fn=None,
                     timed: bool = False):
     """Single-chip jit train step: Adam against a target frame.
 
-    ``loss_fn(params, cam, target, cfg[, time_value])`` defaults to
-    :func:`mse_loss`; pass :func:`l1_dssim_loss` for the standard 3DGS
-    photometric loss. With ``timed=True`` the step signature gains a
-    traced ``time_value`` operand — ``(params, opt_state, cam, target,
-    time_value)`` — for fitting spacetime scenes to time-stamped targets
-    (a separate fixed-arity jit entry point; mixed-arity dispatch on one
-    function is the recompile trap render.py:214 documents)."""
+    ``loss_fn(params, cam, target, cfg[, time_value], ndc_probe=None)``
+    defaults to :func:`mse_loss`; pass :func:`l1_dssim_loss` for the
+    standard 3DGS photometric loss. With ``timed=True`` the step
+    signature gains a traced ``time_value`` operand — ``(params,
+    opt_state, cam, target, time_value)`` — for fitting spacetime scenes
+    to time-stamped targets."""
     optimizer = optimizer or make_optimizer()
     loss_fn = loss_fn or mse_loss
-
-    if timed:
-
-        @jax.jit
-        def train_step(params: SceneParams, opt_state, cam: CameraParams,
-                       target, time_value):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cam, target, cfg, time_value
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        return train_step, optimizer
-
-    @jax.jit
-    def train_step(params: SceneParams, opt_state, cam: CameraParams, target):
-        loss, grads = jax.value_and_grad(loss_fn)(params, cam, target, cfg)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return train_step, optimizer
+    step = _make_step_fn(cfg, optimizer, loss_fn, timed=timed, densify=False)
+    return step, optimizer
 
 
 # --------------------------------------------------------------- multi-chip
@@ -489,31 +526,42 @@ class DensifyState(NamedTuple):
     """Accumulated densification statistics (a jax pytree, leading dim N).
 
     Mirrors the 3DGS adaptive-density-control bookkeeping: the mean
-    view-space positional gradient magnitude since the last densify step
-    decides who clones/splits."""
+    VIEW-SPACE positional gradient magnitude since the last densify step
+    decides who clones/splits. View-space = dL/d(NDC center), obtained
+    as the gradient of an all-zeros NDC probe (projection.py
+    ``ndc_probe``) — the exact quantity upstream 3DGS accumulates as
+    ``means2D`` grads, so ``densify_step``'s paper-default threshold
+    (2e-4) keeps its upstream meaning at any scene scale. ``denom``
+    counts only the steps a splat was visible (nonzero view gradient),
+    matching upstream's ``update_filter`` denominator."""
 
-    grad_accum: jnp.ndarray  # (N,) Σ ‖∂L/∂position‖ over steps
+    grad_accum: jnp.ndarray  # (N,) Σ ‖∂L/∂(NDC center)‖ over steps
+    denom: jnp.ndarray  # (N,) f32 — steps the splat was visible
     steps: jnp.ndarray  # () int32 — steps accumulated
 
     @classmethod
     def zero(cls, n: int) -> "DensifyState":
         return cls(
             grad_accum=jnp.zeros((n,), jnp.float32),
+            denom=jnp.zeros((n,), jnp.float32),
             steps=jnp.int32(0),
         )
 
 
 def accumulate_densify_stats(
-    state: DensifyState, grads: SceneParams
+    state: DensifyState, view_grads: jnp.ndarray
 ) -> DensifyState:
-    """Fold one train step's positional-gradient norms into the state
-    (call inside the jit train step — pure elementwise column math)."""
-    g = grads.positions
-    norm = jnp.sqrt(
-        g[:, 0] * g[:, 0] + g[:, 1] * g[:, 1] + g[:, 2] * g[:, 2]
-    )
+    """Fold one train step's view-space gradient norms into the state
+    (call inside the jit train step — pure elementwise column math).
+
+    ``view_grads``: (2, N) dL/d(NDC center) — the gradient of the zero
+    NDC probe threaded through the loss (see ``_make_step_fn``)."""
+    gx, gy = view_grads[0], view_grads[1]
+    norm = jnp.sqrt(gx * gx + gy * gy)
     return DensifyState(
-        grad_accum=state.grad_accum + norm, steps=state.steps + 1
+        grad_accum=state.grad_accum + norm,
+        denom=state.denom + (norm > 0.0).astype(jnp.float32),
+        steps=state.steps + 1,
     )
 
 
@@ -555,9 +603,7 @@ def densify_step(
     n = params.positions.shape[0]
     opacity = jax.nn.sigmoid(params.raw_opacity)
     dead = opacity < prune_opacity
-    score = state.grad_accum / jnp.maximum(
-        state.steps.astype(jnp.float32), 1.0
-    )
+    score = state.grad_accum / jnp.maximum(state.denom, 1.0)
     eligible = (~dead) & (score > grad_threshold)
 
     # Donor ranking: descending score over eligible splats. One sort.
@@ -799,32 +845,8 @@ def fit_scene(
                 log_fn(done, losses[-1])
         return params, {"losses": losses, "densify": []}
 
-    if timed:
-
-        @jax.jit
-        def step_fn(params, opt_state, dstate, cam, target, tv):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cam, target, cfg, tv
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, accumulate_densify_stats(
-                dstate, grads
-            ), loss
-
-    else:
-
-        @jax.jit
-        def step_fn(params, opt_state, dstate, cam, target):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cam, target, cfg
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, accumulate_densify_stats(
-                dstate, grads
-            ), loss
-
+    step_fn = _make_step_fn(cfg, optimizer, loss_fn, timed=timed,
+                            densify=True)
     opt_state = optimizer.init(params)
     n = params.positions.shape[0]
     dstate = DensifyState.zero(n)
@@ -919,7 +941,11 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
             img = np.asarray(Image.open(tpath))
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
-        if img.shape[:2] != (cfg.height, cfg.width) or img.shape[2] < 3:
+        if (
+            img.ndim != 3
+            or img.shape[:2] != (cfg.height, cfg.width)
+            or img.shape[2] < 3
+        ):
             raise ValueError(
                 f"{rec['target']}: expected ({cfg.height}, {cfg.width}, 3), "
                 f"got {img.shape}"

@@ -122,29 +122,45 @@ class Canvas:
             self._start_prewarm()
 
     def _start_prewarm(self) -> None:
-        """Best-effort background compile of the session's (H, W) buckets."""
+        """Best-effort background compile of the session's (H, W) buckets.
+
+        Hot-swap safe: each call bumps a generation counter; the worker
+        re-reads the CURRENT scene/config after finishing a pass, so a
+        scene loaded while a prewarm is in flight still gets its buckets
+        compiled (by the already-running thread) instead of being
+        skipped."""
         import threading
 
+        self._prewarm_generation = getattr(self, "_prewarm_generation", 0) + 1
         t = getattr(self, "_prewarm_thread", None)
         if t is not None and t.is_alive():
-            return
-        scene = self._prepared
-        cfgs = [self.cfg] + [
-            self.cfg.with_resolution(h, w) for h, w in self._prewarm_buckets
-        ]
-        params = self.camera.params(self.settings.k_sigma)
+            return  # the live worker picks up the new generation
 
         def work():
             from gaussianrenderer_tpu.render import _render_frame_static
 
-            for c in cfgs:
-                try:
-                    # AOT lower+compile: populates the persistent cache
-                    # keyed by HLO, so the live render of this bucket
-                    # (same scene shapes + static cfg) loads from disk.
-                    _render_frame_static.lower(scene, params, c).compile()
-                except Exception:
-                    return  # prewarm must never break the session
+            while True:
+                gen = self._prewarm_generation
+                scene = self._prepared
+                if scene is not None:
+                    cfgs = [self.cfg] + [
+                        self.cfg.with_resolution(h, w)
+                        for h, w in self._prewarm_buckets
+                    ]
+                    params = self.camera.params(self.settings.k_sigma)
+                    for c in cfgs:
+                        try:
+                            # AOT lower+compile: populates the persistent
+                            # cache keyed by HLO, so the live render of
+                            # this bucket (same scene shapes + static
+                            # cfg) loads from disk.
+                            _render_frame_static.lower(
+                                scene, params, c
+                            ).compile()
+                        except Exception:
+                            pass  # prewarm must never break the session
+                if self._prewarm_generation == gen:
+                    return  # no load_gaussians arrived mid-pass
 
         th = threading.Thread(target=work, daemon=True, name="gr-prewarm")
         th.start()
@@ -274,7 +290,9 @@ class Canvas:
                 covered, (nd - lo) / max(hi - lo, 1e-6), 0.0
             ).astype(np.float32)
             fb = np.broadcast_to(gray[None], (3,) + gray.shape)
-        return framebuffer_to_image(fb, flip_y=self.settings.flip_y)
+        # rgb display of a config with extra output rows (output_alpha /
+        # output_depth on the base cfg): show the color rows only.
+        return framebuffer_to_image(fb[:3], flip_y=self.settings.flip_y)
 
     def screenshot(self, path: str) -> None:
         """Save the current frame (rendering one if needed) as a PNG —

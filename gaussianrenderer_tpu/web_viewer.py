@@ -68,7 +68,7 @@ body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
   <label>fovY <input id="f" type="range" min="10" max="160" step="1" value="70"/>
   <span id="fv">70</span></label>
   <label><input id="flip" type="checkbox" checked/> flip-Y</label>
-  <label>view <select id="view">
+  <label>view <select id="vm">
   <option value="rgb" selected>rgb</option>
   <option value="depth">depth</option></select></label>
   <label id="tw" style="display:none">time
@@ -105,20 +105,27 @@ img.addEventListener('wheel', async e => {
   await fetch(`/zoom?d=${e.deltaY > 0 ? -0.3 : 0.3}`);
   refresh();
 });
+let tTouched = false;  // never send time until the user scrubs it — a
+                       // 4D scene renders STATIC until the slider moves
 async function setParams() {
   const k = document.getElementById('k').value;
   const f = document.getElementById('f').value;
   const flip = document.getElementById('flip').checked ? 1 : 0;
   const t = document.getElementById('t').value;
-  const view = document.getElementById('view').value;
+  const view = document.getElementById('vm').value;
   document.getElementById('kv').textContent = k;
   document.getElementById('fv').textContent = f;
   document.getElementById('tv').textContent = Number(t).toFixed(2);
-  await fetch(`/set?k_sigma=${k}&fov=${f}&flip=${flip}&time=${t}&view=${view}`);
+  let url = `/set?k_sigma=${k}&fov=${f}&flip=${flip}&view=${view}`;
+  if (tTouched) url += `&time=${t}`;
+  await fetch(url);
   refresh();
 }
-for (const id of ['k', 'f', 'flip', 't', 'view'])
-  document.getElementById(id).addEventListener('input', setParams);
+for (const id of ['k', 'f', 'flip', 't', 'vm'])
+  document.getElementById(id).addEventListener('input', e => {
+    if (e.target.id === 't') tTouched = true;
+    setParams();
+  });
 fetch('/stats').then(r => r.json()).then(s => {
   if (s.spacetime) document.getElementById('tw').style.display = '';
 });

@@ -153,7 +153,9 @@ def _densify_setup(n=64, n_dead=10, n_hot=6, seed=3):
     grad_accum = np.zeros(n, np.float32)
     grad_accum[n_dead : n_dead + n_hot] = 1.0  # mean grad 0.01 over 100 steps
     state = DensifyState(
-        grad_accum=jnp.asarray(grad_accum), steps=jnp.int32(100)
+        grad_accum=jnp.asarray(grad_accum),
+        denom=jnp.full((n,), 100.0, jnp.float32),
+        steps=jnp.int32(100),
     )
     return params, state
 
@@ -258,8 +260,11 @@ def test_densify_improves_training_fit():
     opt_state = optimizer.init(params)
     cam_p = cam.params(cfg.k_sigma)
     state = DensifyState.zero(120)
+    # View-space (NDC-probe) gradients — what ADC accumulates.
     grad_fn = jax.jit(
-        lambda p, c, t: jax.grad(mse_loss)(p, c, t, cfg)
+        lambda p, c, t: jax.grad(
+            lambda pr: mse_loss(p, c, t, cfg, ndc_probe=pr)
+        )(jnp.zeros((2, p.positions.shape[0]), jnp.float32))
     )
     losses = []
     for i in range(12):
@@ -607,7 +612,7 @@ def test_3dgs_optimizer_group_rates_and_training():
     assert np.isfinite(float(loss0))
     dstate = accumulate_densify_stats(
         DensifyState.zero(p.positions.shape[0]),
-        jax.tree_util.tree_map(jnp.ones_like, p),
+        jnp.ones((2, p.positions.shape[0]), jnp.float32),
     )
     _, st4, _, _ = densify_step(p, st3, dstate, seed=3)
     assert jax.tree_util.tree_structure(st4) == jax.tree_util.tree_structure(st3)
@@ -857,3 +862,59 @@ def test_load_views_roundtrip(tmp_path):
     # npy view is lossless (>100 dB); the PNG view quantizes to 8 bits.
     assert out["per_view"][0]["psnr"] > 80.0, out
     assert out["per_view"][1]["psnr"] > 45.0, out
+
+
+def test_view_space_probe_gradients_scale_invariant():
+    """The NDC-probe gradient IS the view-space center gradient: (a) a
+    uniform world rescale of scene + camera (which leaves the image
+    invariant) leaves the probe-gradient norms invariant while world
+    position-gradient norms shrink by the scale factor — the property
+    that keeps densify_step's upstream view-space 2e-4 threshold
+    meaningful at any scene extent; (b) culled splats get exactly zero
+    probe gradient, so DensifyState.denom counts visibility."""
+    scene, cam, cfg = _setup()
+    cam_p = cam.params(cfg.k_sigma)
+    params = SceneParams.from_scene(scene)
+    target = render_for_training(params, cam_p, cfg) * 0.0 + 0.25
+
+    def grads_at(scale):
+        s = float(scale)
+        scene_s = scene._replace(
+            positions=scene.positions * s, scales=scene.scales * s
+        )
+        cam_s = Camera()
+        cam_s.set_position([0.0, 0.0, 5.0 * s])
+        cam_s.set_look_at([0.0, 0.0, 0.0])
+        cam_s.set_fov_y(60.0)
+        cam_s.set_aspect_ratio(cfg.width / cfg.height)
+        cam_s.set_clipping_planes(0.2 * s, 100.0 * s)
+        cam_s.update_camera_matrices()
+        p = SceneParams.from_scene(scene_s)
+        probe = jnp.zeros((2, scene.num_gaussians), jnp.float32)
+        wg, pg = jax.grad(
+            lambda pp, pr: mse_loss(
+                pp, cam_s.params(cfg.k_sigma), target, cfg, ndc_probe=pr
+            ),
+            argnums=(0, 1),
+        )(p, probe)
+        world = np.linalg.norm(np.asarray(wg.positions), axis=1)
+        view = np.linalg.norm(np.asarray(pg), axis=0)
+        return world, view
+
+    world1, view1 = grads_at(1.0)
+    world50, view50 = grads_at(50.0)
+    hot = view1 > 1e-7
+    assert hot.sum() > 10  # enough visible contributing splats
+    # (a) view-space grads are scale-invariant; world-space shrink ~50x.
+    np.testing.assert_allclose(view50[hot], view1[hot], rtol=1e-2)
+    ratio = world1[hot] / np.maximum(world50[hot], 1e-30)
+    assert np.median(ratio) > 25.0  # ~50 expected, fp slack
+    # (b) a splat behind the camera has exactly zero view gradient.
+    pos = np.asarray(scene.positions).copy()
+    pos[0] = [0.0, 0.0, 50.0]  # behind the camera (it looks down -z)
+    p_cull = SceneParams.from_scene(scene._replace(positions=jnp.asarray(pos)))
+    probe = jnp.zeros((2, scene.num_gaussians), jnp.float32)
+    pg = jax.grad(
+        lambda pr: mse_loss(p_cull, cam_p, target, cfg, ndc_probe=pr)
+    )(probe)
+    assert float(jnp.abs(pg[:, 0]).max()) == 0.0

@@ -230,6 +230,23 @@ def test_canvas_depth_view_mode():
     assert c.settings.view_mode == "rgb"
 
 
+def test_canvas_rgb_draw_with_extra_output_rows():
+    """A base cfg with output_alpha/output_depth set renders a 4/5-row
+    framebuffer; rgb-mode draw()/screenshot must slice the color rows
+    instead of feeding 5 rows to the PNG encoder."""
+    import dataclasses
+
+    c = _canvas()
+    c._base_cfg = dataclasses.replace(
+        c._base_cfg, output_alpha=True, output_depth=True
+    )
+    fb, _ = c.render()
+    assert fb.shape == (5, 96, 128)
+    img = c.draw()
+    assert img.shape == (96, 128, 3) and img.dtype == np.uint8
+    assert img.max() > 0
+
+
 def test_web_viewer_http_endpoints():
     """End-to-end HTTP drive of the browser viewer: page, PNG frame,
     orbit/set controls, stats JSON (incl. the spacetime flag)."""
@@ -252,6 +269,13 @@ def test_web_viewer_http_endpoints():
         base = f"http://127.0.0.1:{port}"
         page = urlopen(base + "/").read()
         assert b"gaussianrenderer_tpu viewer" in page
+        # Unique element ids: a duplicate id="view" (img + select) once
+        # made getElementById return the img, so the view-mode select
+        # silently never worked and /set got view=undefined.
+        assert page.count(b'id="view"') == 1 and b'id="vm"' in page
+        # The time param is only sent after the user scrubs the slider —
+        # an untouched 4D scene must keep rendering the static scene.
+        assert b"tTouched" in page
         frame = urlopen(base + "/frame?t=1").read()
         assert frame[:8] == b"\x89PNG\r\n\x1a\n"
         assert urlopen(base + "/orbit?dx=5&dy=2").read() == b"ok"

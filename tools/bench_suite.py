@@ -203,8 +203,12 @@ def run_resize(frames, out, tiers=None):
         warm_switch_ms=round(statistics.median(warm_switch_ms), 1)
         if warm_switch_ms
         else None,
-        ms_per_frame_720p=round(statistics.median(steady["720p"]), 1),
-        ms_per_frame_1080p=round(statistics.median(steady["1080p"]), 1),
+        ms_per_frame_720p=round(statistics.median(steady["720p"]), 1)
+        if steady["720p"]
+        else None,
+        ms_per_frame_1080p=round(statistics.median(steady["1080p"]), 1)
+        if steady["1080p"]
+        else None,
     )
     JsonlWriter(out).write(**row)
     log(f"[3r] {row}")

@@ -103,6 +103,7 @@ def main():
             grad_accum=jnp.abs(
                 jax.random.normal(jax.random.PRNGKey(0), (args.gaussians,))
             ),
+            denom=jnp.full((args.gaussians,), 100.0, jnp.float32),
             steps=jnp.int32(100),
         )
 
