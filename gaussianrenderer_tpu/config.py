@@ -99,6 +99,15 @@ class RenderConfig:
     #: Static per-tile chunk bound for the differentiable compositor.
     diff_max_chunks: int = 32
 
+    #: Use the Pallas forward+backward train kernel
+    #: (ops/pallas/tile_train.py) for compositor="diff" when the tile
+    #: shape allows (tile_w*tile_h % 1024 == 0) and no depth row is
+    #: requested; otherwise (or when False) the lax.scan compositor
+    #: runs. Same math, hand-written VJP, per-tile early termination and
+    #: no diff_max_chunks truncation — measured ~8x faster train steps
+    #: (PERF_NOTES.md round-3 training section).
+    diff_kernel: bool = True
+
     #: Quantization factor for the depth sort key: ``uint32(-Z * depth_scale)``
     #: (reference ``render.cu:850``).
     depth_scale: float = 1.0e6

@@ -150,21 +150,48 @@ def _render_impl(
     sorted_feats = gather_sorted_features(feats, assignment, cfg.chunk_size)
 
     if cfg.compositor == "diff":
-        fb = composite_tiles_diff(
-            sorted_feats,
-            assignment.tile_start,
-            assignment.tile_count,
-            tiles_x=cfg.tiles_x,
-            tiles_y=cfg.tiles_y,
-            tile_w=cfg.tile_w,
-            tile_h=cfg.tile_h,
-            width=cfg.width,
-            height=cfg.height,
-            chunk_size=cfg.chunk_size,
-            max_chunks=cfg.diff_max_chunks,
-            return_alpha=want_alpha,
-            return_depth=want_depth,
+        from gaussianrenderer_tpu.ops.pallas.tile_train import (
+            composite_tiles_train,
+            train_kernel_compatible,
         )
+
+        if (
+            cfg.diff_kernel
+            and train_kernel_compatible(cfg.tile_w, cfg.tile_h)
+            and not want_depth
+        ):
+            # Pallas forward + hand-written backward (custom_vjp): the
+            # same chunk math with per-tile early termination and no
+            # diff_max_chunks truncation — the training hot path.
+            fb = composite_tiles_train(
+                sorted_feats,
+                assignment.tile_start,
+                assignment.tile_count,
+                tiles_x=cfg.tiles_x,
+                tiles_y=cfg.tiles_y,
+                tile_w=cfg.tile_w,
+                tile_h=cfg.tile_h,
+                width=cfg.width,
+                height=cfg.height,
+                chunk_size=cfg.chunk_size,
+                return_alpha=want_alpha,
+            )
+        else:
+            fb = composite_tiles_diff(
+                sorted_feats,
+                assignment.tile_start,
+                assignment.tile_count,
+                tiles_x=cfg.tiles_x,
+                tiles_y=cfg.tiles_y,
+                tile_w=cfg.tile_w,
+                tile_h=cfg.tile_h,
+                width=cfg.width,
+                height=cfg.height,
+                chunk_size=cfg.chunk_size,
+                max_chunks=cfg.diff_max_chunks,
+                return_alpha=want_alpha,
+                return_depth=want_depth,
+            )
     else:
         if cfg.compositor not in ("xla", "packed"):
             raise ValueError(

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stage", default="step", choices=["step", "densify"])
+    ap.add_argument("--no-kernel", action="store_true",
+                    help="force the lax.scan diff compositor (A/B baseline)")
     ap.add_argument("--out", default="train_bench.jsonl")
     args = ap.parse_args()
 
@@ -60,6 +62,7 @@ def main():
         width=args.width,
         compositor="diff",
         diff_max_chunks=32,
+        diff_kernel=not args.no_kernel,
     )
     scene = make_random_scene(
         args.gaussians, seed=0, extent=4.0, scale_range=(0.004, 0.03)
@@ -123,6 +126,7 @@ def main():
         "stage": args.stage,
         "gaussians": args.gaussians,
         "resolution": f"{args.width}x{args.height}",
+        "diff_kernel": not args.no_kernel,
         "ms": round(ms, 3),
         "iters": args.iters,
         "floor_ms": round(floor, 2),
