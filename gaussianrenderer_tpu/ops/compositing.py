@@ -29,6 +29,7 @@ for it.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -85,9 +86,100 @@ def gather_sorted_features(
     """Gather features into sorted-instance order, padded by one chunk.
 
     The pad guarantees in-bounds chunk slices for the tile walk; pad rows are
-    all-zero (opacity 0 ⇒ no contribution).
+    all-zero (opacity 0 ⇒ no contribution). Differentiable via XLA's
+    scatter-add transpose — viable for small scenes only; the training
+    path uses :func:`gather_sorted_features_seg` (sort+cumsum transpose).
     """
     sorted_feats = feats[assignment.gaussian_id]
+    pad = jnp.zeros((chunk_size, FEAT_DIM), dtype=sorted_feats.dtype)
+    return jnp.concatenate([sorted_feats, pad], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_rows_seg(feats, ids, sort_key, seg_start, seg_end):
+    return feats[ids]
+
+
+def _gather_rows_seg_fwd(feats, ids, sort_key, seg_start, seg_end):
+    return feats[ids], (sort_key, seg_start, seg_end)
+
+
+def _gather_rows_seg_bwd(res, d):
+    """Transpose of the duplicating row gather: per-Gaussian segment sums
+    of the (C, 16) cotangent, with ZERO scatters.
+
+    XLA's native transpose is an unsorted scatter-add — scalar-core
+    bound and the dominant cost of a train step once the compositor is
+    fast (297.7 ms at C=4M on the v5e; a sorted-index scatter-add is
+    WORSE, 631 ms — TPU scatter stays serial either way,
+    tools/train_bench.py probes). Instead:
+
+      1. one ``lax.sort`` keyed by gaussian id (padding slots keyed N so
+         they sort past every real segment) carrying the 16 cotangent
+         rows as f32 payloads — segment order is irrelevant to a sum,
+         so is_stable=False;
+      2. one lane-axis inclusive ``cumsum`` over the (16, C) sorted
+         rows;
+      3. the segment sum is the difference of the prefix at each
+         gaussian's [start, end) boundaries — two stacked (16, N)
+         lane-axis gathers (the fast gather form, PERF_NOTES).
+
+    Boundaries come from the CALLER's emission counts (tile-rect areas —
+    cheap N-scale math; searchsorted over C is banned). f32 prefix
+    cancellation is benign: gradient prefixes random-walk, so the
+    differencing error is ~sqrt(C)·eps ≈ 1e-4 relative worst-case,
+    under Adam's noise floor."""
+    sort_key, seg_start, seg_end = res
+    c = d.shape[0]
+    d_t = d.T  # (16, C) — row slices of a lane-minor (C, 16) are slow
+    ops = jax.lax.sort(
+        (sort_key,) + tuple(d_t[j] for j in range(FEAT_DIM)),
+        num_keys=1,
+        is_stable=False,
+    )
+    prefix = jnp.cumsum(jnp.stack(ops[1:], axis=0), axis=1)  # (16, C)
+    at_end = prefix[:, jnp.clip(seg_end - 1, 0, c - 1)]  # (16, N)
+    at_start = prefix[:, jnp.clip(seg_start - 1, 0, c - 1)]
+    seg = at_end - jnp.where(seg_start > 0, at_start, 0.0)
+    seg = jnp.where(seg_end > seg_start, seg, 0.0)
+    import numpy as np
+
+    def int_zero(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (seg.T, int_zero(res[0]), int_zero(res[0]), int_zero(seg_start),
+            int_zero(seg_end))
+
+
+_gather_rows_seg.defvjp(_gather_rows_seg_fwd, _gather_rows_seg_bwd)
+
+
+def gather_sorted_features_seg(
+    feats: jnp.ndarray,
+    assignment: TileAssignment,
+    chunk_size: int,
+    proj: ProjectedGaussians,
+    capacity: int,
+    num_tiles: int,
+) -> jnp.ndarray:
+    """:func:`gather_sorted_features` with the sort+cumsum gradient
+    transpose — the training path's form. ``proj`` supplies the
+    per-Gaussian emission counts that locate each gaussian's contiguous
+    segment in id-sorted cotangent order (id order IS emission order)."""
+    n = proj.depth.shape[0]
+    w = (proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1).astype(jnp.int32)
+    h = (proj.tile_max[:, 1] - proj.tile_min[:, 1] + 1).astype(jnp.int32)
+    counts = jnp.where(proj.valid, w * h, 0).astype(jnp.int32)
+    incl = jnp.cumsum(counts)
+    seg_end = jnp.minimum(incl, capacity)
+    seg_start = jnp.minimum(incl - counts, capacity)
+    # Padding slots (tile_id == num_tiles sentinel) sort past every real
+    # segment so boundaries line up with the emission counts.
+    valid_slot = assignment.tile_id < num_tiles
+    sort_key = jnp.where(valid_slot, assignment.gaussian_id, jnp.int32(n))
+    sorted_feats = _gather_rows_seg(
+        feats, assignment.gaussian_id, sort_key, seg_start, seg_end
+    )
     pad = jnp.zeros((chunk_size, FEAT_DIM), dtype=sorted_feats.dtype)
     return jnp.concatenate([sorted_feats, pad], axis=0)
 

@@ -147,7 +147,22 @@ def _render_impl(
     )
 
     feats = build_features(proj)
-    sorted_feats = gather_sorted_features(feats, assignment, cfg.chunk_size)
+    if cfg.compositor == "diff":
+        # Training path: the gather whose gradient transpose is the
+        # sort+cumsum segment sum instead of XLA's scalar-bound
+        # scatter-add (gather_sorted_features_seg docstring).
+        from gaussianrenderer_tpu.ops.compositing import (
+            gather_sorted_features_seg,
+        )
+
+        sorted_feats = gather_sorted_features_seg(
+            feats, assignment, cfg.chunk_size, proj, capacity,
+            cfg.num_tiles,
+        )
+    else:
+        sorted_feats = gather_sorted_features(
+            feats, assignment, cfg.chunk_size
+        )
 
     if cfg.compositor == "diff":
         from gaussianrenderer_tpu.ops.pallas.tile_train import (

@@ -343,6 +343,58 @@ def reset_opacity(params: SceneParams, opt_state=None, ceiling: float = 0.01):
     return params, jax.tree_util.tree_map(reset, opt_state)
 
 
+def calibrate_capacity(
+    params: "SceneParams | object",
+    views,
+    cfg: RenderConfig,
+    headroom: float = 1.5,
+) -> RenderConfig:
+    """Size ``cfg.instance_multiplier`` to the probed per-view instance
+    totals instead of the safe-for-anything 8× default.
+
+    Every instance-scale cost of the training path (expansion cumsums,
+    the (tile,depth) sort, the feature gather and its scatter-add
+    transpose) is paid at the STATIC capacity, so a 500k-splat scene
+    whose views emit ~0.9M instances wastes 4.6× on the default. The
+    probe is one jit per distinct camera of cheap N-scale column math
+    (preprocess + tile-rect counts — no expansion); ``headroom`` guards
+    pose drift between probes. Returns a new config (capacity is static;
+    callers re-jit on change, which :func:`fit_scene` does
+    automatically after densify episodes)."""
+    scene = params.to_scene() if hasattr(params, "to_scene") else params
+    prepared = scene.prepared() if hasattr(scene, "prepared") else scene
+    tcfg = _training_config(cfg)
+
+    @jax.jit
+    def probe(prepared, cam, time_value=None):
+        from gaussianrenderer_tpu.ops.projection import (
+            preprocess_gaussians,
+            slice_spacetime,
+        )
+
+        s, extra = slice_spacetime(prepared, time_value)
+        proj = preprocess_gaussians(
+            s, cam, width=tcfg.width, height=tcfg.height,
+            tile_w=tcfg.tile_w, tile_h=tcfg.tile_h, tiles_x=tcfg.tiles_x,
+            tiles_y=tcfg.tiles_y, sh_degree=tcfg.sh_degree,
+            extra_opacity_scale=extra,
+            quantize_centers=tcfg.quantize_centers,
+            ewa_dilation=tcfg.ewa_dilation,
+        )
+        w = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
+        h = proj.tile_max[:, 1] - proj.tile_min[:, 1] + 1
+        return jnp.sum(jnp.where(proj.valid, w * h, 0))
+
+    worst = 0
+    for view in views:
+        cam = view[0]
+        tv = jnp.float32(view[2]) if len(view) > 2 else None
+        worst = max(worst, int(probe(prepared, cam, tv)))
+    n = scene.num_gaussians
+    mult = max(worst * headroom / max(n, 1), 1.0)
+    return dataclasses.replace(cfg, instance_multiplier=mult)
+
+
 def _make_step_fn(cfg, optimizer, loss_fn, *, timed: bool, densify: bool):
     """THE jit train-step body, shared by :func:`make_train_step` and
     :func:`fit_scene` (one implementation, four fixed arities — each
@@ -758,6 +810,7 @@ def fit_scene(
     log_every: int = 50,
     mesh=None,
     strip_bounds=None,
+    auto_capacity: bool = True,
 ):
     """The full 3DGS training loop as one supported call.
 
@@ -845,6 +898,12 @@ def fit_scene(
                 log_fn(done, losses[-1])
         return params, {"losses": losses, "densify": []}
 
+    if auto_capacity:
+        # Probed instance capacity: the training step's instance-scale
+        # costs (sort/gather/scatter) are paid at the static capacity,
+        # and the safe-for-anything 8x default is typically 4-6x over
+        # the real total (calibrate_capacity docstring).
+        cfg = calibrate_capacity(params, views, cfg)
     step_fn = _make_step_fn(cfg, optimizer, loss_fn, timed=timed,
                             densify=True)
     opt_state = optimizer.init(params)
@@ -877,6 +936,15 @@ def fit_scene(
             episodes.append(
                 {"step": done, **{k: int(v) for k, v in info.items()}}
             )
+            if auto_capacity:
+                # Clones/splits move mass — re-probe, grow-only (shrink
+                # would churn recompiles for marginal savings).
+                new_cfg = calibrate_capacity(params, views, cfg)
+                if new_cfg.instance_capacity(n) > cfg.instance_capacity(n):
+                    cfg = new_cfg
+                    step_fn = _make_step_fn(
+                        cfg, optimizer, loss_fn, timed=timed, densify=True
+                    )
         if opacity_reset_every and done % opacity_reset_every == 0 \
                 and done < steps:
             params, opt_state = reset_opacity(params, opt_state)

@@ -169,3 +169,78 @@ def test_render_path_uses_kernel_and_matches_scan():
     cfg_d = dataclasses.replace(cfg, output_depth=True, output_alpha=True)
     fb_d, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg_d)
     assert fb_d.shape == (5, 64, 64)
+
+
+def test_seg_gather_transpose_matches_scatter():
+    """gather_sorted_features_seg's sort+cumsum gradient transpose must
+    reproduce XLA's scatter-add transpose of the plain gather (the
+    OneSweep-vs-CUB pattern applied to a VJP)."""
+    from gaussianrenderer_tpu.ops.compositing import (
+        gather_sorted_features_seg,
+    )
+
+    scene = make_random_scene(800, seed=3, scale_range=(0.05, 0.25))
+    cfg = RenderConfig(height=128, width=160, compositor="diff")
+    cam = _camera(160 / 128)
+    pre = functools.partial(
+        preprocess_gaussians, width=cfg.width, height=cfg.height,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h, tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y, sh_degree=cfg.sh_degree,
+        quantize_centers=False,
+    )
+    proj = jax.jit(pre)(scene.prepared(), cam.params(3.0))
+    cap = cfg.instance_capacity(scene.num_gaussians)
+    asg = build_sorted_instances(
+        proj, tiles_x=cfg.tiles_x, num_tiles=cfg.num_tiles, capacity=cap,
+        depth_scale=cfg.depth_scale, near=0.2, far=100.0,
+    )
+    feats = build_features(proj)
+    common = dict(
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h, width=cfg.width, height=cfg.height,
+        chunk_size=cfg.chunk_size, max_chunks=cfg.diff_max_chunks,
+    )
+    gw = jax.random.normal(
+        jax.random.PRNGKey(0), (3, cfg.height, cfg.width), jnp.float32
+    )
+
+    def loss(feats, seg):
+        g = (
+            gather_sorted_features_seg(
+                feats, asg, cfg.chunk_size, proj, cap, cfg.num_tiles
+            )
+            if seg
+            else gather_sorted_features(feats, asg, cfg.chunk_size)
+        )
+        fb = composite_tiles_diff(
+            g, asg.tile_start, asg.tile_count, **common
+        )
+        return jnp.sum(fb * gw)
+
+    assert float(loss(feats, False)) == float(loss(feats, True))
+    d_plain = np.asarray(jax.grad(lambda f: loss(f, False))(feats))
+    d_seg = np.asarray(jax.grad(lambda f: loss(f, True))(feats))
+    rel = np.abs(d_plain - d_seg).max() / (np.abs(d_plain).max() + 1e-12)
+    assert rel < 1e-4, rel
+
+
+def test_calibrate_capacity_probes_views():
+    from gaussianrenderer_tpu.train import SceneParams, calibrate_capacity
+
+    scene = make_random_scene(5000, seed=2, scale_range=(0.05, 0.2))
+    cfg = RenderConfig(height=128, width=128, compositor="diff")
+    cam = _camera(1.0)
+    params = SceneParams.from_scene(scene)
+    cal = calibrate_capacity(params, [(cam.params(3.0), None)], cfg)
+    assert cal.instance_multiplier < cfg.instance_multiplier
+    # capacity still covers the true total with headroom
+    pre = functools.partial(
+        preprocess_gaussians, width=cfg.width, height=cfg.height,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h, tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y, sh_degree=cfg.sh_degree,
+    )
+    proj = jax.jit(pre)(scene.prepared(), cam.params(3.0))
+    w = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
+    h = proj.tile_max[:, 1] - proj.tile_min[:, 1] + 1
+    total = int(jnp.sum(jnp.where(proj.valid, w * h, 0)))
+    assert cal.instance_capacity(scene.num_gaussians) >= total

@@ -51,6 +51,7 @@ def main():
     from gaussianrenderer_tpu.train import (
         DensifyState,
         SceneParams,
+        calibrate_capacity,
         densify_step,
         mse_loss,
         render_for_training,
@@ -77,6 +78,8 @@ def main():
     cam_p = cam.params(cfg.k_sigma)
 
     params = SceneParams.from_scene(scene)
+    cfg = calibrate_capacity(params, [(cam_p, None)], cfg)
+    log(f"calibrated instance_multiplier: {cfg.instance_multiplier:.2f}")
     optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
     floor = measure_floor()
@@ -127,6 +130,7 @@ def main():
         "gaussians": args.gaussians,
         "resolution": f"{args.width}x{args.height}",
         "diff_kernel": not args.no_kernel,
+        "instance_multiplier": round(cfg.instance_multiplier, 2),
         "ms": round(ms, 3),
         "iters": args.iters,
         "floor_ms": round(floor, 2),
