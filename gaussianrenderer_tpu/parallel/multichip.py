@@ -413,28 +413,77 @@ def _strip_render(
         near=cam.near,
         far=cam.far,
     )
-    sorted_feats = gather_sorted_features(feats_all, assignment, cfg.chunk_size)
-
+    want_alpha = cfg.output_alpha or cfg.background is not None
     if compositor == "diff":
-        composite = functools.partial(
-            composite_tiles_diff, max_chunks=cfg.diff_max_chunks
+        from gaussianrenderer_tpu.ops.compositing import (
+            gather_sorted_features_seg,
         )
+        from gaussianrenderer_tpu.ops.pallas.tile_train import (
+            composite_tiles_train,
+            train_kernel_compatible,
+        )
+
+        # Training path: the seg-gather (sort+cumsum gradient transpose,
+        # not XLA's scalar-bound scatter-add) over the STRIP's emission
+        # counts, and the Pallas forward+backward compositor when the
+        # tile shape allows — both run per shard under shard_map, so the
+        # single-chip kernels apply unchanged to the strip's local grid.
+        sorted_feats = gather_sorted_features_seg(
+            feats_all, assignment, cfg.chunk_size, proj_strip, capacity,
+            num_tiles_local,
+        )
+        if (
+            cfg.diff_kernel
+            and train_kernel_compatible(cfg.tile_w, cfg.tile_h)
+            and not cfg.output_depth
+        ):
+            fb_strip = composite_tiles_train(
+                sorted_feats,
+                assignment.tile_start,
+                assignment.tile_count,
+                tiles_x=cfg.tiles_x,
+                tiles_y=tiles_y_local,
+                tile_w=cfg.tile_w,
+                tile_h=cfg.tile_h,
+                width=cfg.width,
+                height=strip_h,
+                chunk_size=cfg.chunk_size,
+                return_alpha=want_alpha,
+            )
+        else:
+            fb_strip = composite_tiles_diff(
+                sorted_feats,
+                assignment.tile_start,
+                assignment.tile_count,
+                tiles_x=cfg.tiles_x,
+                tiles_y=tiles_y_local,
+                tile_w=cfg.tile_w,
+                tile_h=cfg.tile_h,
+                width=cfg.width,
+                height=strip_h,
+                chunk_size=cfg.chunk_size,
+                max_chunks=cfg.diff_max_chunks,
+                return_alpha=want_alpha,
+                return_depth=cfg.output_depth,
+            )
     else:
-        composite = composite_tiles_xla
-    fb_strip = composite(
-        sorted_feats,
-        assignment.tile_start,
-        assignment.tile_count,
-        tiles_x=cfg.tiles_x,
-        tiles_y=tiles_y_local,
-        tile_w=cfg.tile_w,
-        tile_h=cfg.tile_h,
-        width=cfg.width,
-        height=strip_h,  # full strip; global crop happens outside
-        chunk_size=cfg.chunk_size,
-        return_alpha=cfg.output_alpha or cfg.background is not None,
-        return_depth=cfg.output_depth,
-    )  # (3.., strip_h, W)
+        sorted_feats = gather_sorted_features(
+            feats_all, assignment, cfg.chunk_size
+        )
+        fb_strip = composite_tiles_xla(
+            sorted_feats,
+            assignment.tile_start,
+            assignment.tile_count,
+            tiles_x=cfg.tiles_x,
+            tiles_y=tiles_y_local,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            width=cfg.width,
+            height=strip_h,  # full strip; global crop happens outside
+            chunk_size=cfg.chunk_size,
+            return_alpha=want_alpha,
+            return_depth=cfg.output_depth,
+        )  # (3.., strip_h, W)
     fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha are per-pixel
     if with_stats:
         return fb_strip, assignment.overflow, jnp.bool_(False)
