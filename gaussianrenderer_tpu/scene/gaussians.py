@@ -159,12 +159,21 @@ def _part1by2(x: np.ndarray) -> np.ndarray:
 
 
 def morton_codes(positions: np.ndarray, bits: int = 21) -> np.ndarray:
-    """64-bit Morton (Z-order) codes for world positions (host-side, NumPy)."""
+    """64-bit Morton (Z-order) codes for world positions (host-side, NumPy).
+
+    Non-finite positions (exploded splats are routine in real trained
+    PLYs; the render path culls them) are parked deterministically at the
+    low corner and excluded from the bounding box — a plain min/max would
+    turn ONE NaN splat into NaN bounds and collapse the entire ordering.
+    """
     pos = np.asarray(positions, dtype=np.float64)
-    lo = pos.min(axis=0)
-    hi = pos.max(axis=0)
+    finite = np.isfinite(pos).all(axis=1)
+    fin = pos[finite] if finite.any() else np.zeros((1, 3))
+    lo = fin.min(axis=0)
+    hi = fin.max(axis=0)
     extent = np.maximum(hi - lo, 1e-12)
     scale = (2**bits - 1) / extent
+    pos = np.where(finite[:, None], pos, lo)
     q = np.clip((pos - lo) * scale, 0, 2**bits - 1).astype(np.uint64)
     return (
         _part1by2(q[:, 0])

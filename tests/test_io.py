@@ -174,3 +174,31 @@ def test_morton_ordering_groups_neighbors():
     mort = np.asarray(ordered.positions)
     hop = lambda p: float(np.mean(np.linalg.norm(np.diff(p, axis=0), axis=1)))
     assert hop(mort) < hop(orig) * 0.6
+
+
+def test_morton_ordering_survives_nonfinite_splats():
+    """One exploded (NaN/Inf) splat — routine in real trained PLYs — must
+    not poison the Morton bounds: finite splats keep the same relative
+    order as in the NaN-free scene, non-finite codes stay defined."""
+    import warnings
+
+    from gaussianrenderer_tpu.scene.gaussians import morton_codes
+
+    scene = make_random_scene(256, seed=6)
+    pos = np.asarray(scene.positions).copy()
+    clean_codes = morton_codes(pos)
+
+    bad = pos.copy()
+    bad[7] = np.nan
+    bad[101, 0] = np.inf
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old code warned on NaN cast
+        codes = morton_codes(bad)
+
+    finite = np.isfinite(bad).all(axis=1)
+    # Finite splats: identical codes (bounds came from finite rows only).
+    np.testing.assert_array_equal(codes[finite], clean_codes[finite])
+    # Non-finite splats: deterministic low-corner code.
+    assert codes[7] == codes[101] == morton_codes(
+        np.concatenate([bad[finite], pos[:1] * 0 + np.asarray(bad[finite]).min(axis=0)], axis=0)
+    )[-1]
