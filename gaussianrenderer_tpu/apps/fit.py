@@ -5,10 +5,12 @@ The trainer-as-a-tool face of the framework (the reference's unbuilt
 
     gr-fit DATASET_DIR --out scene.ply --n 100000 --steps 5000
 
-DATASET_DIR holds ``poses.json`` + target images/arrays in the
-``train.load_views`` format. Initialization is random inside a bounding
-box scaled from the camera positions (or ``--init scene.ply`` to refine
-an existing scene). Fits with the standard 3DGS per-group schedule,
+DATASET_DIR is a standard COLMAP workspace (``sparse/0/{cameras,images,
+points3D}.bin`` + ``images/`` — auto-detected, with SfM-point-seeded
+initialization like upstream 3DGS) or a ``poses.json`` + targets
+directory in the ``train.load_views`` format. Initialization: SfM points
+for COLMAP captures, random inside a camera-scaled bounding box
+otherwise, or ``--init scene.ply`` to refine an existing scene. Fits with the standard 3DGS per-group schedule,
 adaptive density control, and periodic opacity resets; writes the fitted
 scene as a standard 3DGS PLY plus a final PSNR/SSIM report.
 """
@@ -26,8 +28,9 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=None,
                     help="render height (default: first target's)")
     ap.add_argument("--width", type=int, default=None)
-    ap.add_argument("--init", default=None, help="PLY to refine instead of "
-                    "random init")
+    ap.add_argument("--init", default=None, help="PLY to refine, or 'sfm' "
+                    "to seed from the COLMAP points3D cloud (default for "
+                    "COLMAP datasets); random init otherwise")
     ap.add_argument("--loss", default="l1_dssim", choices=["l1_dssim", "mse"])
     ap.add_argument("--densify-every", type=int, default=300)
     ap.add_argument("--opacity-reset-every", type=int, default=1500)
@@ -57,16 +60,29 @@ def main() -> int:
         mse_loss,
     )
 
-    if args.height is None or args.width is None:
-        with open(os.path.join(args.dataset, "poses.json")) as fh:
-            first = json.load(fh)[0]
-        tpath = os.path.join(args.dataset, first["target"])
-        if tpath.endswith(".npy"):
-            shape = np.load(tpath, mmap_mode="r").shape
-        else:
-            from PIL import Image
+    from gaussianrenderer_tpu.scene import colmap
 
-            shape = np.asarray(Image.open(tpath)).shape
+    is_colmap = not os.path.isfile(
+        os.path.join(args.dataset, "poses.json")
+    ) and colmap.is_colmap_dir(args.dataset)
+
+    if args.height is None or args.width is None:
+        if is_colmap:
+            sparse = colmap.find_sparse_dir(args.dataset)
+            cam0 = next(iter(colmap.read_cameras_bin(
+                os.path.join(sparse, "cameras.bin")
+            ).values()))
+            shape = (cam0.height, cam0.width)
+        else:
+            with open(os.path.join(args.dataset, "poses.json")) as fh:
+                first = json.load(fh)[0]
+            tpath = os.path.join(args.dataset, first["target"])
+            if tpath.endswith(".npy"):
+                shape = np.load(tpath, mmap_mode="r").shape
+            else:
+                from PIL import Image
+
+                shape = np.asarray(Image.open(tpath)).shape
         args.height = args.height or shape[0]
         args.width = args.width or shape[1]
 
@@ -74,7 +90,16 @@ def main() -> int:
     views = load_views(args.dataset, cfg)
     print(f"{len(views)} views at {args.width}x{args.height}", flush=True)
 
-    if args.init:
+    if args.init is None and is_colmap:
+        args.init = "sfm"  # the upstream 3DGS default for COLMAP captures
+    if args.init == "sfm":
+        xyz, rgb = colmap.load_colmap_points(args.dataset)
+        print(f"SfM init: {xyz.shape[0]} points -> {args.n} splats",
+              flush=True)
+        params = colmap.init_from_points(
+            xyz, rgb, n=args.n, sh_degree=cfg.sh_degree, seed=args.seed
+        )
+    elif args.init:
         params = SceneParams.from_scene(load_ply(args.init))
     else:
         # Random init spanning the camera rig's bounding sphere.

@@ -975,6 +975,12 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
     :func:`render_for_training` produces (row 0 at the image top →
     flipped into the framebuffer's bottom-up convention).
 
+    COLMAP workspaces (``sparse/0/*.bin`` + ``images/`` — the standard
+    3DGS capture layout) are detected and ingested directly via
+    :mod:`gaussianrenderer_tpu.scene.colmap` when no ``poses.json``
+    exists; pair with :func:`scene.colmap.init_from_points` for the
+    upstream SfM-seeded initialization.
+
     The reference has no dataset ingestion (scenes only, via PLY
     drag-drop) — this is trainer-side surface for fitting real captures
     with :class:`Camera.from_pose <gaussianrenderer_tpu.scene.camera.Camera>`.
@@ -985,6 +991,12 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
     import numpy as np
 
     from gaussianrenderer_tpu.scene.camera import Camera
+
+    if not os.path.isfile(os.path.join(dataset_dir, "poses.json")):
+        from gaussianrenderer_tpu.scene import colmap as _colmap
+
+        if _colmap.is_colmap_dir(dataset_dir):
+            return _colmap.load_colmap(dataset_dir, cfg, k_sigma=k_sigma)
 
     with open(os.path.join(dataset_dir, "poses.json")) as fh:
         records = _json.load(fh)
