@@ -26,10 +26,12 @@ from gaussianrenderer_tpu.scene.camera import Camera
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
 from gaussianrenderer_tpu.scene.io import (
     load_ply,
+    load_scene,
     make_clustered_scene,
     make_random_scene,
     save_ply,
 )
+from gaussianrenderer_tpu.scene.compact import load_compact, save_compact
 from gaussianrenderer_tpu.render import (
     framebuffer_to_image,
     make_renderer,
@@ -45,7 +47,10 @@ __all__ = [
     "Camera",
     "GaussianScene",
     "load_ply",
+    "load_scene",
     "save_ply",
+    "load_compact",
+    "save_compact",
     "make_random_scene",
     "make_clustered_scene",
     "render_frame",

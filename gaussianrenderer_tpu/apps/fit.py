@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--init", default=None, help="PLY to refine, or 'sfm' "
                     "to seed from the COLMAP points3D cloud (default for "
                     "COLMAP datasets); random init otherwise")
+    ap.add_argument("--sh-degree", type=int, default=2,
+                    help="SH degree of the fitted scene")
     ap.add_argument("--loss", default="l1_dssim", choices=["l1_dssim", "mse"])
     ap.add_argument("--densify-every", type=int, default=300)
     ap.add_argument("--opacity-reset-every", type=int, default=1500)
@@ -86,7 +88,8 @@ def main() -> int:
         args.height = args.height or shape[0]
         args.width = args.width or shape[1]
 
-    cfg = RenderConfig(height=args.height, width=args.width)
+    cfg = RenderConfig(height=args.height, width=args.width,
+                       sh_degree=args.sh_degree)
     views = load_views(args.dataset, cfg)
     print(f"{len(views)} views at {args.width}x{args.height}", flush=True)
 

@@ -252,6 +252,18 @@ def save_ply(scene: GaussianScene, path: str) -> None:
         body.tofile(f)
 
 
+def load_scene(path: str, **kwargs) -> GaussianScene:
+    """Extension-dispatched scene load: ``.gsz`` (compact quantized
+    container, :mod:`gaussianrenderer_tpu.scene.compact`) or PLY —
+    the one entry point viewer drag-drop uses, so both formats are
+    drop-loadable (reference accepts PLY only, ``canvas.cpp:280-296``)."""
+    if path.endswith(".gsz"):
+        from gaussianrenderer_tpu.scene.compact import load_compact
+
+        return load_compact(path)
+    return load_ply(path, **kwargs)
+
+
 def make_clustered_scene(
     num: int,
     seed: int = 0,

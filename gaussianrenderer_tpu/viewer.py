@@ -36,7 +36,7 @@ from gaussianrenderer_tpu.config import RenderConfig, UiSettings
 from gaussianrenderer_tpu.render import framebuffer_to_image, render_frame
 from gaussianrenderer_tpu.scene.camera import Camera
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
-from gaussianrenderer_tpu.scene.io import load_ply
+from gaussianrenderer_tpu.scene.io import load_scene
 from gaussianrenderer_tpu.utils.timing import FrameTimer
 
 __all__ = ["Canvas", "FrameTimer", "OrbitControls"]
@@ -206,7 +206,7 @@ class Canvas:
 
     def load_gaussians(self, path: str) -> None:
         """Hot-swap the scene (reference drag-drop, ``canvas.cpp:280-296``)."""
-        self.scene = load_ply(path)
+        self.scene = load_scene(path)  # PLY or .gsz, by extension
 
     def set_scene(self, scene: GaussianScene) -> None:
         self.scene = scene

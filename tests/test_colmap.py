@@ -190,6 +190,171 @@ def test_init_from_points_upsamples():
     assert params.sh.shape == (200, 3)
 
 
+def test_rotmat2qvec_roundtrip():
+    rng = np.random.default_rng(7)
+    for i in range(20):
+        # Include near-180° rotations (the w≈0 branch).
+        angle = np.pi * (i / 19.0)
+        r = _rotmat(rng.normal(size=3), angle)
+        q = colmap.rotmat2qvec(r)
+        np.testing.assert_allclose(colmap.qvec2rotmat(q), r, atol=1e-9)
+
+
+def test_camera_w2c_roundtrips_through_from_pose():
+    """Export a renderer Camera to COLMAP and re-import: same pose."""
+    from gaussianrenderer_tpu.scene.camera import Camera
+
+    for pos, look in [
+        ([2.0, 1.5, -3.0], [0.0, 0.0, 0.0]),
+        ([-1.0, 4.0, 2.0], [0.5, -0.5, 0.0]),
+        ([0.0, -2.0, 5.0], [1.0, 1.0, 1.0]),
+    ]:
+        cam = Camera()
+        cam.set_position(pos)
+        cam.set_look_at(look)
+        cam.set_fov_y(60.0)
+        cam.set_aspect_ratio(4 / 3)
+        cam.update_camera_matrices()
+
+        qvec, tvec = colmap.camera_w2c(cam)
+        cam2 = Camera.from_pose(
+            colmap.pose_to_c2w(qvec, tvec),
+            fov_y_deg=60.0,
+            aspect=4 / 3,
+            convention="opencv",
+        )
+        np.testing.assert_allclose(cam2.position, pos, atol=1e-5)
+        np.testing.assert_allclose(cam2.f_axis, cam.f_axis, atol=1e-5)
+        np.testing.assert_allclose(cam2.u_axis, cam.u_axis, atol=1e-5)
+        np.testing.assert_allclose(cam2.view, cam.view, atol=1e-5)
+
+
+def test_writers_roundtrip_through_readers(tmp_path):
+    """Package writers vs package readers, plus the independent
+    struct-level writer above as the format oracle."""
+    cams = {
+        1: colmap.ColmapCamera(
+            "PINHOLE", 64, 48, np.array([60.0, 61.0, 32.0, 24.0])
+        ),
+        3: colmap.ColmapCamera(
+            "SIMPLE_PINHOLE", 32, 32, np.array([40.0, 16.0, 16.0])
+        ),
+    }
+    p = str(tmp_path / "cameras.bin")
+    colmap.write_cameras_bin(p, cams)
+    back = colmap.read_cameras_bin(p)
+    assert set(back) == {1, 3}
+    assert back[3].model == "SIMPLE_PINHOLE" and back[3].fy == 40.0
+    np.testing.assert_allclose(back[1].params, cams[1].params)
+
+    r = _rotmat([0.3, 1.0, -0.2], 0.7)
+    images = {
+        5: colmap.ColmapImage(
+            _rot_to_qvec(r), np.array([0.1, 0.2, 0.3]), 1, "a.png"
+        )
+    }
+    p = str(tmp_path / "images.bin")
+    colmap.write_images_bin(p, images)
+    back = colmap.read_images_bin(p)
+    assert back[5].name == "a.png" and back[5].camera_id == 1
+    np.testing.assert_allclose(back[5].qvec, images[5].qvec)
+    np.testing.assert_allclose(back[5].tvec, images[5].tvec)
+
+    xyz = np.array([[1.0, 2.0, 3.0], [-1.0, 0.0, 4.0]])
+    rgb01 = np.array([[1.0, 0.0, 0.5], [0.2, 0.4, 0.6]])
+    p = str(tmp_path / "points3D.bin")
+    colmap.write_points3d_bin(p, xyz, rgb01)  # float color path
+    bx, brgb, berr = colmap.read_points3d_bin(p)
+    np.testing.assert_allclose(bx, xyz)
+    np.testing.assert_array_equal(brgb[0], [255, 0, 128])
+    np.testing.assert_allclose(berr, 0.0)
+
+
+def test_save_colmap_workspace_end_to_end(tmp_path):
+    """Synthesize a capture with the high-level writer; load_views and
+    the SfM init must consume it — the capture-demo loop in miniature."""
+    from gaussianrenderer_tpu.scene.camera import Camera
+    from gaussianrenderer_tpu.train import load_views
+
+    rng = np.random.default_rng(11)
+    cams, frames = [], []
+    for i in range(3):
+        cam = Camera()
+        ang = 2 * np.pi * i / 3
+        cam.set_position([3 * np.sin(ang), 1.0, 3 * np.cos(ang)])
+        cam.set_look_at([0, 0, 0])
+        cam.set_fov_y(60.0)
+        cam.set_aspect_ratio(64 / 48)
+        cam.update_camera_matrices()
+        cams.append(cam)
+        frames.append(
+            (rng.uniform(0, 1, (48, 64, 3)) * 255).astype(np.uint8)
+        )
+    pts = rng.normal(0, 1, (10, 3)).astype(np.float32)
+    root = colmap.save_colmap_workspace(
+        str(tmp_path), cams, frames,
+        points_xyz=pts, points_rgb=rng.uniform(0, 1, (10, 3)),
+    )
+
+    cfg = RenderConfig(height=48, width=64)
+    views = load_views(root, cfg)
+    assert len(views) == 3
+    for (params, target), cam in zip(views, cams):
+        np.testing.assert_allclose(
+            np.asarray(params.position), cam.position, atol=1e-5
+        )
+        # Target is planar bottom-up; row 0 of the saved image is the
+        # framebuffer's TOP row → compare against the flipped source.
+        assert target.shape == (3, 48, 64)
+    xyz, rgb = colmap.load_colmap_points(root)
+    np.testing.assert_allclose(xyz, pts, atol=1e-6)
+    params = colmap.init_from_points(xyz, rgb, n=16, sh_degree=0)
+    assert params.positions.shape == (16, 3)
+
+
+def test_native_points_reader_matches_python(tmp_path):
+    """The C++ points3D parser returns byte-identical data to the Python
+    loop, including variable-length observation tracks."""
+    rng = np.random.default_rng(5)
+    n = 500
+    pts = rng.normal(0, 10, (n, 3))
+    cols = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    errs = rng.uniform(0, 2, n)
+    path = str(tmp_path / "points3D.bin")
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<Q", n))
+        for j in range(n):
+            fh.write(struct.pack("<Q", j * 7 + 1))
+            fh.write(struct.pack("<ddd", *pts[j]))
+            fh.write(struct.pack("<BBB", *cols[j]))
+            fh.write(struct.pack("<d", errs[j]))
+            track = int(rng.integers(0, 9))  # variable-length tracks
+            fh.write(struct.pack("<Q", track))
+            for _ in range(track):
+                fh.write(struct.pack("<ii", 1, 0))
+
+    x_py, c_py, e_py = colmap.read_points3d_bin(path, use_native=False)
+    from gaussianrenderer_tpu.native import colmap_native
+
+    x_nat, c_nat, e_nat = colmap_native.load_points(path)
+    np.testing.assert_array_equal(x_nat, x_py)
+    np.testing.assert_array_equal(c_nat, c_py)
+    np.testing.assert_array_equal(e_nat, e_py)
+    np.testing.assert_allclose(x_py, pts)
+
+    # Truncated file: native must reject, not read past the end.
+    trunc = str(tmp_path / "trunc.bin")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    with open(trunc, "wb") as fh:
+        fh.write(data[: len(data) - 9])
+    with pytest.raises(ValueError):
+        colmap_native.load_points(trunc)
+    # And the public reader falls back cleanly / errors equivalently.
+    with pytest.raises(ValueError):
+        colmap.read_points3d_bin(trunc, use_native=False)
+
+
 def test_fit_scene_runs_on_colmap_views(workspace):
     root, _, _, _ = workspace
     from gaussianrenderer_tpu.train import fit_scene, load_views
