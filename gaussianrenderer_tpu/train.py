@@ -619,7 +619,9 @@ def accumulate_densify_stats(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grad_threshold", "prune_opacity", "split_scale_pct"),
+    static_argnames=(
+        "grad_threshold", "prune_opacity", "split_scale_pct", "prune_scale"
+    ),
 )
 def densify_step(
     params: SceneParams,
@@ -629,6 +631,7 @@ def densify_step(
     grad_threshold: float = 2e-4,
     prune_opacity: float = 5e-3,
     split_scale_pct: float = 0.75,
+    prune_scale: Optional[float] = None,
     seed: int = 0,  # vary per episode (e.g. the step index) or every
     # episode draws the SAME eps pattern per slot — a donor recycled in
     # consecutive episodes resamples identical relative offsets
@@ -655,6 +658,16 @@ def densify_step(
     n = params.positions.shape[0]
     opacity = jax.nn.sigmoid(params.raw_opacity)
     dead = opacity < prune_opacity
+    # Upstream 3DGS additionally prunes world-space-oversized splats
+    # (gaussian_model.py prune: scale > 0.1 × camera extent): without it
+    # an unconstrained background splat can balloon across the scene —
+    # measured as a flat-color wall at held-out poses in the capture
+    # demo. ``prune_scale`` is that absolute world-units threshold
+    # (fit_scene passes prune_scale_ratio × camera-rig extent).
+    if prune_scale is not None:
+        dead = dead | (
+            jnp.max(jnp.exp(params.raw_scales), axis=1) > prune_scale
+        )
     score = state.grad_accum / jnp.maximum(state.denom, 1.0)
     eligible = (~dead) & (score > grad_threshold)
 
@@ -803,6 +816,7 @@ def fit_scene(
     loss_fn=None,
     densify_every: int = 0,
     densify_stop: float = 0.7,
+    prune_scale_ratio: float = 0.1,
     opacity_reset_every: int = 0,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
@@ -909,6 +923,17 @@ def fit_scene(
     opt_state = optimizer.init(params)
     n = params.positions.shape[0]
     dstate = DensifyState.zero(n)
+    # Upstream's size-prune threshold is relative to the camera rig's
+    # extent (its cameras_extent): radius of the view-position cloud.
+    prune_scale = None
+    if prune_scale_ratio:
+        import numpy as np
+
+        cam_pos = np.stack([np.asarray(v[0].position) for v in views])
+        rig = float(
+            np.linalg.norm(cam_pos - cam_pos.mean(axis=0), axis=1).max()
+        )
+        prune_scale = prune_scale_ratio * (rig or 1.0)
     losses = []
     episodes = []
     for s in range(steps):
@@ -931,7 +956,8 @@ def fit_scene(
             and done <= densify_stop * steps
         ):
             params, opt_state, dstate, info = densify_step(
-                params, opt_state, dstate, seed=done
+                params, opt_state, dstate, seed=done,
+                prune_scale=prune_scale,
             )
             episodes.append(
                 {"step": done, **{k: int(v) for k, v in info.items()}}

@@ -224,6 +224,33 @@ def test_densify_resets_adam_moments_on_refilled_rows():
         assert (arr[n_dead:] == 1).all()  # survivors keep their moments
 
 
+def test_densify_prunes_oversized_splats():
+    """prune_scale recycles world-space monsters (the upstream 3DGS
+    size-prune): an opaque splat ballooned past the threshold must lose
+    its slot to a donor sample, and the threshold is absolute."""
+    import optax
+
+    n, n_dead, n_hot = 64, 4, 6
+    params, state = _densify_setup(n, n_dead, n_hot)
+    raw_scales = np.asarray(params.raw_scales).copy()
+    monster = n_dead + n_hot  # a survivor slot — opaque, but huge
+    raw_scales[monster] = np.log(5.0)
+    params = params._replace(raw_scales=jnp.asarray(raw_scales))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    # Without the size-prune the monster survives untouched.
+    keep, _, _, _ = densify_step(params, opt_state, state)
+    assert abs(float(jnp.exp(keep.raw_scales[monster]).max()) - 5.0) < 1e-4
+    # With it, the slot is recycled: no splat exceeds the threshold.
+    new_params, _, _, info = densify_step(
+        params, opt_state, state, prune_scale=1.0
+    )
+    assert int(info["dead"]) == n_dead + 1
+    new_max = np.asarray(jnp.exp(new_params.raw_scales)).max(axis=1)
+    assert (new_max <= 1.0 + 1e-5).all()
+
+
 def test_densify_noop_when_nothing_dead_or_hot():
     import optax
 

@@ -112,9 +112,19 @@ def main():
                               overflow_check_every=1)
     n_all = args.views + args.holdout
     aspect = args.width / args.height
+    # Held-out poses INTERLEAVE the ring (a real capture protocol holds
+    # out interior frames): leaving the tail of the orbit out instead
+    # creates an unobserved angular wedge where unconstrained background
+    # splats balloon — measured 6 dB holdout vs 18 dB train that way.
+    hold_idx = sorted(
+        round((k + 1) * n_all / (args.holdout + 1)) % n_all
+        for k in range(args.holdout)
+    )
+    train_idx = [i for i in range(n_all) if i not in hold_idx]
+    order = train_idx + hold_idx  # cams/frames stored train-first
     cams, frames = [], []
     t0 = time.time()
-    for i in range(n_all):
+    for i in order:
         cam = orbit_cam(i, n_all, radius=args.radius, heights=(1.0, 2.4),
                         fov=args.fov, aspect=aspect)
         fb, stats = render(cam.params(cfg.k_sigma))
@@ -123,6 +133,7 @@ def main():
         frames.append(framebuffer_to_image(fb))
         log(f"view {i}/{n_all} rendered ({time.time()-t0:.0f}s)")
     rec["capture_render_s"] = round(time.time() - t0, 1)
+    rec["holdout_ring_indices"] = hold_idx
 
     # SfM-like cloud: jittered position subsample, colors from the DC band
     # (what a real SfM triangulation + photo color would give, roughly).
