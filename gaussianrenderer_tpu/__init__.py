@@ -29,6 +29,7 @@ from gaussianrenderer_tpu.scene.io import (
     load_scene,
     make_clustered_scene,
     make_random_scene,
+    make_surface_scene,
     save_ply,
 )
 from gaussianrenderer_tpu.scene.compact import load_compact, save_compact
@@ -53,6 +54,7 @@ __all__ = [
     "save_compact",
     "make_random_scene",
     "make_clustered_scene",
+    "make_surface_scene",
     "render_frame",
     "make_renderer",
 ]

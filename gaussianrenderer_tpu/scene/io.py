@@ -22,6 +22,7 @@ reference has no writer; SURVEY.md §5 "checkpoint/resume: none").
 from __future__ import annotations
 
 import io
+import math
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -260,8 +261,131 @@ def load_scene(path: str, **kwargs) -> GaussianScene:
     if path.endswith(".gsz"):
         from gaussianrenderer_tpu.scene.compact import load_compact
 
-        return load_compact(path)
+        scene = load_compact(path)
+        max_deg = kwargs.pop("max_sh_degree", None)
+        if kwargs:
+            raise TypeError(f"unsupported .gsz load options: {kwargs}")
+        if max_deg is not None:  # same truncation semantics as load_ply
+            keep = 3 * (max_deg + 1) ** 2
+            if keep < scene.sh.shape[1]:
+                scene = scene._replace(sh=scene.sh[:, :keep])
+        return scene
     return load_ply(path, **kwargs)
+
+
+def make_surface_scene(
+    num: int,
+    seed: int = 0,
+    sh_degree: int = 1,
+) -> GaussianScene:
+    """Recognizable parametric-surface scene (demo/oracle geometry).
+
+    ``make_clustered_scene`` reproduces trained-capture *statistics* but
+    looks like colored fog; this generator samples splats ON surfaces —
+    a checkerboard ground plane, a hue-shaded sphere, a torus, and a
+    box — each splat flattened along the local surface normal and
+    oriented to it (the disk-on-surface structure optimized 3DGS scenes
+    converge to), so renders show crisp occlusion and silhouettes.
+    Useful as a legible fit target and for demo media.
+    """
+    rng = np.random.default_rng(seed)
+    # Budget split: ground 35%, sphere 25%, torus 25%, box 15%.
+    n_g = int(num * 0.35)
+    n_s = int(num * 0.25)
+    n_t = int(num * 0.25)
+    n_b = num - n_g - n_s - n_t
+
+    def checker(u, v):
+        c = ((np.floor(u * 2) + np.floor(v * 2)) % 2)[:, None]
+        return c * np.array([[0.88, 0.86, 0.82]]) + (1 - c) * np.array(
+            [[0.22, 0.25, 0.3]]
+        )
+
+    # Ground plane y=0, |x|,|z| ≤ 3.2.
+    gx = rng.uniform(-3.2, 3.2, n_g)
+    gz = rng.uniform(-3.2, 3.2, n_g)
+    p_g = np.stack([gx, np.zeros(n_g), gz], 1)
+    n_gn = np.tile([0.0, 1.0, 0.0], (n_g, 1))
+    c_g = checker(gx, gz)
+
+    # Sphere r=0.85 at (-1.15, 0.85, 0.1): hue from the normal.
+    d = rng.normal(size=(n_s, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    p_s = np.array([-1.15, 0.85, 0.1]) + 0.85 * d
+    c_s = 0.5 + 0.45 * d  # smooth RGB from the unit normal
+    n_sn = d
+
+    # Torus R=0.72 r=0.28 at (1.25, 0.62, 0.35), axis +y.
+    u = rng.uniform(0, 2 * np.pi, n_t)
+    v = rng.uniform(0, 2 * np.pi, n_t)
+    ring = np.stack([np.cos(u), np.zeros(n_t), np.sin(u)], 1)
+    n_tn = (
+        np.cos(v)[:, None] * ring
+        + np.sin(v)[:, None] * np.tile([0.0, 1.0, 0.0], (n_t, 1))
+    )
+    p_t = np.array([1.25, 0.62, 0.35]) + 0.72 * ring + 0.28 * n_tn
+    c_t = np.stack(
+        [0.85 + 0.1 * np.cos(u), 0.35 + 0.2 * np.sin(2 * u),
+         0.25 + 0.1 * np.sin(u)], 1
+    )
+
+    # Box 0.9×1.0×0.9 at (0.05, 0.5, -1.45): uniform faces, flat colors.
+    face = rng.integers(0, 6, n_b)
+    ax, sgn = face // 2, (face % 2) * 2.0 - 1.0
+    uv = rng.uniform(-0.5, 0.5, (n_b, 2))
+    p_b = np.zeros((n_b, 3))
+    n_bn = np.zeros((n_b, 3))
+    n_bn[np.arange(n_b), ax] = sgn
+    half = np.array([0.45, 0.5, 0.45])
+    for a in range(3):
+        m = ax == a
+        others = [i for i in range(3) if i != a]
+        p_b[m, a] = sgn[m] * half[a]
+        p_b[m, others[0]] = uv[m, 0] * 2 * half[others[0]]
+        p_b[m, others[1]] = uv[m, 1] * 2 * half[others[1]]
+    p_b += np.array([0.05, 0.5, -1.45])
+    face_colors = np.array(
+        [[0.9, 0.55, 0.2], [0.9, 0.55, 0.2], [0.3, 0.7, 0.4],
+         [0.25, 0.45, 0.85], [0.35, 0.65, 0.8], [0.35, 0.65, 0.8]]
+    )
+    c_b = face_colors[face]
+
+    pos = np.concatenate([p_g, p_s, p_t, p_b]).astype(np.float32)
+    nrm = np.concatenate([n_gn, n_sn, n_tn, n_bn]).astype(np.float32)
+    col = np.concatenate([c_g, c_s, c_t, c_b]).astype(np.float32)
+
+    # Tangent disk size from surface area per splat (contiguous cover):
+    # total area ≈ 41 + 9.1 + 8.0 + 5.2 ≈ 63 units².
+    area = np.array([40.96, 9.08, 7.96, 5.22])
+    per = [n_g, n_s, n_t, n_b]
+    s_tan = np.concatenate(
+        [np.full(k, 1.6 * math.sqrt(a / max(k, 1))) for a, k in zip(area, per)]
+    ).astype(np.float32)
+    s_tan *= rng.uniform(0.7, 1.4, num).astype(np.float32)
+    scales = np.stack([s_tan, s_tan, 0.12 * s_tan], 1)  # flat along normal
+
+    # Quaternion rotating local +z onto the surface normal: axis = z×n.
+    z = np.array([0.0, 0.0, 1.0])
+    axis = np.cross(np.tile(z, (num, 1)), nrm)
+    s_ = np.linalg.norm(axis, axis=1)
+    w = 1.0 + nrm @ z  # 2·cos²(θ/2)
+    quats = np.concatenate([w[:, None], axis], 1)
+    flip = s_ < 1e-6  # n ≈ ±z: identity or any 180° tangent flip
+    quats[flip] = np.where(
+        nrm[flip, 2:3] > 0, [1.0, 0, 0, 0], [0.0, 1, 0, 0]
+    )
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+
+    n_coeff = (sh_degree + 1) ** 2
+    sh = np.zeros((num, 3 * n_coeff), np.float32)
+    sh[:, :3] = (col - 0.5) / 0.28209479177387814
+    return GaussianScene(
+        positions=jnp.asarray(pos),
+        sh=jnp.asarray(sh),
+        opacity=jnp.asarray(np.full(num, 0.92, np.float32)),
+        scales=jnp.asarray(scales.astype(np.float32)),
+        quats=jnp.asarray(quats.astype(np.float32)),
+    )
 
 
 def make_clustered_scene(

@@ -152,6 +152,12 @@ def test_load_scene_dispatch_and_viewer_drop(scene, tmp_path):
     save_ply(scene, ply)
     assert gr.load_scene(ply).num_gaussians == scene.num_gaussians
 
+    # max_sh_degree truncation has load_ply semantics on .gsz too.
+    trunc = gr.load_scene(gsz, max_sh_degree=1)
+    assert trunc.sh.shape[1] == 12
+    with pytest.raises(TypeError, match="unsupported"):
+        gr.load_scene(gsz, use_native=True)
+
 
 def test_bad_magic_raises(tmp_path):
     p = tmp_path / "x.gsz"

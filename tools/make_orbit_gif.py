@@ -36,7 +36,9 @@ def render_one(argv=None):
     from gaussianrenderer_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    scene = gr.load_ply(args.ply, max_sh_degree=args.sh_degree).morton_sorted()
+    scene = gr.load_scene(
+        args.ply, max_sh_degree=args.sh_degree
+    ).morton_sorted()
     cam = _orbit_cam(args, args.index)
     cfg = gr.RenderConfig(
         height=args.height, width=args.width, sh_degree=args.sh_degree
@@ -102,7 +104,7 @@ def main():
         from gaussianrenderer_tpu.utils import enable_compilation_cache
 
         enable_compilation_cache()
-        scene = gr.load_ply(
+        scene = gr.load_scene(
             args.ply, max_sh_degree=args.sh_degree
         ).morton_sorted()
         cfg = gr.RenderConfig(

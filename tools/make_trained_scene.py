@@ -74,6 +74,11 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=1,
                     help="SH degree of the FITTED scene (sets PLY size)")
     ap.add_argument("--densify-every", type=int, default=0)
+    ap.add_argument("--target", choices=["clustered", "surface"],
+                    default="clustered",
+                    help="target scene family: capture-statistics fog "
+                    "(clustered) or recognizable parametric geometry "
+                    "(surface — legible demo media)")
     ap.add_argument("--loss", choices=["mse", "l1_dssim"], default="l1_dssim")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--out", default="data/trained_500k.ply")
@@ -91,7 +96,13 @@ def main():
     # Targets render through the packed inference path (the trainer never
     # sees them being made, so the full-speed pipeline is fine here).
     tcfg = RenderConfig(height=h, width=w, compositor="packed", sh_degree=2)
-    target_scene = make_clustered_scene(args.n_target, seed=7, sh_degree=2)
+    if args.target == "surface":
+        from gaussianrenderer_tpu.scene.io import make_surface_scene
+
+        target_scene = make_surface_scene(args.n_target, seed=7, sh_degree=2)
+    else:
+        target_scene = make_clustered_scene(args.n_target, seed=7,
+                                            sh_degree=2)
 
     n_all = args.views + args.holdout
     cams = orbit_cams(n_all, h, w, k_sigma=tcfg.k_sigma)
