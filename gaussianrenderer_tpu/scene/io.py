@@ -277,6 +277,7 @@ def make_surface_scene(
     num: int,
     seed: int = 0,
     sh_degree: int = 1,
+    spacetime: bool = False,
 ) -> GaussianScene:
     """Recognizable parametric-surface scene (demo/oracle geometry).
 
@@ -379,12 +380,35 @@ def make_surface_scene(
     n_coeff = (sh_degree + 1) ** 2
     sh = np.zeros((num, 3 * n_coeff), np.float32)
     sh[:, :3] = (col - 0.5) / 0.28209479177387814
+
+    time_params = None
+    if spacetime:
+        # Rigid per-OBJECT motion (legible, unlike per-splat noise): the
+        # sphere drifts +x, the torus −x, the box rises; the ground is
+        # static and always-on. Objects fade in/out on staggered windows.
+        obj = np.concatenate(
+            [np.full(n_g, 0), np.full(n_s, 1), np.full(n_t, 2),
+             np.full(n_b, 3)]
+        )
+        vel_table = np.array(
+            [[0.0, 0.0, 0.0], [1.1, 0.0, 0.3], [-1.0, 0.0, -0.3],
+             [0.0, 0.9, 0.0]], np.float32
+        )
+        tc_table = np.array([0.5, 0.3, 0.5, 0.7], np.float32)
+        ts_table = np.array([10.0, 0.22, 0.22, 0.22], np.float32)
+        time_params = np.concatenate(
+            [tc_table[obj][:, None], ts_table[obj][:, None],
+             vel_table[obj]], axis=1
+        ).astype(np.float32)
+
     return GaussianScene(
         positions=jnp.asarray(pos),
         sh=jnp.asarray(sh),
         opacity=jnp.asarray(np.full(num, 0.92, np.float32)),
         scales=jnp.asarray(scales.astype(np.float32)),
         quats=jnp.asarray(quats.astype(np.float32)),
+        time_params=None if time_params is None
+        else jnp.asarray(time_params),
     )
 
 

@@ -20,6 +20,10 @@ import sys
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=300_000)
+    ap.add_argument("--scene", choices=["surface", "clustered"],
+                    default="surface",
+                    help="surface = rigid per-object motion (legible); "
+                    "clustered = capture-statistics per-splat motion")
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--frames", type=int, default=25)
@@ -32,16 +36,24 @@ def main():
 
     import gaussianrenderer_tpu as gr
     from gaussianrenderer_tpu.render import framebuffer_to_image
-    from gaussianrenderer_tpu.scene.io import make_clustered_scene
+    from gaussianrenderer_tpu.scene.io import (
+        make_clustered_scene,
+        make_surface_scene,
+    )
     from gaussianrenderer_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    scene = make_clustered_scene(
-        args.n, seed=9, spacetime=True, extent=3.5
-    ).morton_sorted()
+    if args.scene == "surface":
+        scene = make_surface_scene(
+            args.n, seed=9, spacetime=True
+        ).morton_sorted()
+    else:
+        scene = make_clustered_scene(
+            args.n, seed=9, spacetime=True, extent=3.5
+        ).morton_sorted()
     cam = gr.Camera()
-    cam.set_position([0.0, 1.6, 8.0])
-    cam.set_look_at([0.0, 0.3, 0.0])
+    cam.set_position([0.0, 2.2, 8.0])
+    cam.set_look_at([0.0, 0.5, 0.0])
     cam.set_fov_y(args.fov)
     cam.set_aspect_ratio(args.width / args.height)
     cam.set_clipping_planes(0.2, 100.0)
