@@ -102,7 +102,7 @@ def main():
     }
 
     # ---- phase 1+2: render the capture, export the COLMAP workspace ----
-    scene = gr.load_ply(args.ply).morton_sorted()
+    scene = gr.load_scene(args.ply).morton_sorted()
     cfg = gr.RenderConfig(height=args.height, width=args.width,
                           sh_degree=args.sh_degree)
     # overflow_check_every=1: every capture pose must be truncation-free,
