@@ -28,9 +28,10 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=None,
                     help="render height (default: first target's)")
     ap.add_argument("--width", type=int, default=None)
-    ap.add_argument("--init", default=None, help="PLY to refine, or 'sfm' "
-                    "to seed from the COLMAP points3D cloud (default for "
-                    "COLMAP datasets); random init otherwise")
+    ap.add_argument("--init", default=None, help="scene to refine (PLY or "
+                    ".gsz), or 'sfm' to seed from the COLMAP points3D "
+                    "cloud (default for COLMAP datasets); random init "
+                    "otherwise")
     ap.add_argument("--sh-degree", type=int, default=2,
                     help="SH degree of the fitted scene")
     ap.add_argument("--loss", default="l1_dssim", choices=["l1_dssim", "mse"])
@@ -48,7 +49,7 @@ def main() -> int:
 
     from gaussianrenderer_tpu.config import RenderConfig
     from gaussianrenderer_tpu.scene.io import (
-        load_ply,
+        load_scene,
         make_random_scene,
         save_ply,
     )
@@ -103,7 +104,7 @@ def main() -> int:
             xyz, rgb, n=args.n, sh_degree=cfg.sh_degree, seed=args.seed
         )
     elif args.init:
-        params = SceneParams.from_scene(load_ply(args.init))
+        params = SceneParams.from_scene(load_scene(args.init))
     else:
         # Random init spanning the camera rig's bounding sphere.
         cams = np.stack([np.asarray(v[0].position) for v in views])
