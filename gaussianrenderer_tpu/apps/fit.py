@@ -35,6 +35,10 @@ def main() -> int:
     ap.add_argument("--sh-degree", type=int, default=2,
                     help="SH degree of the fitted scene")
     ap.add_argument("--loss", default="l1_dssim", choices=["l1_dssim", "mse"])
+    ap.add_argument("--holdout-every", type=int, default=0,
+                    help="withhold every Nth view from training and "
+                    "report held-out PSNR/SSIM (the upstream llffhold "
+                    "eval protocol); 0 = train on all views")
     ap.add_argument("--densify-every", type=int, default=300)
     ap.add_argument("--opacity-reset-every", type=int, default=1500)
     ap.add_argument("--checkpoint-dir", default=None)
@@ -92,7 +96,17 @@ def main() -> int:
     cfg = RenderConfig(height=args.height, width=args.width,
                        sh_degree=args.sh_degree)
     views = load_views(args.dataset, cfg)
-    print(f"{len(views)} views at {args.width}x{args.height}", flush=True)
+    heldout = []
+    if args.holdout_every:
+        # The upstream 3DGS eval protocol (llffhold): every Nth view is a
+        # test view, never trained on.
+        heldout = views[:: args.holdout_every]
+        views = [v for i, v in enumerate(views)
+                 if i % args.holdout_every != 0]
+        if not views:
+            raise SystemExit("--holdout-every leaves no training views")
+    print(f"{len(views)} train / {len(heldout)} held-out views at "
+          f"{args.width}x{args.height}", flush=True)
 
     if args.init is None and is_colmap:
         args.init = "sfm"  # the upstream 3DGS default for COLMAP captures
@@ -131,6 +145,13 @@ def main() -> int:
     report = evaluate(params, views, cfg)
     print(f"final: PSNR {report['psnr']:.2f} dB  SSIM {report['ssim']:.4f}",
           flush=True)
+    if heldout:
+        test_report = evaluate(params, heldout, cfg)
+        print(
+            f"held-out: PSNR {test_report['psnr']:.2f} dB  "
+            f"SSIM {test_report['ssim']:.4f}",
+            flush=True,
+        )
     save_ply(params.to_scene(), args.out)
     print(f"wrote {args.out}", flush=True)
     k = max(len(views), 1)

@@ -198,3 +198,21 @@ def test_fit_app_smoke(tmp_path, monkeypatch):
     assert main() == 0
     fitted = load_ply(out, use_native=False)
     assert fitted.num_gaussians == 150
+
+    # --holdout-every: every Nth view is withheld and reported (the
+    # upstream llffhold eval protocol). With 2 views and N=2, one view
+    # trains, one evaluates.
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-fit", str(tmp_path), "--out", out, "--n", "64",
+         "--steps", "2", "--loss", "mse", "--densify-every", "0",
+         "--opacity-reset-every", "0", "--holdout-every", "2"],
+    )
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        assert main() == 0
+    assert "1 train / 1 held-out views" in buf.getvalue()
+    assert "held-out: PSNR" in buf.getvalue()

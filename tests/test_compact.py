@@ -113,11 +113,45 @@ def test_q8_renders_reasonably(scene, tmp_path):
     assert psnr(np.asarray(fb0), np.asarray(fb1)) > 35.0
 
 
+def test_extreme_scales_and_single_splat(tmp_path):
+    """Edge cases: huge/tiny scales survive the log grid; 1-splat scene
+    (degenerate min==max grids) roundtrips."""
+    import jax.numpy as jnp
+
+    scene = make_clustered_scene(64, seed=2, sh_degree=0)
+    sc = np.asarray(scene.scales).copy()
+    sc[0] = 1e-12
+    sc[1] = 50.0
+    scene = scene._replace(scales=jnp.asarray(sc))
+    p = str(tmp_path / "e.gsz")
+    compact.save_compact(scene, p)
+    back = compact.load_compact(p)
+    bs = np.asarray(back.scales)
+    assert bs.min() > 0 and np.isfinite(bs).all()
+    # Log-grid relative error stays bounded even across 13 decades.
+    rel = np.abs(np.log(bs) - np.log(sc)).max()
+    step = (np.log(sc).max() - np.log(sc).min()) / ((1 << 16) - 1)
+    assert rel <= step * 0.51
+
+    single = scene._replace(
+        positions=scene.positions[:1], sh=scene.sh[:1],
+        opacity=scene.opacity[:1], scales=scene.scales[:1],
+        quats=scene.quats[:1],
+    )
+    p1 = str(tmp_path / "one.gsz")
+    compact.save_compact(single, p1)
+    b1 = compact.load_compact(p1)
+    assert b1.num_gaussians == 1
+    np.testing.assert_allclose(
+        np.asarray(b1.positions), np.asarray(single.positions), atol=1e-5
+    )
+
+
 def test_spacetime_and_nonfinite_handling(tmp_path):
     import jax.numpy as jnp
 
     scene = make_clustered_scene(256, seed=1, sh_degree=1)
-    tp = np.random.default_rng(0).uniform(0, 1, (256, 2)).astype(np.float32)
+    tp = np.random.default_rng(0).uniform(0, 1, (256, 5)).astype(np.float32)
     pos = np.asarray(scene.positions).copy()
     pos[7] = np.nan  # training artifact — must be dropped, not poison bbox
     scene = scene._replace(
@@ -127,7 +161,7 @@ def test_spacetime_and_nonfinite_handling(tmp_path):
     stats = compact.save_compact(scene, path)
     assert stats["n"] == 255
     back = compact.load_compact(path)
-    assert back.is_spacetime and back.time_params.shape == (255, 2)
+    assert back.is_spacetime and back.time_params.shape == (255, 5)
     assert np.isfinite(np.asarray(back.positions)).all()
     expect = np.delete(tp, 7, axis=0)
     np.testing.assert_allclose(np.asarray(back.time_params), expect)
