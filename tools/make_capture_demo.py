@@ -187,8 +187,6 @@ def main():
     render_fit = gr.make_renderer(fit_scene_ply, cfg, auto_tier=True,
                                   overflow_check_every=1)
     holdout_psnrs = []
-    import jax.numpy as jnp
-
     for j in range(args.views, n_all):
         fb, _ = render_fit(cams[j].params(cfg.k_sigma))
         pred = framebuffer_to_image(fb)
