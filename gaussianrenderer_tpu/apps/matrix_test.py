@@ -54,7 +54,10 @@ def main() -> int:
         ("xla_dot", lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)),
     ):
         ms = device_time(fn, a, b, iters=args.iters, floor=floor)
-        print(f"{name}: {ms:.3f} ms  {flops / ms / 1e9:.0f} GFLOP/s")
+        # flops/ms/1e9 = flops/(ms/1000)/1e12 = TFLOP/s (the reference
+        # prints GFLOP/s, matrix_test.cpp:103-108 — at its 8192 default
+        # and TPU speeds the readable unit is TFLOP/s).
+        print(f"{name}: {ms:.3f} ms  {flops / ms / 1e9:.1f} TFLOP/s")
     return 0 if ok else 1
 
 
