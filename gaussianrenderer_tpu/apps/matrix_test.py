@@ -14,8 +14,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--bm", type=int, default=512)
-    ap.add_argument("--bn", type=int, default=512)
-    ap.add_argument("--bk", type=int, default=512)
+    ap.add_argument("--bn", type=int, default=1024)
+    ap.add_argument("--bk", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ones", action="store_true", help="ones-fill spot check")
     args = ap.parse_args()

@@ -40,9 +40,12 @@ def _mm_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int):
 def matmul_pallas(
     a: jnp.ndarray,  # (M, K)
     b: jnp.ndarray,  # (K, N)
+    # Default blocking = the measured v5e optimum at the harness's 8192
+    # shape: 165 TFLOP/s vs 127 at 512^3 (84% of bf16 peak; larger blocks
+    # exceed the VMEM/compile envelope — PERF_NOTES.md sweep).
     bm: int = 512,
-    bn: int = 512,
-    bk: int = 512,
+    bn: int = 1024,
+    bk: int = 1024,
 ) -> jnp.ndarray:
     m, k = a.shape
     _, n = b.shape
