@@ -37,7 +37,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from gaussianrenderer_tpu.ops.sh import eval_sh_columns

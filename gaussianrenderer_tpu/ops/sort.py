@@ -25,7 +25,7 @@ XLA's ``lax.sort`` is the vendor sort — so the TPU-native layering is:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,7 @@ from gaussianrenderer_tpu.ops.projection import (
     slice_spacetime,
 )
 from gaussianrenderer_tpu.ops.tiling import build_sorted_instances
-from gaussianrenderer_tpu.scene.camera import Camera, CameraParams
+from gaussianrenderer_tpu.scene.camera import CameraParams
 from gaussianrenderer_tpu.scene.gaussians import GaussianScene
 
 

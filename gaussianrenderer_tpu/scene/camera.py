@@ -26,7 +26,6 @@ never triggers a recompile.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import NamedTuple
 

@@ -21,9 +21,7 @@ reference has no writer; SURVEY.md §5 "checkpoint/resume: none").
 
 from __future__ import annotations
 
-import io
 import math
-import os
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ Endpoints:
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import threading

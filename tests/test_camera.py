@@ -8,7 +8,6 @@ planes, orbit/zoom behavior (reference src/core/scene/camera.cpp).
 import math
 
 import numpy as np
-import pytest
 
 from gaussianrenderer_tpu.scene.camera import Camera, perspective_matrix
 

@@ -1,13 +1,10 @@
 """PLY loader/writer tests (replacing the reference's parser_test smoke)."""
 
-import io
-import struct
 
 import numpy as np
 import pytest
 
 from gaussianrenderer_tpu.scene.io import (
-    _load_ply_numpy,
     load_ply,
     make_random_scene,
     save_ply,

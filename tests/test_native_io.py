@@ -1,6 +1,5 @@
 """Native C++ PLY loader vs the NumPy parser (same SoA output)."""
 
-import os
 
 import numpy as np
 import pytest

@@ -23,7 +23,6 @@ each child builds exactly ONE executable and appends one JSONL record.
 """
 
 import argparse
-import json
 import statistics
 import subprocess
 import sys

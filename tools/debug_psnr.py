@@ -2,7 +2,6 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
-import jax.numpy as jnp
 
 from gaussianrenderer_tpu.config import RenderConfig
 from gaussianrenderer_tpu.oracle import psnr, render_oracle
@@ -10,7 +9,6 @@ from gaussianrenderer_tpu.render import render_frame
 from gaussianrenderer_tpu.scene.camera import Camera
 from gaussianrenderer_tpu.scene.io import make_random_scene
 from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
-from gaussianrenderer_tpu.ops.tiling import build_sorted_instances
 
 h, w = 96, 128
 scene = make_random_scene(400, seed=0)

@@ -26,10 +26,8 @@ sys.path.insert(0, "/root/repo")
 from gaussianrenderer_tpu.config import RenderConfig
 from gaussianrenderer_tpu.ops.instances import packed_valid_np
 from gaussianrenderer_tpu.ops.projection import ALPHA_EPS, preprocess_gaussians
-from gaussianrenderer_tpu.render import calibrate_tiers, ladder_lanes
 from gaussianrenderer_tpu.scene.camera import Camera
 from gaussianrenderer_tpu.scene.io import (
-    load_ply,
     make_clustered_scene,
     make_random_scene,
 )

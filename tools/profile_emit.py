@@ -9,7 +9,6 @@ Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_emit.py
 """
 
 import functools
-import statistics
 import sys
 import time
 

@@ -10,7 +10,6 @@ Questions this answers (PERF_NOTES.md / docs/sort_plan.md):
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/sort_bench2.py
 """
 
-import functools
 import statistics
 import sys
 import time

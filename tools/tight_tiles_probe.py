@@ -17,7 +17,6 @@ This probe measures, per bench scene and orbit pose:
   - calibrated-ladder sort lanes for both histograms.
 """
 import json
-import math
 import sys
 
 import numpy as np

@@ -21,7 +21,6 @@ jax.config.update("jax_platforms", "cpu")
 
 import functools
 
-import jax.numpy as jnp
 import numpy as np
 
 
