@@ -43,6 +43,13 @@ def main() -> int:
     ap.add_argument("--opacity-reset-every", type=int, default=1500)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live training monitor on this port "
+                    "(latest snapshot render + loss; 0 picks a free "
+                    "port) — the remote-training-viewer workflow")
+    ap.add_argument("--serve-every", type=int, default=100,
+                    help="steps between monitor snapshots (each one "
+                    "renders a full preview frame)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -129,6 +136,26 @@ def main() -> int:
     extent = float(np.abs(np.asarray(params.positions)).max())
 
     loss_fn = l1_dssim_loss if args.loss == "l1_dssim" else mse_loss
+
+    monitor = None
+    snapshot_fn = None
+    if args.serve is not None:
+        from gaussianrenderer_tpu.render import framebuffer_to_image
+        from gaussianrenderer_tpu.train import render_for_training
+        from gaussianrenderer_tpu.web_viewer import TrainMonitor
+
+        monitor = TrainMonitor(port=args.serve).start()
+        print(f"monitor: {monitor.url}", flush=True)
+        preview_cam = views[0][0]
+
+        def snapshot_fn(step, p, loss):
+            fb = render_for_training(p, preview_cam, cfg)
+            monitor.update(
+                step, loss, framebuffer_to_image(fb),
+                num_gaussians=int(p.positions.shape[0]),
+                total_steps=args.steps,
+            )
+
     params, hist = fit_scene(
         views, cfg, params,
         steps=args.steps,
@@ -141,7 +168,11 @@ def main() -> int:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         log_fn=lambda s, l: print(f"step {s}: loss {l:.5f}", flush=True),
+        snapshot_fn=snapshot_fn,
+        snapshot_every=args.serve_every if snapshot_fn else 0,
     )
+    if snapshot_fn is not None:
+        snapshot_fn(args.steps, params, hist["losses"][-1])  # final state
     report = evaluate(params, views, cfg)
     print(f"final: PSNR {report['psnr']:.2f} dB  SSIM {report['ssim']:.4f}",
           flush=True)

@@ -822,6 +822,8 @@ def fit_scene(
     checkpoint_every: int = 0,
     log_fn=None,
     log_every: int = 50,
+    snapshot_fn=None,
+    snapshot_every: int = 0,
     mesh=None,
     strip_bounds=None,
     auto_capacity: bool = True,
@@ -842,6 +844,13 @@ def fit_scene(
     horizon at ``steps``. Returns ``(params, history)`` where history
     carries the loss trajectory and per-episode densify info (device
     scalars already converted to Python ints/floats).
+
+    ``snapshot_fn(step, params, loss)`` fires every ``snapshot_every``
+    steps with the CURRENT trainable params — the hook behind live
+    training monitors (``gr-fit --serve``, the ecosystem's
+    remote-viewer analog): render a preview, push a metric, etc.
+    Unlike ``log_fn`` it receives the params pytree, so keep it cheap
+    or infrequent.
 
     With ``mesh`` (a ``parallel.make_mesh()`` device mesh, plus optional
     balanced ``strip_bounds``), the same loop runs mesh-parallel via
@@ -910,6 +919,8 @@ def fit_scene(
                 )
             if log_fn and done % max(log_every, 1) == 0:
                 log_fn(done, losses[-1])
+            if snapshot_fn and snapshot_every and done % snapshot_every == 0:
+                snapshot_fn(done, params, losses[-1])
         return params, {"losses": losses, "densify": []}
 
     if auto_capacity:
@@ -985,6 +996,8 @@ def fit_scene(
             )
         if log_fn and done % max(log_every, 1) == 0:
             log_fn(done, losses[-1])
+        if snapshot_fn and snapshot_every and done % snapshot_every == 0:
+            snapshot_fn(done, params, losses[-1])
     return params, {"losses": losses, "densify": episodes}
 
 

@@ -221,3 +221,117 @@ def serve_canvas(canvas, host: str = "127.0.0.1", port: int = 8800) -> None:
     server = make_server(canvas, host, port)
     print(f"viewer: http://{host}:{server.server_address[1]}/", flush=True)
     server.serve_forever()
+
+
+_MONITOR_PAGE = """<!DOCTYPE html>
+<html><head><title>gr-fit monitor</title><style>
+body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
+#view { border:1px solid #444; max-width:100%; }
+.panel { margin:8px 0; }
+</style></head><body>
+<h3>gr-fit live training monitor</h3>
+<img id="view"/>
+<div class="panel" id="status">waiting for the first snapshot…</div>
+<script>
+const img = document.getElementById('view');
+async function poll() {
+  try {
+    const s = await (await fetch('/status')).json();
+    document.getElementById('status').textContent = JSON.stringify(s);
+    if (s.step) {
+      img.src = '/frame?t=' + s.step;
+      await new Promise(r => { img.onload = r; img.onerror = r; });
+    }
+  } catch (e) {}
+  setTimeout(poll, 1500);
+}
+poll();
+</script></body></html>"""
+
+
+class TrainMonitor:
+    """Live browser monitor for a running fit — the 3DGS ecosystem's
+    remote-training-viewer analog (upstream trains are watched through
+    SIBR's network viewer; the reference never built its training
+    roadmap item at all, reference README.md:17).
+
+    The trainer pushes with :meth:`update` (wired to ``fit_scene``'s
+    ``snapshot_fn``); browsers poll ``/`` (auto-refreshing page),
+    ``/frame`` (latest snapshot PNG), ``/status`` (JSON: step, loss,
+    gaussians, total steps). Thread-safe; serving starts on
+    :meth:`start` and never blocks the training loop.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8810):
+        self._lock = threading.Lock()
+        self._png = None
+        self._status = {"step": 0, "loss": None, "gaussians": 0,
+                        "total_steps": None}
+        monitor = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                try:
+                    if path == "/":
+                        self._send(200, "text/html", _MONITOR_PAGE.encode())
+                    elif path == "/frame":
+                        with monitor._lock:
+                            png = monitor._png
+                        if png is None:
+                            self._send(404, "text/plain", b"no snapshot yet")
+                        else:
+                            self._send(200, "image/png", png)
+                    elif path == "/status":
+                        with monitor._lock:
+                            body = json.dumps(monitor._status).encode()
+                        self._send(200, "application/json", body)
+                    else:
+                        self._send(404, "text/plain", b"not found")
+                except BrokenPipeError:
+                    pass
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self._thread = None
+
+    @property
+    def url(self) -> str:
+        host, port = self.server.server_address[:2]
+        return f"http://{host}:{port}/"
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def update(self, step: int, loss, image: np.ndarray,
+               num_gaussians: int = 0, total_steps=None):
+        """Publish a snapshot: ``image`` is (H, W, 3) uint8."""
+        png = _png_encode(np.ascontiguousarray(image))
+        with self._lock:
+            self._png = png
+            self._status = {
+                "step": int(step),
+                "loss": None if loss is None else float(loss),
+                "gaussians": int(num_gaussians),
+                "total_steps": total_steps,
+            }
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

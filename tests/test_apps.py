@@ -193,7 +193,8 @@ def test_fit_app_smoke(tmp_path, monkeypatch):
         "sys.argv",
         ["gr-fit", str(tmp_path), "--out", out, "--n", "150",
          "--steps", "12", "--loss", "mse", "--densify-every", "0",
-         "--opacity-reset-every", "0"],
+         "--opacity-reset-every", "0", "--serve", "0",
+         "--serve-every", "6"],
     )
     assert main() == 0
     fitted = load_ply(out, use_native=False)

@@ -945,3 +945,30 @@ def test_view_space_probe_gradients_scale_invariant():
         lambda pr: mse_loss(p_cull, cam_p, target, cfg, ndc_probe=pr)
     )(probe)
     assert float(jnp.abs(pg[:, 0]).max()) == 0.0
+
+
+def test_fit_scene_snapshot_hook():
+    """snapshot_fn fires on its own cadence with the CURRENT params and
+    the latest loss — the hook behind gr-fit's live training monitor."""
+    from gaussianrenderer_tpu.train import fit_scene
+
+    scene, cam, cfg = _setup()
+    truth = SceneParams.from_scene(scene)
+    cp = cam.params(cfg.k_sigma)
+    views = [(cp, render_for_training(truth, cp, cfg))]
+    start = SceneParams.from_scene(
+        make_random_scene(120, seed=9, scale_range=(0.05, 0.2))
+    )
+    calls = []
+    fit_scene(
+        views, cfg, start, steps=5,
+        snapshot_fn=lambda s, p, l: calls.append((s, p, l)),
+        snapshot_every=2,
+        auto_capacity=False,
+    )
+    assert [s for s, _, _ in calls] == [2, 4]
+    for _, p, l in calls:
+        assert p.positions.shape == start.positions.shape
+        assert isinstance(l, float)
+    # params must be the live pytree, not a stale copy
+    assert not jnp.allclose(calls[0][1].positions, calls[1][1].positions)

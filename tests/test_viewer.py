@@ -295,3 +295,38 @@ def test_web_viewer_http_endpoints():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_train_monitor_http():
+    """TrainMonitor over real HTTP: 404 before the first snapshot, then
+    the page / PNG frame / status JSON reflect pushed updates."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    import numpy as np
+    import pytest
+
+    from gaussianrenderer_tpu.web_viewer import TrainMonitor
+
+    m = TrainMonitor(port=0).start()
+    try:
+        base = m.url.rstrip("/")
+        page = urlopen(base + "/").read()
+        assert b"live training monitor" in page
+        with pytest.raises(HTTPError):
+            urlopen(base + "/frame")
+        status = json.loads(urlopen(base + "/status").read())
+        assert status["step"] == 0 and status["loss"] is None
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (24, 32, 3), dtype=np.uint8
+        )
+        m.update(150, 0.0123, img, num_gaussians=4096, total_steps=500)
+        frame = urlopen(base + "/frame").read()
+        assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+        status = json.loads(urlopen(base + "/status").read())
+        assert status == {"step": 150, "loss": 0.0123, "gaussians": 4096,
+                          "total_steps": 500}
+    finally:
+        m.stop()
