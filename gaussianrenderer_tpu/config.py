@@ -124,6 +124,15 @@ class RenderConfig:
     #: TRAINED with the dilation, so thin splats alias without it.
     ewa_dilation: float = 0.0
 
+    #: Upstream 3DGS "antialiasing" mode (the official rasterizer's
+    #: flag, after Mip-Splatting): scale opacity by
+    #: ``sqrt(det(Σ)/det(Σ + dilation·I))`` so the low-pass dilation
+    #: preserves splat energy instead of brightening sub-pixel splats
+    #: (≈1 for large splats, →0 as the footprint shrinks below the
+    #: filter). Only meaningful with ``ewa_dilation > 0``; scenes
+    #: trained with antialiasing on must be rendered with it on.
+    ewa_compensate: bool = False
+
     #: Tier-capacity boost (0-3) for the packed path's wide-splat tiers;
     #: each step quadruples them. ``make_renderer(auto_tier=True)`` bumps
     #: this automatically when a frame reports overflow.

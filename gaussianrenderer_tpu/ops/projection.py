@@ -134,6 +134,7 @@ def preprocess_gaussians(
     extra_opacity_scale: jnp.ndarray | None = None,
     quantize_centers: bool = True,
     ewa_dilation: float = 0.0,
+    ewa_compensate: bool = False,
     ndc_probe: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Vectorized cull + color + EWA projection for all N Gaussians.
@@ -346,6 +347,15 @@ def preprocess_gaussians(
     opacity = scene.opacity.astype(f32)
     if extra_opacity_scale is not None:
         opacity = opacity * extra_opacity_scale
+    if ewa_compensate and ewa_dilation > 0.0:
+        # Upstream's antialiasing flag (config.ewa_compensate): the
+        # dilation keeps a sub-pixel splat's peak alpha from shrinking
+        # with its footprint; sqrt(det(Σ)/det(Σ+dI)) restores the
+        # undilated energy. sxx/syy are already dilated here, so the
+        # numerator det comes from backing the diagonal out; inv_det
+        # carries the det_ok guard (invalid rows are culled anyway).
+        det0 = (sxx - ewa_dilation) * (syy - ewa_dilation) - sxy * sxy
+        opacity = opacity * jnp.sqrt(jnp.maximum(det0, 0.0) * inv_det)
 
     # ---- threshold-ellipse coverage bound (output-identical tightening)
     # A pixel contributes only when α = op·exp(−½md²) ≥ ALPHA_EPS

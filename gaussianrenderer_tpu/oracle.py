@@ -151,11 +151,21 @@ def render_oracle(
         cov2d = cov2d * half
         # Mirror of config.ewa_dilation (ops/projection.py): upstream
         # 3DGS's +0.3 px² low-pass, default 0 like the reference.
-        cov2d[0, 0] += getattr(cfg, "ewa_dilation", 0.0)
-        cov2d[1, 1] += getattr(cfg, "ewa_dilation", 0.0)
+        dil = getattr(cfg, "ewa_dilation", 0.0)
+        cov2d[0, 0] += dil
+        cov2d[1, 1] += dil
         det = float(cov2d[0, 0] * cov2d[1, 1] - cov2d[0, 1] * cov2d[1, 0])
         if not np.isfinite(det) or det < 1e-8:
             continue
+        # Mirror of config.ewa_compensate (ops/projection.py): upstream's
+        # antialiasing opacity scale sqrt(det(Σ)/det(Σ+dI)).
+        ewa_comp = 1.0
+        if getattr(cfg, "ewa_compensate", False) and dil > 0.0:
+            det0 = float(
+                (cov2d[0, 0] - dil) * (cov2d[1, 1] - dil)
+                - cov2d[0, 1] * cov2d[1, 0]
+            )
+            ewa_comp = math.sqrt(max(det0, 0.0) / det)
         inv_det = 1.0 / det
         conic = (
             cov2d[1, 1] * inv_det,
@@ -189,7 +199,7 @@ def render_oracle(
         px_x = int(round((float(ndc[0]) + 1.0) * 0.5 * w))
         px_y = int(round((float(ndc[1]) + 1.0) * 0.5 * h))
 
-        opacity = float(opacities[i])
+        opacity = float(opacities[i]) * ewa_comp
         if time_params is not None and time_value is not None:
             t_c, t_s = float(time_params[i, 0]), max(float(time_params[i, 1]), 1e-6)
             dt = (time_value - t_c) / t_s

@@ -163,6 +163,7 @@ def strip_row_loads(scene: GaussianScene, cam: CameraParams,
         sh_degree=cfg.sh_degree,
         quantize_centers=cfg.quantize_centers,
         ewa_dilation=cfg.ewa_dilation,
+        ewa_compensate=cfg.ewa_compensate,
     )
     from gaussianrenderer_tpu.ops.instances import packed_valid_np
 
@@ -278,6 +279,7 @@ def _strip_render(
         extra_opacity_scale=extra_opacity,
         quantize_centers=cfg.quantize_centers,
         ewa_dilation=cfg.ewa_dilation,
+        ewa_compensate=cfg.ewa_compensate,
     )
     feats_local = build_features(proj)  # (N/D, 16)
 

@@ -81,6 +81,7 @@ def _render_impl(
         extra_opacity_scale=extra_opacity,
         quantize_centers=cfg.quantize_centers,
         ewa_dilation=cfg.ewa_dilation,
+        ewa_compensate=cfg.ewa_compensate,
         ndc_probe=ndc_probe,
     )
 
@@ -401,6 +402,7 @@ def _hist_probe(cfg):
             sh_degree=cfg.sh_degree,
             quantize_centers=cfg.quantize_centers,
             ewa_dilation=cfg.ewa_dilation,
+            ewa_compensate=cfg.ewa_compensate,
         )
         return effective_hist(
             proj,

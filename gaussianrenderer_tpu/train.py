@@ -380,6 +380,7 @@ def calibrate_capacity(
             extra_opacity_scale=extra,
             quantize_centers=tcfg.quantize_centers,
             ewa_dilation=tcfg.ewa_dilation,
+            ewa_compensate=tcfg.ewa_compensate,
         )
         w = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
         h = proj.tile_max[:, 1] - proj.tile_min[:, 1] + 1
