@@ -26,6 +26,11 @@ def main() -> int:
     ap.add_argument("--screenshot", default=None, metavar="PNG",
                     help="save the last headless frame as PNG")
     ap.add_argument("--port", type=int, default=8800)
+    ap.add_argument("--ewa-dilation", type=float, default=0.0,
+                    help="EWA low-pass (px²); 0.3 = upstream 3DGS")
+    ap.add_argument("--antialias", action="store_true",
+                    help="upstream antialiasing opacity compensation "
+                    "(for scenes trained with it; needs --ewa-dilation)")
     args = ap.parse_args()
 
     from gaussianrenderer_tpu.scene.io import make_random_scene
@@ -36,6 +41,8 @@ def main() -> int:
         width=args.width,
         tile_x=args.tiles,
         tile_y=args.tiles,
+        ewa_dilation=args.ewa_dilation,
+        ewa_compensate=args.antialias,
     )
     canvas.init()
 

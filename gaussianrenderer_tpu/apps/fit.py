@@ -35,6 +35,13 @@ def main() -> int:
     ap.add_argument("--sh-degree", type=int, default=2,
                     help="SH degree of the fitted scene")
     ap.add_argument("--loss", default="l1_dssim", choices=["l1_dssim", "mse"])
+    ap.add_argument("--ewa-dilation", type=float, default=0.0,
+                    help="train with the upstream EWA low-pass (px²; "
+                    "upstream 3DGS uses 0.3) — render the fitted scene "
+                    "with the same value")
+    ap.add_argument("--antialias", action="store_true",
+                    help="train in upstream antialiasing mode (opacity "
+                    "compensation; needs --ewa-dilation)")
     ap.add_argument("--holdout-every", type=int, default=0,
                     help="withhold every Nth view from training and "
                     "report held-out PSNR/SSIM (the upstream llffhold "
@@ -101,7 +108,9 @@ def main() -> int:
         args.width = args.width or shape[1]
 
     cfg = RenderConfig(height=args.height, width=args.width,
-                       sh_degree=args.sh_degree)
+                       sh_degree=args.sh_degree,
+                       ewa_dilation=args.ewa_dilation,
+                       ewa_compensate=args.antialias)
     views = load_views(args.dataset, cfg)
     heldout = []
     if args.holdout_every:

@@ -78,14 +78,19 @@ class Canvas:
         tile_x: int = 0,
         tile_y: int = 0,
         compositor: str = "packed",
+        **cfg_kwargs,
     ):
         self.settings = UiSettings()
+        # Extra RenderConfig fields pass straight through (ewa_dilation,
+        # ewa_compensate, background, output_depth, …) — the session owns
+        # resolution/tiling/fov; everything else is the config's.
         self._base_cfg = RenderConfig(
             height=height,
             width=width,
             num_tile_x=tile_x,
             num_tile_y=tile_y,
             compositor=compositor,
+            **cfg_kwargs,
         )
         self.camera = Camera()
         # Keep the UI fov in sync with the camera default (45°) — otherwise
