@@ -32,7 +32,12 @@ from gaussianrenderer_tpu.scene.io import (
     make_surface_scene,
     save_ply,
 )
-from gaussianrenderer_tpu.scene.compact import load_compact, save_compact
+from gaussianrenderer_tpu.scene.compact import (
+    load_compact,
+    load_splat,
+    save_compact,
+    save_splat,
+)
 from gaussianrenderer_tpu.render import (
     framebuffer_to_image,
     make_renderer,
@@ -51,7 +56,9 @@ __all__ = [
     "load_scene",
     "save_ply",
     "load_compact",
+    "load_splat",
     "save_compact",
+    "save_splat",
     "make_random_scene",
     "make_clustered_scene",
     "make_surface_scene",

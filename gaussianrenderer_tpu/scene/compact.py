@@ -260,3 +260,99 @@ def load_compact(path: str) -> GaussianScene:
         time_params=None if time_params is None
         else jnp.asarray(time_params),
     )
+
+
+# --- .splat: the antimatter15 web-viewer interchange format ------------
+#
+# The most widespread browser-viewer format for 3DGS scenes (32 bytes per
+# splat): position f32×3, scale f32×3 (linear), RGBA u8 (rgb =
+# 0.5 + C0·DC clamped to [0,1], alpha = opacity), quaternion u8×4
+# ((q/‖q‖)·128 + 128, PLY rot_0..3 = (w,x,y,z) order). DC-only — higher
+# SH bands are dropped on export. The reference has no web interchange
+# at all; this rounds out the storage surface (.ply lossless, .gsz
+# compact, .splat web-viewer).
+
+_SPLAT_C0 = 0.28209479177387814
+_SPLAT_BYTES = 32
+
+
+def save_splat(scene: GaussianScene, path: str,
+               sort_by_importance: bool = True) -> Dict:
+    """Write ``scene`` as a web-viewer ``.splat`` file (lossy: DC color
+    only, u8 color/opacity/rotation). ``sort_by_importance`` orders
+    splats by descending opacity·volume like the reference converter, so
+    progressive web loading shows the important splats first. Returns
+    ``{"bytes": ..., "num_gaussians": ...}``."""
+    pos = np.asarray(scene.positions, np.float32)
+    scales = np.asarray(scene.scales, np.float32)
+    quats = np.asarray(scene.quats, np.float32)
+    opacity = np.asarray(scene.opacity, np.float32)
+    dc = np.asarray(scene.sh[:, :3], np.float32)
+    n = pos.shape[0]
+
+    order = np.arange(n)
+    if sort_by_importance:
+        importance = opacity * scales.prod(axis=1)
+        order = np.argsort(-importance, kind="stable")
+
+    rgb = np.clip(0.5 + _SPLAT_C0 * dc[order], 0.0, 1.0)
+    rgba = np.empty((n, 4), np.uint8)
+    rgba[:, :3] = np.round(rgb * 255.0)
+    rgba[:, 3] = np.round(np.clip(opacity[order], 0.0, 1.0) * 255.0)
+
+    q = quats[order]
+    norm = np.linalg.norm(q, axis=1, keepdims=True)
+    q = q / np.where(norm > 1e-12, norm, 1.0)
+    q_u8 = np.clip(np.round(q * 128.0 + 128.0), 0, 255).astype(np.uint8)
+
+    rec = np.empty(n, dtype=np.dtype([
+        ("position", np.float32, 3),
+        ("scale", np.float32, 3),
+        ("rgba", np.uint8, 4),
+        ("rot", np.uint8, 4),
+    ]))
+    rec["position"] = pos[order]
+    rec["scale"] = scales[order]
+    rec["rgba"] = rgba
+    rec["rot"] = q_u8
+    buf = rec.tobytes()
+    with open(path, "wb") as fh:
+        fh.write(buf)
+    return {"bytes": len(buf), "num_gaussians": n}
+
+
+def load_splat(path: str) -> GaussianScene:
+    """Load a web-viewer ``.splat`` file. The format is DC-only; the SH
+    array is zero-padded to degree 2 (like ``load_ply`` pads missing
+    ``f_rest`` properties), so the scene renders under any
+    ``cfg.sh_degree ≤ 2``."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if len(buf) % _SPLAT_BYTES:
+        raise ValueError(
+            f"{path}: size {len(buf)} is not a multiple of "
+            f"{_SPLAT_BYTES} — not a .splat file"
+        )
+    rec = np.frombuffer(buf, dtype=np.dtype([
+        ("position", np.float32, 3),
+        ("scale", np.float32, 3),
+        ("rgba", np.uint8, 4),
+        ("rot", np.uint8, 4),
+    ]))
+    n = rec.shape[0]
+    sh = np.zeros((n, 27), np.float32)
+    sh[:, :3] = (rec["rgba"][:, :3].astype(np.float32) / 255.0 - 0.5) \
+        / _SPLAT_C0
+    quats = (rec["rot"].astype(np.float32) - 128.0) / 128.0
+    norm = np.linalg.norm(quats, axis=1, keepdims=True)
+    quats = quats / np.where(norm > 1e-12, norm, 1.0)
+
+    import jax.numpy as jnp
+
+    return GaussianScene(
+        positions=jnp.asarray(rec["position"]),
+        sh=jnp.asarray(sh),
+        opacity=jnp.asarray(rec["rgba"][:, 3].astype(np.float32) / 255.0),
+        scales=jnp.asarray(rec["scale"]),
+        quats=jnp.asarray(quats),
+    )

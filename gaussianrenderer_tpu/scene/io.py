@@ -253,9 +253,22 @@ def save_ply(scene: GaussianScene, path: str) -> None:
 
 def load_scene(path: str, **kwargs) -> GaussianScene:
     """Extension-dispatched scene load: ``.gsz`` (compact quantized
-    container, :mod:`gaussianrenderer_tpu.scene.compact`) or PLY —
-    the one entry point viewer drag-drop uses, so both formats are
-    drop-loadable (reference accepts PLY only, ``canvas.cpp:280-296``)."""
+    container), ``.splat`` (the antimatter15 web-viewer format — both in
+    :mod:`gaussianrenderer_tpu.scene.compact`) or PLY — the one entry
+    point viewer drag-drop uses, so every format is drop-loadable
+    (reference accepts PLY only, ``canvas.cpp:280-296``)."""
+    if path.endswith(".splat"):
+        from gaussianrenderer_tpu.scene.compact import load_splat
+
+        scene = load_splat(path)
+        max_deg = kwargs.pop("max_sh_degree", None)
+        if kwargs:
+            raise TypeError(f"unsupported .splat load options: {kwargs}")
+        if max_deg is not None:
+            keep = 3 * (max_deg + 1) ** 2
+            if keep < scene.sh.shape[1]:
+                scene = scene._replace(sh=scene.sh[:, :keep])
+        return scene
     if path.endswith(".gsz"):
         from gaussianrenderer_tpu.scene.compact import load_compact
 

@@ -198,3 +198,73 @@ def test_bad_magic_raises(tmp_path):
     p.write_bytes(b"NOPExxxxxxxx")
     with pytest.raises(ValueError, match="magic"):
         compact.load_compact(str(p))
+
+
+def test_splat_roundtrip_and_render(scene, tmp_path):
+    """.splat (antimatter15 web-viewer format): positions/scales exact
+    f32, DC color within u8 steps, quaternions within the u8 grid, SH
+    rest dropped (DC-only format), importance ordering by default, and
+    the loaded scene renders against the original's DC-only render at
+    high PSNR through load_scene dispatch."""
+    from gaussianrenderer_tpu.scene.io import load_scene
+
+    path = str(tmp_path / "s.splat")
+    stats = compact.save_splat(scene, path)
+    assert stats["bytes"] == 32 * scene.num_gaussians
+    back = compact.load_splat(path)
+    assert back.num_gaussians == scene.num_gaussians
+
+    # Positions/scales ride as raw f32 — set-equality up to reordering.
+    pos = np.asarray(scene.positions)
+    bpos = np.asarray(back.positions)
+    order = np.lexsort(pos.T)
+    border = np.lexsort(bpos.T)
+    np.testing.assert_array_equal(pos[order], bpos[border])
+    np.testing.assert_array_equal(
+        np.asarray(scene.scales)[order], np.asarray(back.scales)[border]
+    )
+    # Opacity and DC color within one u8 step.
+    assert np.abs(
+        np.asarray(scene.opacity)[order] - np.asarray(back.opacity)[border]
+    ).max() <= 0.5 / 255.0 + 1e-6
+    c0 = 0.28209479177387814
+    dc = np.clip(0.5 + c0 * np.asarray(scene.sh[:, :3]), 0.0, 1.0)
+    bdc = 0.5 + c0 * np.asarray(back.sh[:, :3])
+    assert np.abs(dc[order] - bdc[border]).max() <= 0.5 / 255.0 + 1e-6
+    # Rest bands are zero (DC-only format), sh padded to degree 2.
+    assert back.sh.shape[1] == 27 and not np.asarray(back.sh[:, 3:]).any()
+    # Quaternion direction within the u8 grid (sign-insensitive).
+    q = np.asarray(scene.quats)[order]
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    bq = np.asarray(back.quats)[border]
+    dot = np.abs(np.sum(q * bq, axis=1))
+    assert dot.min() > 1.0 - 2e-4
+
+    # Renders like the DC-only original (deg-0 config removes the only
+    # intended loss; u8 color/opacity noise stays above 35 dB).
+    import jax.numpy as jnp
+
+    from gaussianrenderer_tpu.oracle import psnr
+    from gaussianrenderer_tpu.render import render_frame
+    from gaussianrenderer_tpu.scene.camera import Camera
+
+    cam = Camera()
+    cam.set_position([0.0, 0.5, 6.0])
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(60.0)
+    cam.set_aspect_ratio(128 / 96)
+    cam.set_clipping_planes(0.2, 100.0)
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=96, width=128, sh_degree=0, compositor="xla")
+    via_dispatch = load_scene(path)
+    fb_orig, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    fb_back, _ = render_frame(via_dispatch, cam.params(cfg.k_sigma), cfg)
+    score = psnr(np.asarray(fb_orig), np.asarray(fb_back))
+    assert score > 35.0, f".splat render PSNR {score:.2f} dB"
+
+
+def test_splat_rejects_bad_size(tmp_path):
+    p = tmp_path / "bad.splat"
+    p.write_bytes(b"\x00" * 33)
+    with pytest.raises(ValueError, match="not a multiple"):
+        compact.load_splat(str(p))
