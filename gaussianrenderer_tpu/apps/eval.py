@@ -1,0 +1,140 @@
+"""gr-eval: render a trained scene against a capture dataset and report
+PSNR/SSIM — the upstream 3DGS ``render.py`` + ``metrics.py`` workflow.
+
+    gr-eval scene.ply DATASET_DIR --holdout-every 8 --out-dir eval/
+
+Loads any scene format (.ply / .gsz / .splat), renders every dataset
+view through the training/eval compositor (the same differentiable path
+``gr-fit``'s final report uses, so numbers are directly comparable),
+and prints per-view and mean PSNR/SSIM plus one machine-readable JSON
+line. ``--holdout-every N`` selects the upstream llffhold test split
+(every Nth view — exactly the views a matching ``gr-fit
+--holdout-every N`` run never trained on). ``--out-dir`` writes
+``renders/*.png`` + ``gt/*.png`` pairs like upstream ``render.py``.
+
+The reference has no evaluation tooling (its only quality check is
+eyeballing the viewer); this closes the capture → fit → eval loop.
+"""
+
+import argparse
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("scene", help="trained scene (.ply, .gsz, or .splat)")
+    ap.add_argument("dataset", help="COLMAP workspace or poses.json dir")
+    ap.add_argument("--holdout-every", type=int, default=0,
+                    help="evaluate only every Nth view (the upstream "
+                    "llffhold test split); 0 = all views")
+    ap.add_argument("--out-dir", default=None,
+                    help="write renders/*.png and gt/*.png pairs here")
+    ap.add_argument("--height", type=int, default=None,
+                    help="render height (default: dataset's)")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--sh-degree", type=int, default=None,
+                    help="default: the scene's stored degree")
+    ap.add_argument("--ewa-dilation", type=float, default=0.0,
+                    help="match the value the scene was trained with")
+    ap.add_argument("--antialias", action="store_true",
+                    help="upstream antialiasing (opacity compensation)")
+    args = ap.parse_args()
+
+    import json
+    import math
+    import os
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.config import RenderConfig
+    from gaussianrenderer_tpu.scene import colmap
+    from gaussianrenderer_tpu.scene.io import load_scene
+    from gaussianrenderer_tpu.train import (
+        SceneParams,
+        load_views,
+        render_for_training,
+        ssim,
+    )
+
+    scene = load_scene(args.scene)
+    if args.sh_degree is None:
+        # sh has 3·(d+1)² columns — evaluate at the scene's own degree.
+        args.sh_degree = int(round(math.sqrt(scene.sh.shape[1] / 3.0))) - 1
+
+    if args.height is None or args.width is None:
+        if not os.path.isfile(os.path.join(args.dataset, "poses.json")) \
+                and colmap.is_colmap_dir(args.dataset):
+            sparse = colmap.find_sparse_dir(args.dataset)
+            cam0 = next(iter(colmap.read_cameras_bin(
+                os.path.join(sparse, "cameras.bin")
+            ).values()))
+            shape = (cam0.height, cam0.width)
+        else:
+            with open(os.path.join(args.dataset, "poses.json")) as fh:
+                first = json.load(fh)[0]
+            tpath = os.path.join(args.dataset, first["target"])
+            if tpath.endswith(".npy"):
+                shape = np.load(tpath, mmap_mode="r").shape
+            else:
+                from PIL import Image
+
+                shape = np.asarray(Image.open(tpath)).shape
+        args.height = args.height or shape[0]
+        args.width = args.width or shape[1]
+
+    cfg = RenderConfig(height=args.height, width=args.width,
+                       sh_degree=args.sh_degree,
+                       ewa_dilation=args.ewa_dilation,
+                       ewa_compensate=args.antialias)
+    views = load_views(args.dataset, cfg)
+    if args.holdout_every:
+        views = views[:: args.holdout_every]
+    print(f"{len(views)} views at {args.width}x{args.height}, "
+          f"SH degree {args.sh_degree}, "
+          f"{scene.num_gaussians} gaussians", flush=True)
+
+    if args.out_dir:
+        from PIL import Image
+
+        from gaussianrenderer_tpu.render import framebuffer_to_image
+
+        os.makedirs(os.path.join(args.out_dir, "renders"), exist_ok=True)
+        os.makedirs(os.path.join(args.out_dir, "gt"), exist_ok=True)
+
+    import jax.numpy as jnp
+
+    params = SceneParams.from_scene(scene)
+    rows = []
+    for i, v in enumerate(views):
+        cam, target = v[0], v[1]
+        tv = jnp.float32(v[2]) if len(v) == 3 else None
+        fb = render_for_training(params, cam, cfg, tv)
+        mse = float(jnp.mean((fb - target) ** 2))
+        row = {
+            "view": i,
+            "psnr": 10.0 * math.log10(1.0 / max(mse, 1e-12)),
+            "ssim": float(ssim(fb, target)),
+        }
+        rows.append(row)
+        print(f"view {i:4d}: PSNR {row['psnr']:6.2f} dB  "
+              f"SSIM {row['ssim']:.4f}", flush=True)
+        if args.out_dir:
+            Image.fromarray(framebuffer_to_image(fb)).save(
+                os.path.join(args.out_dir, "renders", f"{i:05d}.png"))
+            Image.fromarray(framebuffer_to_image(jnp.asarray(target))).save(
+                os.path.join(args.out_dir, "gt", f"{i:05d}.png"))
+
+    report = {
+        "psnr": sum(r["psnr"] for r in rows) / len(rows),
+        "ssim": sum(r["ssim"] for r in rows) / len(rows),
+        "views": len(rows),
+        "num_gaussians": int(scene.num_gaussians),
+    }
+    print(f"mean: PSNR {report['psnr']:.2f} dB  SSIM {report['ssim']:.4f}",
+          flush=True)
+    print(json.dumps(report), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

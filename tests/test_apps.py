@@ -217,3 +217,66 @@ def test_fit_app_smoke(tmp_path, monkeypatch):
         assert main() == 0
     assert "1 train / 1 held-out views" in buf.getvalue()
     assert "held-out: PSNR" in buf.getvalue()
+
+
+def test_eval_app(tmp_path, monkeypatch, capsys):
+    """gr-eval: rendering the very scene that produced the targets scores
+    near-lossless PSNR/SSIM; llffhold split + render/gt PNGs written."""
+    import json
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.apps.eval import main
+    from gaussianrenderer_tpu.config import RenderConfig
+    from gaussianrenderer_tpu.scene.camera import Camera
+    from gaussianrenderer_tpu.scene.io import make_random_scene, save_ply
+    from gaussianrenderer_tpu.train import SceneParams, render_for_training
+
+    cfg = RenderConfig(height=48, width=64)
+    truth = make_random_scene(150, seed=9, scale_range=(0.05, 0.2))
+    params = SceneParams.from_scene(truth)
+    records = []
+    for i in range(2):
+        c = Camera()
+        c.set_position([0.4 * i, 0.0, 5.0])
+        c.set_look_at([0.0, 0.0, 0.0])
+        c.set_fov_y(60.0)
+        c.set_aspect_ratio(64 / 48)
+        c.set_clipping_planes(0.2, 100.0)
+        c.update_camera_matrices()
+        fb = render_for_training(params, c.params(cfg.k_sigma), cfg)
+        np.save(tmp_path / f"t{i}.npy",
+                np.asarray(fb).transpose(1, 2, 0)[::-1])
+        m = np.zeros((3, 4), np.float32)
+        m[:, 0], m[:, 1], m[:, 2] = c.r_axis, -c.u_axis, -c.f_axis
+        m[:, 3] = c.position
+        records.append({"c2w": m.tolist(), "fov_y": 60.0, "near": 0.2,
+                        "far": 100.0, "target": f"t{i}.npy"})
+    (tmp_path / "poses.json").write_text(json.dumps(records))
+    scene_path = str(tmp_path / "truth.ply")
+    save_ply(truth, scene_path)
+
+    out_dir = str(tmp_path / "eval")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-eval", scene_path, str(tmp_path), "--out-dir", out_dir],
+    )
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "2 views at 64x48" in out
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["views"] == 2 and report["num_gaussians"] == 150
+    # Same scene, same path -> bit-equal up to PLY f32 roundtrip.
+    assert report["psnr"] > 60.0 and report["ssim"] > 0.999
+    for sub in ("renders", "gt"):
+        files = sorted(os.listdir(os.path.join(out_dir, sub)))
+        assert files == ["00000.png", "00001.png"]
+
+    # llffhold split: every 2nd view only.
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-eval", scene_path, str(tmp_path), "--holdout-every", "2"],
+    )
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "1 views at 64x48" in out
