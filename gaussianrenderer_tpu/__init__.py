@@ -32,6 +32,12 @@ from gaussianrenderer_tpu.scene.io import (
     make_surface_scene,
     save_ply,
 )
+from gaussianrenderer_tpu.scene.edit import (
+    crop_scene,
+    merge_scenes,
+    prune_scene,
+    transform_scene,
+)
 from gaussianrenderer_tpu.scene.compact import (
     load_compact,
     load_splat,
@@ -59,6 +65,10 @@ __all__ = [
     "load_splat",
     "save_compact",
     "save_splat",
+    "crop_scene",
+    "merge_scenes",
+    "prune_scene",
+    "transform_scene",
     "make_random_scene",
     "make_clustered_scene",
     "make_surface_scene",

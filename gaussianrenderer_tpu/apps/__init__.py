@@ -8,4 +8,7 @@ binaries (SURVEY.md §2.10). Run as ``python -m gaussianrenderer_tpu.apps.<name>
   parser_test     PLY parse smoke
   camera_test     camera construction smoke
   window_test     interactive browser viewer on a synthetic scene
+  train_test      training-loop demo (loss curve on a synthetic scene)
+  fit             gr-fit: fit a scene from a capture dataset
+  eval            gr-eval: PSNR/SSIM of a trained scene vs a dataset
 """

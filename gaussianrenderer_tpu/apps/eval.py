@@ -58,8 +58,7 @@ def main() -> int:
 
     scene = load_scene(args.scene)
     if args.sh_degree is None:
-        # sh has 3·(d+1)² columns — evaluate at the scene's own degree.
-        args.sh_degree = int(round(math.sqrt(scene.sh.shape[1] / 3.0))) - 1
+        args.sh_degree = scene.sh_degree  # evaluate at the stored degree
 
     if args.height is None or args.width is None:
         if not os.path.isfile(os.path.join(args.dataset, "poses.json")) \

@@ -39,8 +39,10 @@ class GaussianScene(NamedTuple):
     scales: jnp.ndarray  # (N, 3) post-exp
     quats: jnp.ndarray  # (N, 4) w,x,y,z (unnormalized; normalized at use)
     #: Optional time parameters for 4D spacetime Gaussians: (N, 2) holding
-    #: (t_center, t_sigma). None for static scenes (reference roadmap item,
-    #: README.md:16).
+    #: (t_center, t_sigma) for temporal opacity only, or (N, 5) adding a
+    #: world-space velocity (vx, vy, vz) for position slicing
+    #: p(t) = p + v·(t − t_center). None for static scenes (reference
+    #: roadmap item, README.md:16).
     time_params: Optional[jnp.ndarray] = None
 
     @property
