@@ -11,4 +11,5 @@ binaries (SURVEY.md §2.10). Run as ``python -m gaussianrenderer_tpu.apps.<name>
   train_test      training-loop demo (loss curve on a synthetic scene)
   fit             gr-fit: fit a scene from a capture dataset
   eval            gr-eval: PSNR/SSIM of a trained scene vs a dataset
+  edit            gr-edit: merge/transform/crop/prune scenes on disk
 """

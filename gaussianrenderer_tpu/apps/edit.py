@@ -1,0 +1,109 @@
+"""gr-edit: scene editing from the command line.
+
+    gr-edit out.ply scene_a.ply scene_b.gsz \\
+        --rotate 0,1,0,90 --translate 0,0,2 --scale 1.5 \\
+        --crop -5,-5,-5,5,5,5 --min-opacity 0.01 --max-scale 2.0
+
+Loads any mix of scene formats (.ply/.gsz/.splat), merges them
+(SH degree / time-params padded), then applies, in order: similarity
+transform (exact per-band SH rotation — :mod:`scene.edit`), axis-box
+crop, opacity/size prune; writes the result in the format the output
+extension names. The reference has no editing surface (PLY drag-drop
+load only, ``canvas.cpp:280-296``).
+"""
+
+import argparse
+import sys
+
+
+def _floats(s: str):
+    return [float(x) for x in s.split(",")]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("out", help="output scene (.ply, .gsz, or .splat)")
+    ap.add_argument("inputs", nargs="+",
+                    help="input scenes (merged in order when several)")
+    ap.add_argument("--rotate", default=None, metavar="X,Y,Z,DEG",
+                    help="axis-angle rotation")
+    ap.add_argument("--translate", default=None, metavar="TX,TY,TZ")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="uniform scale factor")
+    ap.add_argument("--crop", default=None,
+                    metavar="X0,Y0,Z0,X1,Y1,Z1",
+                    help="keep splats with center in the half-open box")
+    ap.add_argument("--min-opacity", type=float, default=None)
+    ap.add_argument("--max-scale", type=float, default=None,
+                    help="prune splats with a world extent above this")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.scene import edit
+    from gaussianrenderer_tpu.scene.compact import save_compact, save_splat
+    from gaussianrenderer_tpu.scene.io import load_scene, save_ply
+
+    scenes = []
+    for path in args.inputs:
+        s = load_scene(path)
+        print(f"{path}: {s.num_gaussians} gaussians, "
+              f"SH degree {s.sh_degree}"
+              + (" (spacetime)" if s.is_spacetime else ""), flush=True)
+        scenes.append(s)
+    scene = scenes[0] if len(scenes) == 1 else edit.merge_scenes(*scenes)
+    if len(scenes) > 1:
+        print(f"merged: {scene.num_gaussians} gaussians, "
+              f"SH degree {scene.sh_degree}", flush=True)
+
+    if args.rotate or args.translate or args.scale != 1.0:
+        rotation = None
+        if args.rotate:
+            x, y, z, deg = _floats(args.rotate)
+            axis = np.array([x, y, z])
+            n = np.linalg.norm(axis)
+            if n == 0.0:
+                raise SystemExit("--rotate axis must be nonzero")
+            axis /= n
+            a = np.deg2rad(deg)
+            k = np.array([
+                [0.0, -axis[2], axis[1]],
+                [axis[2], 0.0, -axis[0]],
+                [-axis[1], axis[0], 0.0],
+            ])
+            rotation = np.eye(3) + np.sin(a) * k + (1 - np.cos(a)) * (k @ k)
+        scene = edit.transform_scene(
+            scene, rotation=rotation,
+            translation=_floats(args.translate) if args.translate else None,
+            scale=args.scale,
+        )
+    if args.crop:
+        box = _floats(args.crop)
+        if len(box) != 6:
+            raise SystemExit("--crop needs 6 comma-separated numbers")
+        before = scene.num_gaussians
+        scene = edit.crop_scene(scene, box[:3], box[3:])
+        print(f"crop: {before} -> {scene.num_gaussians}", flush=True)
+    if args.min_opacity is not None or args.max_scale is not None:
+        before = scene.num_gaussians
+        scene = edit.prune_scene(
+            scene,
+            min_opacity=args.min_opacity or 0.0,
+            max_scale=args.max_scale,
+        )
+        print(f"prune: {before} -> {scene.num_gaussians}", flush=True)
+    if scene.num_gaussians == 0:
+        raise SystemExit("no splats left after editing")
+
+    if args.out.endswith(".gsz"):
+        save_compact(scene, args.out)
+    elif args.out.endswith(".splat"):
+        save_splat(scene, args.out)
+    else:
+        save_ply(scene, args.out)
+    print(f"wrote {args.out} ({scene.num_gaussians} gaussians)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -280,3 +280,43 @@ def test_eval_app(tmp_path, monkeypatch, capsys):
     assert main() == 0
     out = capsys.readouterr().out
     assert "1 views at 64x48" in out
+
+
+def test_edit_app(tmp_path, monkeypatch, capsys):
+    """gr-edit: merge two formats, rotate+translate, crop, prune, write
+    .gsz; the written scene loads and has the expected population."""
+    import numpy as np
+
+    from gaussianrenderer_tpu.apps.edit import main
+    from gaussianrenderer_tpu.scene.compact import save_splat
+    from gaussianrenderer_tpu.scene.io import (
+        load_scene,
+        make_random_scene,
+        save_ply,
+    )
+
+    a = make_random_scene(300, seed=1, sh_degree=2)
+    b = make_random_scene(200, seed=2, sh_degree=0)
+    pa, pb = str(tmp_path / "a.ply"), str(tmp_path / "b.splat")
+    save_ply(a, pa)
+    save_splat(b, pb)
+    out = str(tmp_path / "out.gsz")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-edit", out, pa, pb,
+         "--rotate", "0,1,0,90", "--translate", "10,0,0",
+         "--crop", "5,-9,-9,15,9,9", "--min-opacity", "0.2"],
+    )
+    assert main() == 0
+    txt = capsys.readouterr().out
+    assert "merged: 500 gaussians" in txt
+    back = load_scene(out)
+    # crop at x>=5 after +10 translate keeps the |x|<5-ish rotated cloud;
+    # prune then strips low-opacity splats.
+    op_a, op_b = np.asarray(a.opacity), np.asarray(b.opacity)
+    # .splat quantizes opacity to u8 — count with the same threshold.
+    kept = int((op_a >= 0.2).sum()) + int(
+        (np.round(np.clip(op_b, 0, 1) * 255) / 255 >= 0.2).sum()
+    )
+    assert back.num_gaussians == kept
+    assert np.asarray(back.positions)[:, 0].min() >= 4.9  # translated
