@@ -38,6 +38,12 @@ def main() -> int:
                     help="match the value the scene was trained with")
     ap.add_argument("--antialias", action="store_true",
                     help="upstream antialiasing (opacity compensation)")
+    ap.add_argument("--path", default="train",
+                    choices=["train", "packed"],
+                    help="'train' scores through the training/eval "
+                    "compositor (comparable to gr-fit's report); "
+                    "'packed' scores the deployed inference path "
+                    "(auto-calibrated tiers — evaluate what you ship)")
     args = ap.parse_args()
 
     import json
@@ -102,12 +108,24 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    params = SceneParams.from_scene(scene)
+    if args.path == "packed":
+        from gaussianrenderer_tpu.render import make_renderer
+
+        render_packed = make_renderer(scene, cfg, auto_tier=True)
+    else:
+        params = SceneParams.from_scene(scene)
     rows = []
     for i, v in enumerate(views):
         cam, target = v[0], v[1]
         tv = jnp.float32(v[2]) if len(v) == 3 else None
-        fb = render_for_training(params, cam, cfg, tv)
+        if args.path == "packed":
+            fb, stats = render_packed(cam, tv)
+            fb = fb[:3]
+            if bool(stats.overflow):
+                print(f"view {i:4d}: overflow (truncated coverage)",
+                      flush=True)
+        else:
+            fb = render_for_training(params, cam, cfg, tv)
         mse = float(jnp.mean((fb - target) ** 2))
         row = {
             "view": i,
@@ -128,6 +146,7 @@ def main() -> int:
         "ssim": sum(r["ssim"] for r in rows) / len(rows),
         "views": len(rows),
         "num_gaussians": int(scene.num_gaussians),
+        "path": args.path,
     }
     print(f"mean: PSNR {report['psnr']:.2f} dB  SSIM {report['ssim']:.4f}",
           flush=True)

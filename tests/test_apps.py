@@ -320,3 +320,54 @@ def test_edit_app(tmp_path, monkeypatch, capsys):
     )
     assert back.num_gaussians == kept
     assert np.asarray(back.positions)[:, 0].min() >= 4.9  # translated
+
+
+def test_eval_app_packed_path(tmp_path, monkeypatch, capsys):
+    """gr-eval --path packed scores the deployed inference path; on a
+    scene evaluated against its own training-path renders the packed
+    path's documented reference-parity quantizations (1/8-px centers,
+    16-bit opacity/conic, 10-bit colors — CLAUDE.md exceptions) bound
+    PSNR: at a tiny 64x64 frame each splat spans only a few pixels, so
+    the center rounding alone costs ~32 dB vs the full-f32 training
+    compositor. The gate checks the path works and stays in that band;
+    at production resolutions the same deltas are sub-1/8-px relative
+    to splat extent (the >=40 dB oracle gates live elsewhere)."""
+    import json
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.apps.eval import main
+    from gaussianrenderer_tpu.config import RenderConfig
+    from gaussianrenderer_tpu.scene.camera import Camera
+    from gaussianrenderer_tpu.scene.io import make_random_scene, save_ply
+    from gaussianrenderer_tpu.train import SceneParams, render_for_training
+
+    cfg = RenderConfig(height=64, width=64)
+    truth = make_random_scene(120, seed=4, scale_range=(0.05, 0.2))
+    params = SceneParams.from_scene(truth)
+    c = Camera()
+    c.set_position([0.0, 0.0, 5.0])
+    c.set_look_at([0.0, 0.0, 0.0])
+    c.set_fov_y(60.0)
+    c.set_aspect_ratio(1.0)
+    c.set_clipping_planes(0.2, 100.0)
+    c.update_camera_matrices()
+    fb = render_for_training(params, c.params(cfg.k_sigma), cfg)
+    np.save(tmp_path / "t0.npy", np.asarray(fb).transpose(1, 2, 0)[::-1])
+    m = np.zeros((3, 4), np.float32)
+    m[:, 0], m[:, 1], m[:, 2] = c.r_axis, -c.u_axis, -c.f_axis
+    m[:, 3] = c.position
+    (tmp_path / "poses.json").write_text(json.dumps(
+        [{"c2w": m.tolist(), "fov_y": 60.0, "near": 0.2, "far": 100.0,
+          "target": "t0.npy"}]
+    ))
+    scene_path = str(tmp_path / "truth.ply")
+    save_ply(truth, scene_path)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-eval", scene_path, str(tmp_path), "--path", "packed"],
+    )
+    assert main() == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["path"] == "packed"
+    assert report["psnr"] > 28.0
