@@ -20,6 +20,31 @@ def _floats(s: str):
     return [float(x) for x in s.split(",")]
 
 
+#: options taking a comma-separated number list — see _join_csv_values.
+_CSV_OPTS = ("--rotate", "--translate", "--crop")
+
+
+def _join_csv_values(argv):
+    """Rewrite ``--crop -5,-5,-5,5,5,5`` into ``--crop=-5,...``.
+
+    argparse classifies a value starting with ``-`` as an unknown option
+    unless it parses as a plain negative number — which a comma list never
+    does — so crops/translations with negative components (the common
+    case for origin-centered scenes) would otherwise be rejected."""
+    out = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok in _CSV_OPTS and i + 1 < len(argv) and argv[i + 1][:1] == "-" \
+                and argv[i + 1][1:2].replace(".", "0").isdigit():
+            out.append(f"{tok}={argv[i + 1]}")
+            i += 2
+        else:
+            out.append(tok)
+            i += 1
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("out", help="output scene (.ply, .gsz, or .splat)")
@@ -36,7 +61,7 @@ def main() -> int:
     ap.add_argument("--min-opacity", type=float, default=None)
     ap.add_argument("--max-scale", type=float, default=None,
                     help="prune splats with a world extent above this")
-    args = ap.parse_args()
+    args = ap.parse_args(_join_csv_values(sys.argv[1:]))
 
     import numpy as np
 
@@ -46,7 +71,9 @@ def main() -> int:
 
     scenes = []
     for path in args.inputs:
-        s = load_scene(path)
+        # Stored degree: an editing round trip must not truncate a
+        # degree-3 scene's trained band (load_ply's default is 2).
+        s = load_scene(path, max_sh_degree=None)
         print(f"{path}: {s.num_gaussians} gaussians, "
               f"SH degree {s.sh_degree}"
               + (" (spacetime)" if s.is_spacetime else ""), flush=True)

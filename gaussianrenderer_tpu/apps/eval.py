@@ -47,43 +47,25 @@ def main() -> int:
     args = ap.parse_args()
 
     import json
-    import math
     import os
 
-    import numpy as np
-
     from gaussianrenderer_tpu.config import RenderConfig
-    from gaussianrenderer_tpu.scene import colmap
     from gaussianrenderer_tpu.scene.io import load_scene
     from gaussianrenderer_tpu.train import (
         SceneParams,
+        dataset_image_shape,
+        evaluate,
         load_views,
-        render_for_training,
-        ssim,
     )
 
-    scene = load_scene(args.scene)
+    # max_sh_degree=None: keep the file's stored degree — a degree-3
+    # trained scene must not be silently scored as its degree-2 truncation.
+    scene = load_scene(args.scene, max_sh_degree=None)
     if args.sh_degree is None:
         args.sh_degree = scene.sh_degree  # evaluate at the stored degree
 
     if args.height is None or args.width is None:
-        if not os.path.isfile(os.path.join(args.dataset, "poses.json")) \
-                and colmap.is_colmap_dir(args.dataset):
-            sparse = colmap.find_sparse_dir(args.dataset)
-            cam0 = next(iter(colmap.read_cameras_bin(
-                os.path.join(sparse, "cameras.bin")
-            ).values()))
-            shape = (cam0.height, cam0.width)
-        else:
-            with open(os.path.join(args.dataset, "poses.json")) as fh:
-                first = json.load(fh)[0]
-            tpath = os.path.join(args.dataset, first["target"])
-            if tpath.endswith(".npy"):
-                shape = np.load(tpath, mmap_mode="r").shape
-            else:
-                from PIL import Image
-
-                shape = np.asarray(Image.open(tpath)).shape
+        shape = dataset_image_shape(args.dataset)
         args.height = args.height or shape[0]
         args.width = args.width or shape[1]
 
@@ -94,6 +76,9 @@ def main() -> int:
     views = load_views(args.dataset, cfg)
     if args.holdout_every:
         views = views[:: args.holdout_every]
+    if not views:
+        raise SystemExit("no views in the dataset"
+                         + (" split" if args.holdout_every else ""))
     print(f"{len(views)} views at {args.width}x{args.height}, "
           f"SH degree {args.sh_degree}, "
           f"{scene.num_gaussians} gaussians", flush=True)
@@ -108,31 +93,24 @@ def main() -> int:
 
     import jax.numpy as jnp
 
+    params = None
+    render_fn = None
+    overflow_views = []
     if args.path == "packed":
         from gaussianrenderer_tpu.render import make_renderer
 
         render_packed = make_renderer(scene, cfg, auto_tier=True)
+
+        def render_fn(cam, tv):
+            fb, stats = render_packed(cam, tv)
+            if bool(stats.overflow):
+                overflow_views.append(True)
+                print("      overflow (truncated coverage)", flush=True)
+            return fb[:3]
     else:
         params = SceneParams.from_scene(scene)
-    rows = []
-    for i, v in enumerate(views):
-        cam, target = v[0], v[1]
-        tv = jnp.float32(v[2]) if len(v) == 3 else None
-        if args.path == "packed":
-            fb, stats = render_packed(cam, tv)
-            fb = fb[:3]
-            if bool(stats.overflow):
-                print(f"view {i:4d}: overflow (truncated coverage)",
-                      flush=True)
-        else:
-            fb = render_for_training(params, cam, cfg, tv)
-        mse = float(jnp.mean((fb - target) ** 2))
-        row = {
-            "view": i,
-            "psnr": 10.0 * math.log10(1.0 / max(mse, 1e-12)),
-            "ssim": float(ssim(fb, target)),
-        }
-        rows.append(row)
+
+    def per_view(i, fb, target, row):
         print(f"view {i:4d}: PSNR {row['psnr']:6.2f} dB  "
               f"SSIM {row['ssim']:.4f}", flush=True)
         if args.out_dir:
@@ -141,13 +119,20 @@ def main() -> int:
             Image.fromarray(framebuffer_to_image(jnp.asarray(target))).save(
                 os.path.join(args.out_dir, "gt", f"{i:05d}.png"))
 
+    # The same metric code gr-fit's final report runs — directly comparable.
+    result = evaluate(params, views, cfg,
+                      render_fn=render_fn, per_view_fn=per_view)
     report = {
-        "psnr": sum(r["psnr"] for r in rows) / len(rows),
-        "ssim": sum(r["ssim"] for r in rows) / len(rows),
-        "views": len(rows),
+        "psnr": result["psnr"],
+        "ssim": result["ssim"],
+        "views": len(result["per_view"]),
         "num_gaussians": int(scene.num_gaussians),
         "path": args.path,
     }
+    if args.path == "packed":
+        # Truncated coverage must reach machine consumers too, not just
+        # the human-readable per-view lines (never-silent overflow rule).
+        report["overflow_views"] = len(overflow_views)
     print(f"mean: PSNR {report['psnr']:.2f} dB  SSIM {report['ssim']:.4f}",
           flush=True)
     print(json.dumps(report), flush=True)

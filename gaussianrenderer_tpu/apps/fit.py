@@ -60,7 +60,6 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    import json
     import os
 
     import numpy as np
@@ -73,6 +72,7 @@ def main() -> int:
     )
     from gaussianrenderer_tpu.train import (
         SceneParams,
+        dataset_image_shape,
         evaluate,
         fit_scene,
         l1_dssim_loss,
@@ -88,22 +88,7 @@ def main() -> int:
     ) and colmap.is_colmap_dir(args.dataset)
 
     if args.height is None or args.width is None:
-        if is_colmap:
-            sparse = colmap.find_sparse_dir(args.dataset)
-            cam0 = next(iter(colmap.read_cameras_bin(
-                os.path.join(sparse, "cameras.bin")
-            ).values()))
-            shape = (cam0.height, cam0.width)
-        else:
-            with open(os.path.join(args.dataset, "poses.json")) as fh:
-                first = json.load(fh)[0]
-            tpath = os.path.join(args.dataset, first["target"])
-            if tpath.endswith(".npy"):
-                shape = np.load(tpath, mmap_mode="r").shape
-            else:
-                from PIL import Image
-
-                shape = np.asarray(Image.open(tpath)).shape
+        shape = dataset_image_shape(args.dataset)
         args.height = args.height or shape[0]
         args.width = args.width or shape[1]
 
@@ -134,7 +119,19 @@ def main() -> int:
             xyz, rgb, n=args.n, sh_degree=cfg.sh_degree, seed=args.seed
         )
     elif args.init:
-        params = SceneParams.from_scene(load_scene(args.init))
+        # Load at the requested training degree: a degree-3 fit of a
+        # degree-2 init gets a zero-padded band to learn into; a higher-
+        # degree init is truncated to what will be trained.
+        init_scene = load_scene(args.init, max_sh_degree=args.sh_degree)
+        want = 3 * (args.sh_degree + 1) ** 2
+        if init_scene.sh.shape[1] < want:  # .gsz/.splat never pad
+            import jax.numpy as jnp
+
+            init_scene = init_scene._replace(sh=jnp.pad(
+                init_scene.sh,
+                [(0, 0), (0, want - init_scene.sh.shape[1])],
+            ))
+        params = SceneParams.from_scene(init_scene)
     else:
         # Random init spanning the camera rig's bounding sphere.
         cams = np.stack([np.asarray(v[0].position) for v in views])

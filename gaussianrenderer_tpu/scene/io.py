@@ -84,13 +84,17 @@ def _parse_header(f) -> Tuple[str, int, List[Tuple[str, str]], int]:
 
 def load_ply(
     path: str,
-    max_sh_degree: int = 2,
+    max_sh_degree: Optional[int] = 2,
     use_native: bool = True,
 ) -> GaussianScene:
     """Load a 3DGS PLY into a device-resident ``GaussianScene``.
 
     ``max_sh_degree`` 2 matches the reference exactly (24 rest coefficients,
-    ``gaussians.cpp:95``); 3 additionally keeps ``f_rest_24..44``.
+    ``gaussians.cpp:95``); 3 additionally keeps ``f_rest_24..44``; ``None``
+    loads the file's own stored degree (the highest complete SH band its
+    ``f_rest`` properties cover, capped at 3) — what editing/eval tools
+    want, so a degree-3 trained scene is neither truncated nor a degree-2
+    scene zero-padded and mislabeled as degree 3.
     """
     # Spacetime (4D) files carry extra per-splat time properties; the
     # native fast path doesn't know them, so sniff the header first and
@@ -102,8 +106,18 @@ def load_ply(
             _, _, props, _ = _parse_header(f)
         pnames = {name for _, name in props}
         has_time = bool(pnames & {"t_center", "trbf_center"})
+        if max_sh_degree is None:
+            # The file's own stored degree: the highest complete band its
+            # f_rest properties cover (standard 3DGS files carry 0/9/24/45
+            # rest coefficients for degrees 0-3), capped at 3.
+            n_rest = sum(1 for n in pnames if n.startswith("f_rest_"))
+            max_sh_degree = next(
+                d for d in (3, 2, 1, 0)
+                if 3 * ((d + 1) ** 2 - 1) <= n_rest
+            )
     except Exception:
-        pass
+        if max_sh_degree is None:
+            max_sh_degree = 2  # unreadable header: the parse below reports
 
     arrays = None
     time_params = None

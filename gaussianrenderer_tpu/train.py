@@ -1002,6 +1002,39 @@ def fit_scene(
     return params, {"losses": losses, "densify": episodes}
 
 
+def dataset_image_shape(dataset_dir: str) -> Tuple[int, int]:
+    """(height, width) of a capture dataset's images, without loading the
+    dataset: COLMAP workspaces report the calibrated camera's size,
+    ``poses.json`` datasets the first target image's. The one probe both
+    ``gr-fit`` and ``gr-eval`` size their default render resolution from."""
+    import json
+    import os
+
+    import numpy as np
+
+    from gaussianrenderer_tpu.scene import colmap
+
+    if not os.path.isfile(os.path.join(dataset_dir, "poses.json")) \
+            and colmap.is_colmap_dir(dataset_dir):
+        sparse = colmap.find_sparse_dir(dataset_dir)
+        cam0 = next(iter(colmap.read_cameras_bin(
+            os.path.join(sparse, "cameras.bin")
+        ).values()))
+        return int(cam0.height), int(cam0.width)
+    with open(os.path.join(dataset_dir, "poses.json")) as fh:
+        records = json.load(fh)
+    if not records:
+        raise ValueError(f"{dataset_dir}: poses.json has no views")
+    tpath = os.path.join(dataset_dir, records[0]["target"])
+    if tpath.endswith(".npy"):
+        shape = np.load(tpath, mmap_mode="r").shape
+    else:
+        from PIL import Image
+
+        shape = np.asarray(Image.open(tpath)).shape
+    return int(shape[0]), int(shape[1])
+
+
 def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
     """Load a capture dataset directory into :func:`fit_scene` views.
 
@@ -1081,24 +1114,37 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
     return views
 
 
-def evaluate(params: SceneParams, views, cfg: RenderConfig):
+def evaluate(params: Optional[SceneParams], views, cfg: RenderConfig,
+             render_fn=None, per_view_fn=None):
     """Fit quality against held-out views: per-view and mean PSNR/SSIM.
 
     ``views`` uses the :func:`fit_scene` format — (cam, target) pairs or
     (cam, target, time) triples. Renders through the same differentiable
     path training sees (so numbers are the training objective's, not the
-    packed inference path's). Returns a dict with ``psnr``/``ssim`` means
-    and a ``per_view`` list."""
+    packed inference path's), unless ``render_fn(cam, time_value) ->
+    (3, H, W) framebuffer`` overrides the renderer (``gr-eval --path
+    packed`` scores the deployed inference path this way; ``params`` may
+    then be None). ``per_view_fn(i, fb, target, row)`` is called after
+    each view's metrics (progress printing, PNG dumps). Returns a dict
+    with ``psnr``/``ssim`` means and a ``per_view`` list."""
     rows = []
-    for v in views:
+    for i, v in enumerate(views):
         cam, target = v[0], v[1]
         tv = jnp.float32(v[2]) if len(v) == 3 else None
-        fb = render_for_training(params, cam, cfg, tv)
+        if render_fn is None:
+            fb = render_for_training(params, cam, cfg, tv)
+        else:
+            fb = render_fn(cam, tv)
         mse = float(jnp.mean((fb - target) ** 2))
-        rows.append({
+        row = {
             "psnr": 10.0 * math.log10(1.0 / max(mse, 1e-12)),
             "ssim": float(ssim(fb, target)),
-        })
+        }
+        rows.append(row)
+        if per_view_fn is not None:
+            per_view_fn(i, fb, target, row)
+    if not rows:
+        raise ValueError("evaluate: no views")
     return {
         "psnr": sum(r["psnr"] for r in rows) / len(rows),
         "ssim": sum(r["ssim"] for r in rows) / len(rows),

@@ -322,6 +322,63 @@ def test_edit_app(tmp_path, monkeypatch, capsys):
     assert np.asarray(back.positions)[:, 0].min() >= 4.9  # translated
 
 
+def test_edit_app_negative_crop_preserves_degree3(tmp_path, monkeypatch,
+                                                  capsys):
+    """gr-edit accepts negative crop bounds in the documented space-
+    separated form (argparse would otherwise reject '-5,...' as an
+    unknown option) and round-trips a degree-3 scene without silently
+    truncating the trained f_rest_24..44 band."""
+    import numpy as np
+
+    from gaussianrenderer_tpu.apps.edit import main
+    from gaussianrenderer_tpu.scene.io import (
+        load_scene,
+        make_random_scene,
+        save_ply,
+    )
+
+    scene = make_random_scene(200, seed=5, sh_degree=3)
+    src = str(tmp_path / "deg3.ply")
+    out = str(tmp_path / "out.ply")
+    save_ply(scene, src)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-edit", out, src, "--crop", "-5,-5,-5,5,5,5",
+         "--translate", "-1,0,0"],
+    )
+    assert main() == 0
+    back = load_scene(out, max_sh_degree=None)
+    assert back.sh.shape[1] == 48  # degree 3 survives the round trip
+    assert back.num_gaussians == scene.num_gaussians  # crop kept all
+    np.testing.assert_allclose(
+        np.asarray(back.positions)[:, 0],
+        np.asarray(scene.positions)[:, 0] - 1.0,
+        atol=1e-5,
+    )
+
+
+def test_eval_app_empty_split(tmp_path, monkeypatch):
+    """gr-eval exits with a clear error (not ZeroDivisionError) when the
+    dataset yields no views."""
+    import json
+
+    import pytest
+
+    from gaussianrenderer_tpu.apps.eval import main
+    from gaussianrenderer_tpu.scene.io import make_random_scene, save_ply
+
+    (tmp_path / "poses.json").write_text(json.dumps([]))
+    scene_path = str(tmp_path / "s.ply")
+    save_ply(make_random_scene(10, seed=0), scene_path)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["gr-eval", scene_path, str(tmp_path), "--height", "32",
+         "--width", "32"],
+    )
+    with pytest.raises(SystemExit, match="no views"):
+        main()
+
+
 def test_eval_app_packed_path(tmp_path, monkeypatch, capsys):
     """gr-eval --path packed scores the deployed inference path; on a
     scene evaluated against its own training-path renders the packed
@@ -370,4 +427,5 @@ def test_eval_app_packed_path(tmp_path, monkeypatch, capsys):
     assert main() == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["path"] == "packed"
+    assert report["overflow_views"] == 0  # machine-readable, never silent
     assert report["psnr"] > 28.0

@@ -92,6 +92,21 @@ def test_sh_degree3_rest_coeffs(tmp_path):
     )
 
 
+def test_load_ply_stored_degree(tmp_path):
+    """max_sh_degree=None loads the file's own stored degree: degree-3
+    files keep their trained band, degree-2 files are NOT zero-padded
+    and mislabeled as degree 3 (what gr-edit/gr-eval load with)."""
+    p3 = str(tmp_path / "deg3.ply")
+    _write_test_ply(p3, sh_rest=45)
+    assert load_ply(p3, use_native=False, max_sh_degree=None).sh.shape[1] == 48
+    p2 = str(tmp_path / "deg2.ply")
+    _write_test_ply(p2, sh_rest=24)
+    assert load_ply(p2, use_native=False, max_sh_degree=None).sh.shape[1] == 27
+    p0 = str(tmp_path / "deg0.ply")
+    _write_test_ply(p0, sh_rest=0)
+    assert load_ply(p0, use_native=False, max_sh_degree=None).sh.shape[1] == 3
+
+
 def test_save_load_roundtrip(tmp_path):
     scene = make_random_scene(50, seed=11)
     path = str(tmp_path / "rt.ply")
