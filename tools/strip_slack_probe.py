@@ -83,8 +83,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="4,6")
     ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--strips", default="2,4,8",
+                    help="comma list of strip/chip counts to measure")
     ap.add_argument("--out", default="strip_slack.jsonl")
     args = ap.parse_args()
+    strip_ns = tuple(int(s) for s in args.strips.split(","))
 
     sys.path.insert(0, "/root/repo/tools")
     from bench_suite import build
@@ -136,9 +139,9 @@ def main():
                     tmin[:, 1], tmax[:, 1], rect_w, valid, cfg.tiles_y
                 )
                 bal_bounds = {
-                    s: balance_strip_bounds(loads0, s) for s in (2, 4, 8)
+                    s: balance_strip_bounds(loads0, s) for s in strip_ns
                 }
-            for s in (2, 4, 8):
+            for s in strip_ns:
                 c = strip_counts(
                     tmin[:, 1], tmax[:, 1], rect_w, valid, cfg.tiles_y, s
                 )
@@ -149,22 +152,25 @@ def main():
                     tmin[:, 1], tmax[:, 1], rect_w, valid, bal_bounds[s]
                 )
                 rec[f"bal_slack{s}"] = round(float(cb.max() / (total / s)), 3)
-            rec["bal_bounds8"] = list(bal_bounds[8])
+            smax = strip_ns[-1]
+            rec[f"bal_bounds{smax}"] = list(bal_bounds[smax])
             rows.append(rec)
             log(
                 f"[c{config} pose {f:2d}] total {total/1e6:.2f}M  "
-                f"slack8={rec['slack8']} -> balanced {rec['bal_slack8']}  "
-                f"dup8={rec['dup8']}"
+                f"slack{smax}={rec[f'slack{smax}']} -> balanced "
+                f"{rec[f'bal_slack{smax}']}  dup{smax}={rec[f'dup{smax}']}"
             )
 
-        worst = {s: max(r[f"slack{s}"] for r in rows if r["config"] == config) for s in (2, 4, 8)}
-        bworst = {s: max(r[f"bal_slack{s}"] for r in rows if r["config"] == config) for s in (2, 4, 8)}
-        dup = {s: max(r[f"dup{s}"] for r in rows if r["config"] == config) for s in (2, 4, 8)}
+        worst = {s: max(r[f"slack{s}"] for r in rows if r["config"] == config) for s in strip_ns}
+        bworst = {s: max(r[f"bal_slack{s}"] for r in rows if r["config"] == config) for s in strip_ns}
+        dup = {s: max(r[f"dup{s}"] for r in rows if r["config"] == config) for s in strip_ns}
+        names = "/".join(str(s) for s in strip_ns)
         log(
-            f"== config {config}: worst slack 2/4/8 chips = "
-            f"{worst[2]}/{worst[4]}/{worst[8]} "
-            f"balanced {bworst[2]}/{bworst[4]}/{bworst[8]}  "
-            f"(duplication {dup[2]}/{dup[4]}/{dup[8]})"
+            f"== config {config}: worst slack {names} chips = "
+            + "/".join(str(worst[s]) for s in strip_ns)
+            + " balanced " + "/".join(str(bworst[s]) for s in strip_ns)
+            + "  (duplication "
+            + "/".join(str(dup[s]) for s in strip_ns) + ")"
         )
 
     with open(args.out, "a") as fh:
