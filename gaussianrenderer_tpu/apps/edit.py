@@ -63,8 +63,6 @@ def main() -> int:
                     help="prune splats with a world extent above this")
     args = ap.parse_args(_join_csv_values(sys.argv[1:]))
 
-    import numpy as np
-
     from gaussianrenderer_tpu.scene import edit
     from gaussianrenderer_tpu.scene.compact import save_compact, save_splat
     from gaussianrenderer_tpu.scene.io import load_scene, save_ply
@@ -86,22 +84,23 @@ def main() -> int:
     if args.rotate or args.translate or args.scale != 1.0:
         rotation = None
         if args.rotate:
-            x, y, z, deg = _floats(args.rotate)
-            axis = np.array([x, y, z])
-            n = np.linalg.norm(axis)
-            if n == 0.0:
-                raise SystemExit("--rotate axis must be nonzero")
-            axis /= n
-            a = np.deg2rad(deg)
-            k = np.array([
-                [0.0, -axis[2], axis[1]],
-                [axis[2], 0.0, -axis[0]],
-                [-axis[1], axis[0], 0.0],
-            ])
-            rotation = np.eye(3) + np.sin(a) * k + (1 - np.cos(a)) * (k @ k)
+            vals = _floats(args.rotate)
+            if len(vals) != 4:
+                raise SystemExit("--rotate needs X,Y,Z,DEG "
+                                 "(4 comma-separated numbers)")
+            try:
+                rotation = edit.axis_angle_rotation(vals[:3], vals[3])
+            except ValueError as e:
+                raise SystemExit(f"--rotate: {e}")
+        translation = None
+        if args.translate:
+            translation = _floats(args.translate)
+            if len(translation) != 3:
+                raise SystemExit("--translate needs TX,TY,TZ "
+                                 "(3 comma-separated numbers)")
         scene = edit.transform_scene(
             scene, rotation=rotation,
-            translation=_floats(args.translate) if args.translate else None,
+            translation=translation,
             scale=args.scale,
         )
     if args.crop:

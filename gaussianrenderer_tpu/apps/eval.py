@@ -73,9 +73,10 @@ def main() -> int:
                        sh_degree=args.sh_degree,
                        ewa_dilation=args.ewa_dilation,
                        ewa_compensate=args.antialias)
-    views = load_views(args.dataset, cfg)
-    if args.holdout_every:
-        views = views[:: args.holdout_every]
+    # stride selects the split BEFORE loading — only the scored views'
+    # images are decoded/resized/uploaded.
+    views = load_views(args.dataset, cfg,
+                       stride=args.holdout_every or 1)
     if not views:
         raise SystemExit("no views in the dataset"
                          + (" split" if args.holdout_every else ""))

@@ -209,8 +209,14 @@ def load_colmap(
     near: float = 0.1,
     far: float = 100.0,
     limit: Optional[int] = None,
+    stride: int = 1,
 ):
     """COLMAP workspace → ``fit_scene`` views [(CameraParams, target)].
+
+    ``stride`` keeps every Nth registered image (in name-sorted order) —
+    the membership of ``views[::stride]``, selected BEFORE any image is
+    opened/resized/uploaded, so an eval split never pays the full
+    dataset's I/O.
 
     Images are resized to ``cfg.height × cfg.width`` (the vertical field
     of view is resolution-invariant, so the intrinsics survive any
@@ -231,7 +237,7 @@ def load_colmap(
         img_root = dataset_dir
 
     views = []
-    for _, im in sorted(images.items()):
+    for _, im in sorted(images.items())[:: max(stride, 1)]:
         cc = cams[im.camera_id]
         aspect = cc.width / cc.height
         if abs(aspect - cfg.width / cfg.height) > 0.02 * aspect:
@@ -437,14 +443,24 @@ def write_points3d_bin(
     rgb = rgb.reshape(-1, 3)
     err = (np.zeros(len(xyz)) if error is None
            else np.asarray(error, np.float64))
+    # One structured array + tobytes(), not per-field struct.pack in a
+    # Python loop — the write-side twin of read_points3d_bin's native
+    # path (the sparse cloud is the one COLMAP binary at 10⁶⁺ records).
+    rec = np.zeros(len(xyz), dtype=np.dtype([
+        ("id", "<u8"),
+        ("xyz", "<f8", 3),
+        ("rgb", "u1", 3),
+        ("err", "<f8"),
+        ("track_len", "<u8"),
+    ]))
+    rec["id"] = np.arange(len(xyz), dtype=np.uint64)
+    rec["xyz"] = xyz
+    rec["rgb"] = rgb
+    rec["err"] = err
+    # track_len stays 0: empty tracks
     with open(path, "wb") as fh:
         fh.write(struct.pack("<Q", len(xyz)))
-        for j in range(len(xyz)):
-            fh.write(struct.pack("<Q", j))
-            fh.write(struct.pack("<ddd", *xyz[j]))
-            fh.write(struct.pack("<BBB", *rgb[j]))
-            fh.write(struct.pack("<d", err[j]))
-            fh.write(struct.pack("<Q", 0))  # empty track
+        fh.write(rec.tobytes())
 
 
 def save_colmap_workspace(

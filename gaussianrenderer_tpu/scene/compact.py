@@ -118,9 +118,22 @@ def save_compact(scene: GaussianScene, path: str, profile: str = "q16") -> Dict:
 
     pos = np.asarray(scene.positions, np.float32)
     n = pos.shape[0]
-    finite = np.isfinite(pos).all(axis=1)
     # Non-finite splats (training artifacts — the pipeline culls them) have
-    # no storable geometry; drop them rather than poison the bbox.
+    # no storable value; drop them rather than poison the shared min/max
+    # grids. Every encoded field participates: ONE inf scale (exp overflow
+    # at load — routine in real trained PLYs) or NaN SH coefficient would
+    # otherwise corrupt that field's grid for the WHOLE scene.
+    finite = (
+        np.isfinite(pos).all(axis=1)
+        & np.isfinite(np.asarray(scene.sh, np.float32)).all(axis=1)
+        & np.isfinite(np.asarray(scene.opacity, np.float32))
+        & np.isfinite(np.asarray(scene.scales, np.float32)).all(axis=1)
+        & np.isfinite(np.asarray(scene.quats, np.float32)).all(axis=1)
+    )
+    if scene.time_params is not None:
+        finite &= np.isfinite(
+            np.asarray(scene.time_params, np.float32)
+        ).all(axis=1)
     if not finite.all():
         keep = np.flatnonzero(finite)
         scene = GaussianScene(
@@ -288,6 +301,19 @@ def save_splat(scene: GaussianScene, path: str,
     quats = np.asarray(scene.quats, np.float32)
     opacity = np.asarray(scene.opacity, np.float32)
     dc = np.asarray(scene.sh[:, :3], np.float32)
+    # Same finite filter as save_compact: NaN opacity/scales would poison
+    # the importance argsort and u8 casts of NaN are undefined.
+    finite = (
+        np.isfinite(pos).all(axis=1)
+        & np.isfinite(dc).all(axis=1)
+        & np.isfinite(opacity)
+        & np.isfinite(scales).all(axis=1)
+        & np.isfinite(quats).all(axis=1)
+    )
+    if not finite.all():
+        keep = np.flatnonzero(finite)
+        pos, scales, quats = pos[keep], scales[keep], quats[keep]
+        opacity, dc = opacity[keep], dc[keep]
     n = pos.shape[0]
 
     order = np.arange(n)

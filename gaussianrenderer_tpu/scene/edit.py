@@ -98,6 +98,25 @@ def sh_band_rotation(rotation: np.ndarray, l: int) -> np.ndarray:
     return x
 
 
+def axis_angle_rotation(axis: Sequence[float], deg: float) -> np.ndarray:
+    """Rodrigues rotation matrix (3, 3) about ``axis`` by ``deg`` degrees.
+
+    The one axis-angle constructor for the editing surface (gr-edit and
+    the rotation tests build their matrices here)."""
+    axis = np.asarray(axis, np.float64)
+    n = np.linalg.norm(axis)
+    if n == 0.0:
+        raise ValueError("rotation axis must be nonzero")
+    axis = axis / n
+    a = np.deg2rad(deg)
+    k = np.array([
+        [0.0, -axis[2], axis[1]],
+        [axis[2], 0.0, -axis[0]],
+        [-axis[1], axis[0], 0.0],
+    ])
+    return np.eye(3) + np.sin(a) * k + (1.0 - np.cos(a)) * (k @ k)
+
+
 def _quat_mul(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
     """Hamilton product, (w, x, y, z) rows; q1 is (4,), q2 is (N, 4)."""
     w1, x1, y1, z1 = q1

@@ -1035,8 +1035,15 @@ def dataset_image_shape(dataset_dir: str) -> Tuple[int, int]:
     return int(shape[0]), int(shape[1])
 
 
-def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
+def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0,
+               stride: int = 1):
     """Load a capture dataset directory into :func:`fit_scene` views.
+
+    ``stride`` keeps every Nth view record (the membership of
+    ``views[::stride]``), selected BEFORE any target is loaded — an eval
+    split (``gr-eval --holdout-every N``) reads only its own images
+    instead of decoding/uploading the whole dataset and discarding
+    (N−1)/N of it.
 
     Format: ``poses.json`` — a list of records with ``c2w`` (3×4 or 4×4
     nested lists), ``target`` (filename), one of ``fov_y``/``fy``, and
@@ -1069,12 +1076,13 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0):
         from gaussianrenderer_tpu.scene import colmap as _colmap
 
         if _colmap.is_colmap_dir(dataset_dir):
-            return _colmap.load_colmap(dataset_dir, cfg, k_sigma=k_sigma)
+            return _colmap.load_colmap(dataset_dir, cfg, k_sigma=k_sigma,
+                                       stride=stride)
 
     with open(os.path.join(dataset_dir, "poses.json")) as fh:
         records = _json.load(fh)
     views = []
-    for rec in records:
+    for rec in records[:: max(stride, 1)]:
         cam = Camera.from_pose(
             np.asarray(rec["c2w"], np.float32),
             fov_y_deg=rec.get("fov_y"),

@@ -106,7 +106,12 @@ img.addEventListener('wheel', async e => {
 });
 let tTouched = false;  // never send time until the user scrubs it — a
                        // 4D scene renders STATIC until the slider moves
+let synced = false;    // controls start from SERVER state, not the HTML
+                       // defaults — sending before sync would silently
+                       // override e.g. the session's fovY with the
+                       // slider's hardcoded initial value
 async function setParams() {
+  if (!synced) return;
   const k = document.getElementById('k').value;
   const f = document.getElementById('f').value;
   const flip = document.getElementById('flip').checked ? 1 : 0;
@@ -127,6 +132,13 @@ for (const id of ['k', 'f', 'flip', 't', 'vm'])
   });
 fetch('/stats').then(r => r.json()).then(s => {
   if (s.spacetime) document.getElementById('tw').style.display = '';
+  document.getElementById('k').value = s.k_sigma;
+  document.getElementById('kv').textContent = s.k_sigma;
+  document.getElementById('f').value = s.fov_y;
+  document.getElementById('fv').textContent = s.fov_y;
+  document.getElementById('flip').checked = !!s.flip_y;
+  document.getElementById('vm').value = s.view_mode || 'rgb';
+  synced = true;
 });
 refresh();
 </script></body></html>"""
@@ -205,13 +217,26 @@ def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
                                     canvas.scene is not None
                                     and canvas.scene.time_params is not None
                                 ),
+                                # Current settings — the page initializes
+                                # its controls from these on load.
+                                "k_sigma": canvas.settings.k_sigma,
+                                "fov_y": canvas.settings.fov_y,
+                                "flip_y": canvas.settings.flip_y,
+                                "view_mode": canvas.settings.view_mode,
                             }
                         ).encode()
                     self._send(200, "application/json", body)
                 else:
                     self._send(404, "text/plain", b"not found")
-            except BrokenPipeError:
+            except (BrokenPipeError, ConnectionResetError):
+                # The page replaces img.src mid-load while dragging —
+                # aborted /frame requests are routine, not errors.
                 pass
+            except ValueError as e:
+                try:
+                    self._send(400, "text/plain", str(e).encode())
+                except OSError:
+                    pass
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -299,7 +324,7 @@ class TrainMonitor:
                         self._send(200, "application/json", body)
                     else:
                         self._send(404, "text/plain", b"not found")
-                except BrokenPipeError:
+                except (BrokenPipeError, ConnectionResetError):
                     pass
 
         self.server = ThreadingHTTPServer((host, port), Handler)

@@ -429,3 +429,29 @@ def test_eval_app_packed_path(tmp_path, monkeypatch, capsys):
     assert report["path"] == "packed"
     assert report["overflow_views"] == 0  # machine-readable, never silent
     assert report["psnr"] > 28.0
+
+
+def test_edit_app_rejects_bad_arity(tmp_path, monkeypatch):
+    """--rotate/--translate with the wrong component count exit with a
+    usage message (SystemExit), not a raw unpack/broadcast traceback."""
+    import pytest
+
+    from gaussianrenderer_tpu.apps.edit import main
+    from gaussianrenderer_tpu.scene.io import make_random_scene, save_ply
+
+    src = str(tmp_path / "s.ply")
+    save_ply(make_random_scene(50, seed=7, sh_degree=0), src)
+    out = str(tmp_path / "o.ply")
+
+    monkeypatch.setattr("sys.argv",
+                        ["gr-edit", out, src, "--rotate", "0,1,0"])
+    with pytest.raises(SystemExit, match="--rotate"):
+        main()
+    monkeypatch.setattr("sys.argv",
+                        ["gr-edit", out, src, "--translate", "1,2"])
+    with pytest.raises(SystemExit, match="--translate"):
+        main()
+    monkeypatch.setattr("sys.argv",
+                        ["gr-edit", out, src, "--rotate", "0,0,0,45"])
+    with pytest.raises(SystemExit, match="nonzero"):
+        main()

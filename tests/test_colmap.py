@@ -16,16 +16,9 @@ from gaussianrenderer_tpu.scene import colmap
 
 
 def _rotmat(axis, angle):
-    axis = np.asarray(axis, np.float64)
-    axis = axis / np.linalg.norm(axis)
-    k = np.array(
-        [
-            [0, -axis[2], axis[1]],
-            [axis[2], 0, -axis[0]],
-            [-axis[1], axis[0], 0],
-        ]
-    )
-    return np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+    from gaussianrenderer_tpu.scene.edit import axis_angle_rotation
+
+    return axis_angle_rotation(axis, np.rad2deg(angle))
 
 
 def _rot_to_qvec(r):
@@ -367,3 +360,20 @@ def test_fit_scene_runs_on_colmap_views(workspace):
     params = colmap.init_from_points(xyz, rgb, n=64, sh_degree=1, seed=0)
     params, hist = fit_scene(views, cfg, params, steps=2)
     assert np.isfinite(hist["losses"][-1])
+
+
+def test_load_views_stride_matches_post_slice(workspace):
+    """stride=N selects the llffhold split BEFORE any image is loaded,
+    with exactly the membership of views[::N]."""
+    from gaussianrenderer_tpu.train import load_views
+
+    root, _, _, _ = workspace
+    cfg = RenderConfig(height=48, width=64)
+    full = load_views(root, cfg)
+    split = load_views(root, cfg, stride=2)
+    assert len(split) == len(full[::2])
+    for (pa, ta), (pb, tb) in zip(split, full[::2]):
+        np.testing.assert_array_equal(
+            np.asarray(pa.position), np.asarray(pb.position)
+        )
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))

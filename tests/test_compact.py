@@ -268,3 +268,57 @@ def test_splat_rejects_bad_size(tmp_path):
     p.write_bytes(b"\x00" * 33)
     with pytest.raises(ValueError, match="not a multiple"):
         compact.load_splat(str(p))
+
+
+def test_nonfinite_nonposition_fields_do_not_poison_grids(tmp_path):
+    """ONE non-finite value in any encoded field must drop that splat,
+    not corrupt the field's shared min/max grid for the whole scene
+    (an inf scale is routine: load_ply's exp() overflows f32 on
+    exploded trained splats)."""
+    import jax.numpy as jnp
+
+    scene = make_clustered_scene(256, seed=2, sh_degree=1)
+    sh = np.asarray(scene.sh).copy()
+    sh[3, 5] = np.nan
+    scales = np.asarray(scene.scales).copy()
+    scales[9, 0] = np.inf
+    opacity = np.asarray(scene.opacity).copy()
+    opacity[11] = np.nan
+    bad = scene._replace(
+        sh=jnp.asarray(sh), scales=jnp.asarray(scales),
+        opacity=jnp.asarray(opacity),
+    )
+    path = str(tmp_path / "s.gsz")
+    stats = compact.save_compact(bad, path)
+    assert stats["n"] == 253
+    back = compact.load_compact(path)
+    for field in ("positions", "sh", "opacity", "scales", "quats"):
+        assert np.isfinite(np.asarray(getattr(back, field))).all(), field
+    # Survivors keep their values (position check: one 24-bit grid step).
+    keep = np.delete(np.arange(256), [3, 9, 11])
+    pos = np.asarray(scene.positions)[keep]
+    span = pos.max(axis=0) - pos.min(axis=0)
+    assert np.abs(np.asarray(back.positions) - pos).max() \
+        <= (span / (1 << 24)).max() * 1.01
+
+
+def test_splat_drops_nonfinite_splats(tmp_path):
+    """save_splat: NaN opacity must not poison the importance argsort or
+    reach an undefined NaN→u8 cast."""
+    import jax.numpy as jnp
+
+    scene = make_clustered_scene(64, seed=4, sh_degree=0)
+    opacity = np.asarray(scene.opacity).copy()
+    opacity[5] = np.nan
+    scales = np.asarray(scene.scales).copy()
+    scales[8, 2] = np.inf
+    bad = scene._replace(
+        opacity=jnp.asarray(opacity), scales=jnp.asarray(scales)
+    )
+    path = str(tmp_path / "s.splat")
+    stats = compact.save_splat(bad, path)
+    assert stats["num_gaussians"] == 62
+    back = compact.load_splat(path)
+    assert back.num_gaussians == 62
+    for field in ("positions", "sh", "opacity", "scales", "quats"):
+        assert np.isfinite(np.asarray(getattr(back, field))).all(), field

@@ -19,15 +19,7 @@ from gaussianrenderer_tpu.scene.io import make_random_scene
 
 
 def _rot(axis, deg):
-    axis = np.asarray(axis, np.float64)
-    axis = axis / np.linalg.norm(axis)
-    a = np.deg2rad(deg)
-    k = np.array([
-        [0, -axis[2], axis[1]],
-        [axis[2], 0, -axis[0]],
-        [-axis[1], axis[0], 0],
-    ])
-    return np.eye(3) + np.sin(a) * k + (1 - np.cos(a)) * (k @ k)
+    return edit.axis_angle_rotation(axis, deg)
 
 
 R_TEST = _rot([0.3, 1.0, -0.5], 73.0)

@@ -290,6 +290,20 @@ def test_web_viewer_http_endpoints():
         assert c.settings.view_mode == "rgb"
         stats = json.loads(urlopen(base + "/stats").read())
         assert stats["gaussians"] == 300 and stats["spacetime"] is True
+        # /stats carries the CURRENT settings — the page initializes its
+        # controls from these instead of hardcoded HTML defaults (which
+        # once silently reset the session fov on any control touch).
+        assert stats["k_sigma"] == 2.5 and stats["fov_y"] == 80.0
+        assert stats["flip_y"] is True and stats["view_mode"] == "rgb"
+        assert b"synced" in page  # page gates /set on the initial sync
+        # Malformed params → clean 400, not a handler traceback.
+        from urllib.error import HTTPError
+
+        try:
+            urlopen(base + "/orbit?dx=abc&dy=0")
+            assert False, "expected HTTP 400"
+        except HTTPError as e:
+            assert e.code == 400
         frame2 = urlopen(base + "/frame?t=2").read()
         assert frame2 != frame  # orbit + time scrub changed the image
     finally:
