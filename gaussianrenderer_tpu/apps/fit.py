@@ -50,6 +50,10 @@ def main() -> int:
     ap.add_argument("--opacity-reset-every", type=int, default=1500)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--resume", default=None, metavar="CKPT",
+                    help="resume a --checkpoint-dir step_NNNNNN directory "
+                    "(same dataset/budget flags); continues every cadence "
+                    "from the recorded step")
     ap.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="serve a live training monitor on this port "
                     "(latest snapshot render + loss; 0 picks a free "
@@ -173,11 +177,12 @@ def main() -> int:
         opacity_reset_every=args.opacity_reset_every,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume,
         log_fn=lambda s, l: print(f"step {s}: loss {l:.5f}", flush=True),
         snapshot_fn=snapshot_fn,
         snapshot_every=args.serve_every if snapshot_fn else 0,
     )
-    if snapshot_fn is not None:
+    if snapshot_fn is not None and hist["losses"]:
         snapshot_fn(args.steps, params, hist["losses"][-1])  # final state
     report = evaluate(params, views, cfg)
     print(f"final: PSNR {report['psnr']:.2f} dB  SSIM {report['ssim']:.4f}",

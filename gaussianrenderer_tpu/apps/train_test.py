@@ -102,7 +102,7 @@ def main() -> int:
     episodes = []
     for s in range(args.steps):
         i = s % args.poses
-        params, opt_state, dstate, loss = step(
+        params, opt_state, dstate, loss, _needed = step(
             params, opt_state, dstate, cams[i], targets[i]
         )
         losses.append(float(loss))

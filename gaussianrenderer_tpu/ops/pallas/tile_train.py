@@ -348,11 +348,21 @@ def _bwd_kernel(
             chunk_ref,
             sem_ref.at[0],
         ).start()
-        pltpu.make_async_copy(
-            chk_hbm.at[pl.ds((chk_base + i // 8) * 8, 8), :],
-            chk_scratch,
-            sem_ref.at[2],
-        ).start()
+        # The checkpoint block covers 8 chunks; on the reverse walk a new
+        # block is entered at i%8 == 7 (plus the first iteration, which
+        # may land mid-block). Fetching it every chunk would re-read the
+        # same (8, P) block — 8 KB at P=256, as much as the feature chunk
+        # itself — 8× over.
+        need_chk = jnp.logical_or(i == i_end - 1, jax.lax.rem(i, 8) == 7)
+
+        @pl.when(need_chk)
+        def _():
+            pltpu.make_async_copy(
+                chk_hbm.at[pl.ds((chk_base + i // 8) * 8, 8), :],
+                chk_scratch,
+                sem_ref.at[2],
+            ).start()
+
         # RMW read: current gradient content of this chunk's window
         # (nonzero only in the < K-lane overlap with the next tile's
         # aligned window, already processed by this sequential grid).
@@ -367,11 +377,14 @@ def _bwd_kernel(
             chunk_ref,
             sem_ref.at[0],
         ).wait()
-        pltpu.make_async_copy(
-            chk_hbm.at[pl.ds((chk_base + i // 8) * 8, 8), :],
-            chk_scratch,
-            sem_ref.at[2],
-        ).wait()
+
+        @pl.when(need_chk)
+        def _():
+            pltpu.make_async_copy(
+                chk_hbm.at[pl.ds((chk_base + i // 8) * 8, 8), :],
+                chk_scratch,
+                sem_ref.at[2],
+            ).wait()
         raw = chunk_ref[:]
         # Select row i%8 of the checkpoint block (dynamic sublane
         # indexing via masked reduce), back to a (P, 1) column.

@@ -343,6 +343,48 @@ def reset_opacity(params: SceneParams, opt_state=None, ceiling: float = 0.01):
     return params, jax.tree_util.tree_map(reset, opt_state)
 
 
+def _emission_terms(scene_like, cam, tcfg: RenderConfig, time_value=None):
+    """Exact emission accounting of the training path for one view:
+    ``(needed, visible)`` where ``needed`` is the Σ valid·w·h tile-rect
+    total (the diff path emits exactly the rect area per splat —
+    ``build_sorted_instances``/``render.py`` — so ``needed > capacity``
+    IFF instances were truncated) and ``visible`` is ``proj.valid``, the
+    upstream ``update_filter`` (radii>0) visibility mask."""
+    from gaussianrenderer_tpu.ops.projection import (
+        preprocess_gaussians,
+        slice_spacetime,
+    )
+
+    s, extra = slice_spacetime(scene_like, time_value)
+    proj = preprocess_gaussians(
+        s, cam, width=tcfg.width, height=tcfg.height,
+        tile_w=tcfg.tile_w, tile_h=tcfg.tile_h, tiles_x=tcfg.tiles_x,
+        tiles_y=tcfg.tiles_y, sh_degree=tcfg.sh_degree,
+        extra_opacity_scale=extra,
+        quantize_centers=tcfg.quantize_centers,
+        ewa_dilation=tcfg.ewa_dilation,
+        ewa_compensate=tcfg.ewa_compensate,
+    )
+    w = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
+    h = proj.tile_max[:, 1] - proj.tile_min[:, 1] + 1
+    needed = jnp.sum(jnp.where(proj.valid, w * h, 0))
+    return needed, proj.valid
+
+
+@functools.lru_cache(maxsize=None)
+def _capacity_probe(tcfg: RenderConfig):
+    """Module-level jit probe cache keyed on the (frozen, hashable)
+    training config — :func:`calibrate_capacity` runs after every densify
+    episode, and a per-call closure would recompile the N-scale preprocess
+    graph each time."""
+
+    @jax.jit
+    def probe(prepared, cam, time_value=None):
+        return _emission_terms(prepared, cam, tcfg, time_value)[0]
+
+    return probe
+
+
 def calibrate_capacity(
     params: "SceneParams | object",
     views,
@@ -363,28 +405,7 @@ def calibrate_capacity(
     automatically after densify episodes)."""
     scene = params.to_scene() if hasattr(params, "to_scene") else params
     prepared = scene.prepared() if hasattr(scene, "prepared") else scene
-    tcfg = _training_config(cfg)
-
-    @jax.jit
-    def probe(prepared, cam, time_value=None):
-        from gaussianrenderer_tpu.ops.projection import (
-            preprocess_gaussians,
-            slice_spacetime,
-        )
-
-        s, extra = slice_spacetime(prepared, time_value)
-        proj = preprocess_gaussians(
-            s, cam, width=tcfg.width, height=tcfg.height,
-            tile_w=tcfg.tile_w, tile_h=tcfg.tile_h, tiles_x=tcfg.tiles_x,
-            tiles_y=tcfg.tiles_y, sh_degree=tcfg.sh_degree,
-            extra_opacity_scale=extra,
-            quantize_centers=tcfg.quantize_centers,
-            ewa_dilation=tcfg.ewa_dilation,
-            ewa_compensate=tcfg.ewa_compensate,
-        )
-        w = proj.tile_max[:, 0] - proj.tile_min[:, 0] + 1
-        h = proj.tile_max[:, 1] - proj.tile_min[:, 1] + 1
-        return jnp.sum(jnp.where(proj.valid, w * h, 0))
+    probe = _capacity_probe(_training_config(cfg))
 
     worst = 0
     for view in views:
@@ -405,7 +426,12 @@ def _make_step_fn(cfg, optimizer, loss_fn, *, timed: bool, densify: bool):
     ``densify=True`` prepends a :class:`DensifyState` operand/result and
     differentiates the loss w.r.t. an all-zeros NDC probe as well — the
     probe gradient IS the view-space positional gradient upstream 3DGS
-    keys adaptive density control on (DensifyState docstring)."""
+    keys adaptive density control on (DensifyState docstring). The
+    densify step additionally returns the view's exact emission total
+    (``needed``, a device scalar): the render truncates silently past the
+    static capacity, so :func:`fit_scene` compares ``needed`` against
+    ``cfg.instance_capacity`` and re-calibrates — truncation is never
+    silent (project rule)."""
 
     @jax.jit
     def step_fn(params: SceneParams, opt_state, *rest):
@@ -427,12 +453,22 @@ def _make_step_fn(cfg, optimizer, loss_fn, *, timed: bool, densify: bool):
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, cam, target, cfg, *extra
             )
+        if densify:
+            # Cheap N-scale re-projection (no expansion): the exact
+            # emission total for the capacity check, and proj.valid —
+            # upstream's update_filter (radii>0) — so denom counts
+            # PROJECTED steps, including occluded-with-zero-gradient
+            # ones (a splat visible once in 200 steps must not score as
+            # if that one gradient were its mean).
+            needed, visible = _emission_terms(
+                params.to_scene(), cam, _training_config(cfg),
+                extra[0] if extra else None,
+            )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if densify:
-            return params, opt_state, accumulate_densify_stats(
-                dstate, view_grads
-            ), loss
+            dstate = accumulate_densify_stats(dstate, view_grads, visible)
+            return params, opt_state, dstate, loss, needed
         return params, opt_state, loss
 
     return step_fn
@@ -456,7 +492,7 @@ def make_train_step(cfg: RenderConfig, optimizer=None, loss_fn=None,
 
 # --------------------------------------------------------------- multi-chip
 def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
-                              strip_bounds=None):
+                              strip_bounds=None, with_stats: bool = False):
     """Mesh-parallel train step: params sharded over Gaussians, loss computed
     strip-parallel, gradients land on the owning chip via the AD transpose
     of the forward all_gather.
@@ -466,7 +502,13 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
     decomposition exactly like ``render_frame_multichip``: each chip runs
     the max strip height but owns only its boundary rows; its target
     region is dynamic-sliced from the replicated padded target and the
-    loss masks rows outside the owned range."""
+    loss masks rows outside the owned range.
+
+    With ``with_stats=True`` the step returns ``(params, opt_state, loss,
+    overflow)`` where ``overflow`` is the mesh-reduced per-strip instance
+    truncation flag — a truncated strip silently biases the loss and every
+    gradient, so callers that size capacity tightly (``fit_scene``) must
+    see it (truncation is never silent, project rule)."""
     from gaussianrenderer_tpu.parallel.multichip import (
         AXIS,
         _strip_render,
@@ -479,7 +521,8 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
         strip_diffs = strip_rows_max = None
         if cfg.tiles_y % d != 0:
             raise ValueError(
-                f"tiles_y={cfg.tiles_y} must divide mesh size {d}"
+                f"tiles_y={cfg.tiles_y} must be divisible by the mesh "
+                f"size {d} (or pass balanced strip_bounds)"
             )
     else:
         strip_bounds = tuple(int(b) for b in strip_bounds)
@@ -494,7 +537,7 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
         capacity = train_cfg.instance_capacity(params.positions.shape[0]) // d
 
         def shard_body(p_shard, cam_rep, target_in):
-            fb_strip = _strip_render(
+            fb_strip, overflow, _ = _strip_render(
                 p_shard.to_scene(),
                 cam_rep,
                 cfg=train_cfg,
@@ -502,6 +545,7 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
                 capacity=capacity,
                 compositor="diff",
                 time_value=None,
+                with_stats=True,
                 strip_bounds=strip_bounds,
             )
             h = fb_strip.shape[1]
@@ -529,7 +573,8 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
                 )
             err = (fb_strip - target_local) ** 2
             err = err * rows_valid[None, :, None]
-            return jax.lax.psum(jnp.sum(err), AXIS)
+            overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
+            return jax.lax.psum(jnp.sum(err), AXIS), overflow
 
         target_spec = (
             P(None, AXIS, None) if strip_bounds is None else P()
@@ -542,7 +587,7 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
                 jax.tree_util.tree_map(lambda _: P(), cam),
                 target_spec,
             ),
-            out_specs=P(),
+            out_specs=(P(), P()),
             check_vma=False,
         )
         if strip_bounds is not None:
@@ -554,13 +599,18 @@ def make_multichip_train_step(cfg: RenderConfig, mesh, optimizer=None,
                 target, ((0, 0), (0, need_h - target.shape[1]), (0, 0))
             )
         total_px = 3 * cfg.height * cfg.width
-        return fn(params, cam, target) / total_px
+        err_sum, overflow = fn(params, cam, target)
+        return err_sum / total_px, overflow
 
     @functools.partial(jax.jit)
     def train_step(params, opt_state, cam, target_strips):
-        loss, grads = jax.value_and_grad(loss_fn)(params, cam, target_strips)
+        (loss, overflow), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cam, target_strips
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if with_stats:
+            return params, opt_state, loss, overflow
         return params, opt_state, loss
 
     return train_step, optimizer
@@ -572,6 +622,36 @@ def pad_target_for_mesh(target: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     full_h = cfg.tiles_y * cfg.tile_h
     pad_h = full_h - target.shape[1]
     return jnp.pad(target, ((0, 0), (0, pad_h), (0, 0)))
+
+
+def pad_params_for_mesh(params: SceneParams, multiple: int) -> SceneParams:
+    """Pad the trainable N up to a multiple of the mesh size (shard_map's
+    Gaussian-axis sharding needs equal shards — ``shard_scene`` does the
+    same for inference scenes). Pad rows are INERT splats: raw_opacity
+    −30 (sigmoid ≈ 9e−14, below every alpha threshold, so they render
+    nothing and receive exactly zero gradient — Adam leaves them frozen),
+    unit quats, ~1e−9 world-unit scales. A naive zero-pad would be wrong:
+    raw_opacity 0 is opacity 0.5."""
+    n = params.positions.shape[0]
+    n_pad = -(-n // multiple) * multiple
+    if n_pad == n:
+        return params
+    pad = n_pad - n
+
+    def _pad(x, fill=0.0):
+        if x is None:
+            return None
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    return SceneParams(
+        positions=_pad(params.positions),
+        sh=_pad(params.sh),
+        raw_opacity=_pad(params.raw_opacity, -30.0),
+        raw_scales=_pad(params.raw_scales, -20.0),
+        quats=_pad(params.quats).at[n:, 0].set(1.0),
+        time_params=_pad(params.time_params),
+    )
 
 
 # ------------------------------------------------- adaptive density control
@@ -602,18 +682,26 @@ class DensifyState(NamedTuple):
 
 
 def accumulate_densify_stats(
-    state: DensifyState, view_grads: jnp.ndarray
+    state: DensifyState,
+    view_grads: jnp.ndarray,
+    visible: Optional[jnp.ndarray] = None,
 ) -> DensifyState:
     """Fold one train step's view-space gradient norms into the state
     (call inside the jit train step — pure elementwise column math).
 
     ``view_grads``: (2, N) dL/d(NDC center) — the gradient of the zero
-    NDC probe threaded through the loss (see ``_make_step_fn``)."""
+    NDC probe threaded through the loss (see ``_make_step_fn``).
+    ``visible``: (N,) bool projected-this-view mask (upstream 3DGS's
+    ``update_filter = radii > 0``); without it, visibility falls back to
+    "nonzero gradient", which over-scores splats occluded (zero gradient,
+    exactly — the T_EPS gate zeroes their weights) in most of their
+    projected views."""
     gx, gy = view_grads[0], view_grads[1]
     norm = jnp.sqrt(gx * gx + gy * gy)
+    seen = (norm > 0.0) if visible is None else visible
     return DensifyState(
         grad_accum=state.grad_accum + norm,
-        denom=state.denom + (norm > 0.0).astype(jnp.float32),
+        denom=state.denom + seen.astype(jnp.float32),
         steps=state.steps + 1,
     )
 
@@ -807,6 +895,19 @@ def densify_step(
     return new_params, new_opt_state, DensifyState.zero(n), info
 
 
+def _drain_losses(pending, out) -> None:
+    """Fetch a batch of device loss scalars in ONE transfer. fit_scene
+    keeps per-step losses on device (a float() per step is a ~30 ms D2H
+    sync on the dev tunnel — it would serialize step dispatch); stacking
+    the pending scalars makes the periodic fetch one transfer instead of
+    len(pending)."""
+    if pending:
+        import numpy as np
+
+        out.extend(float(v) for v in np.asarray(jnp.stack(pending)))
+        pending.clear()
+
+
 def fit_scene(
     views,
     cfg: RenderConfig,
@@ -828,6 +929,7 @@ def fit_scene(
     mesh=None,
     strip_bounds=None,
     auto_capacity: bool = True,
+    resume_from: Optional[str] = None,
 ):
     """The full 3DGS training loop as one supported call.
 
@@ -856,8 +958,16 @@ def fit_scene(
     With ``mesh`` (a ``parallel.make_mesh()`` device mesh, plus optional
     balanced ``strip_bounds``), the same loop runs mesh-parallel via
     :func:`make_multichip_train_step`: params are Gaussian-sharded onto
-    the mesh and targets strip-padded automatically; ADC and timed views
+    the mesh (padded to the mesh size with inert splats and un-padded on
+    return) and targets strip-padded automatically; ADC and timed views
     stay single-chip.
+
+    ``resume_from`` restores a :func:`save_checkpoint` directory (the
+    passed ``params`` is the shape template — same budget N) and
+    continues from its recorded step: view cycling, densify/reset/
+    checkpoint cadences, and the Adam position-lr decay (its count rides
+    in the restored moments) all pick up where the saved run left off, so
+    resume + remainder reproduces the uninterrupted run exactly.
 
     The reference never built its training roadmap item (reference
     README.md:17); this is the one-call form of the capability for users
@@ -891,8 +1001,12 @@ def fit_scene(
 
         from gaussianrenderer_tpu.parallel.multichip import AXIS
 
+        d = mesh.shape[AXIS]
+        n0 = params.positions.shape[0]
+        params = pad_params_for_mesh(params, d)
+        was_padded = params.positions.shape[0] != n0
         step_fn, optimizer = make_multichip_train_step(
-            cfg, mesh, optimizer, strip_bounds
+            cfg, mesh, optimizer, strip_bounds, with_stats=True
         )
         sharding = NamedSharding(mesh, PartitionSpec(AXIS))
         params = jax.tree_util.tree_map(
@@ -900,12 +1014,51 @@ def fit_scene(
         )
         views = [(c, pad_target_for_mesh(t, cfg)) for c, t in views]
         opt_state = optimizer.init(params)
-        losses = []
-        for s in range(steps):
+        start_step = 0
+        if resume_from:
+            # Sharded templates: orbax restores each array straight onto
+            # its mesh shard (load_checkpoint docstring). A mesh-mode
+            # checkpoint of a non-divisible scene holds the PADDED N.
+            params, opt_state, _, start_step = load_checkpoint(
+                resume_from, params, opt_state
+            )
+        losses, pending, overflow_events = [], [], []
+        overflow_seen = None
+        for s in range(start_step, steps):
             cam, target = views[s % len(views)]
-            params, opt_state, loss = step_fn(params, opt_state, cam, target)
-            losses.append(float(loss))
+            params, opt_state, loss, ovf = step_fn(
+                params, opt_state, cam, target
+            )
+            # Device scalars only — a per-step float() host sync costs
+            # ~30 ms on the dev tunnel and would serialize dispatch;
+            # fetched in batches at log/end boundaries.
+            pending.append(loss)
+            overflow_seen = ovf if overflow_seen is None else \
+                jnp.logical_or(overflow_seen, ovf)
             done = s + 1
+            boundary = done % max(log_every, 1) == 0 or done == steps
+            if boundary and overflow_seen is not None and bool(overflow_seen):
+                # A truncated strip biased the loss and gradients; grow
+                # the capacity and re-jit (never silent, project rule).
+                overflow_events.append({"step": done, "capacity": int(
+                    _training_config(cfg).instance_capacity(
+                        params.positions.shape[0]) // d)})
+                import warnings
+
+                warnings.warn(
+                    f"fit_scene(mesh): per-strip instance capacity "
+                    f"exceeded by step {done}; growing "
+                    f"instance_multiplier {cfg.instance_multiplier} -> "
+                    f"{cfg.instance_multiplier * 1.5}", RuntimeWarning,
+                )
+                cfg = dataclasses.replace(
+                    cfg,
+                    instance_multiplier=cfg.instance_multiplier * 1.5,
+                )
+                step_fn, optimizer = make_multichip_train_step(
+                    cfg, mesh, optimizer, strip_bounds, with_stats=True
+                )
+                overflow_seen = None
             if opacity_reset_every and done % opacity_reset_every == 0 \
                     and done < steps:
                 params, opt_state = reset_opacity(params, opt_state)
@@ -918,23 +1071,50 @@ def fit_scene(
                     os.path.join(checkpoint_dir, f"step_{done:06d}"),
                     params, opt_state, step=done,
                 )
+            if boundary or (snapshot_fn and snapshot_every
+                            and done % snapshot_every == 0):
+                _drain_losses(pending, losses)
             if log_fn and done % max(log_every, 1) == 0:
                 log_fn(done, losses[-1])
             if snapshot_fn and snapshot_every and done % snapshot_every == 0:
                 snapshot_fn(done, params, losses[-1])
-        return params, {"losses": losses, "densify": []}
+        _drain_losses(pending, losses)
+        if was_padded:
+            # Drop the inert pad rows; the slice re-lays-out the shards,
+            # so a non-divisible scene comes back unsharded.
+            params = jax.tree_util.tree_map(lambda x: x[:n0], params)
+        return params, {"losses": losses, "densify": [],
+                        "overflow": overflow_events}
 
+    n = params.positions.shape[0]
+    opt_state = optimizer.init(params)
+    dstate = DensifyState.zero(n)
+    start_step = 0
+    if resume_from:
+        # Resume a save_checkpoint state: the freshly-initialized pytrees
+        # above are the structure templates; the restored step continues
+        # every cadence (views cycle, densify/reset/checkpoint schedules,
+        # the Adam position-lr decay — its count rides in opt_state).
+        try:
+            params, opt_state, rd, start_step = load_checkpoint(
+                resume_from, params, opt_state, dstate
+            )
+            dstate = rd if rd is not None else dstate
+        except ValueError:
+            # Checkpoint without densify accumulators (e.g. mesh-mode or
+            # external): params + moments only.
+            params, opt_state, _, start_step = load_checkpoint(
+                resume_from, params, opt_state
+            )
     if auto_capacity:
         # Probed instance capacity: the training step's instance-scale
         # costs (sort/gather/scatter) are paid at the static capacity,
         # and the safe-for-anything 8x default is typically 4-6x over
-        # the real total (calibrate_capacity docstring).
+        # the real total (calibrate_capacity docstring). Probed AFTER a
+        # resume — the restored splats are the ones that emit.
         cfg = calibrate_capacity(params, views, cfg)
     step_fn = _make_step_fn(cfg, optimizer, loss_fn, timed=timed,
                             densify=True)
-    opt_state = optimizer.init(params)
-    n = params.positions.shape[0]
-    dstate = DensifyState.zero(n)
     # Upstream's size-prune threshold is relative to the camera rig's
     # extent (its cameras_extent): radius of the view-position cloud.
     prune_scale = None
@@ -946,27 +1126,62 @@ def fit_scene(
             np.linalg.norm(cam_pos - cam_pos.mean(axis=0), axis=1).max()
         )
         prune_scale = prune_scale_ratio * (rig or 1.0)
-    losses = []
-    episodes = []
-    for s in range(steps):
+    losses, pending, episodes, overflow_events = [], [], [], []
+    capacity = _training_config(cfg).instance_capacity(n)
+    needed_max = None  # device scalar: worst emission total since last check
+    for s in range(start_step, steps):
         view = views[s % len(views)]
         if timed:
             cam, target, tv = view
-            params, opt_state, dstate, loss = step_fn(
+            params, opt_state, dstate, loss, needed = step_fn(
                 params, opt_state, dstate, cam, target, jnp.float32(tv)
             )
         else:
             cam, target = view
-            params, opt_state, dstate, loss = step_fn(
+            params, opt_state, dstate, loss, needed = step_fn(
                 params, opt_state, dstate, cam, target
             )
-        losses.append(float(loss))
+        # Device scalars only; fetched in batches at boundaries (a
+        # per-step float() sync costs ~30 ms on the dev tunnel).
+        pending.append(loss)
+        needed_max = needed if needed_max is None else \
+            jnp.maximum(needed_max, needed)
         done = s + 1
-        if (
+        episode = (
             densify_every
             and done % densify_every == 0
             and done <= densify_stop * steps
-        ):
+        )
+        boundary = done % max(log_every, 1) == 0 or done == steps or episode
+        if boundary and needed_max is not None:
+            # The render truncates instances silently past the static
+            # capacity — surface it (project rule) and, under
+            # auto_capacity, grow + re-jit so gradients stop being biased.
+            worst = int(needed_max)
+            needed_max = None
+            if worst > capacity:
+                overflow_events.append(
+                    {"step": done, "needed": worst, "capacity": capacity}
+                )
+                import warnings
+
+                warnings.warn(
+                    f"fit_scene: view emission {worst} exceeded instance "
+                    f"capacity {capacity} by step {done}; "
+                    + ("recalibrating" if auto_capacity else
+                       "pass a larger cfg.instance_multiplier"),
+                    RuntimeWarning,
+                )
+                if auto_capacity:
+                    cfg = dataclasses.replace(
+                        cfg,
+                        instance_multiplier=worst * 1.5 / max(n, 1),
+                    )
+                    capacity = _training_config(cfg).instance_capacity(n)
+                    step_fn = _make_step_fn(
+                        cfg, optimizer, loss_fn, timed=timed, densify=True
+                    )
+        if episode:
             params, opt_state, dstate, info = densify_step(
                 params, opt_state, dstate, seed=done,
                 prune_scale=prune_scale,
@@ -980,6 +1195,7 @@ def fit_scene(
                 new_cfg = calibrate_capacity(params, views, cfg)
                 if new_cfg.instance_capacity(n) > cfg.instance_capacity(n):
                     cfg = new_cfg
+                    capacity = _training_config(cfg).instance_capacity(n)
                     step_fn = _make_step_fn(
                         cfg, optimizer, loss_fn, timed=timed, densify=True
                     )
@@ -995,11 +1211,16 @@ def fit_scene(
                 os.path.join(checkpoint_dir, f"step_{done:06d}"),
                 params, opt_state, dstate, step=done,
             )
+        if boundary or (snapshot_fn and snapshot_every
+                        and done % snapshot_every == 0):
+            _drain_losses(pending, losses)
         if log_fn and done % max(log_every, 1) == 0:
             log_fn(done, losses[-1])
         if snapshot_fn and snapshot_every and done % snapshot_every == 0:
             snapshot_fn(done, params, losses[-1])
-    return params, {"losses": losses, "densify": episodes}
+    _drain_losses(pending, losses)
+    return params, {"losses": losses, "densify": episodes,
+                    "overflow": overflow_events}
 
 
 def dataset_image_shape(dataset_dir: str) -> Tuple[int, int]:
