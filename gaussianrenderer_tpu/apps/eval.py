@@ -23,7 +23,17 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("scene", help="trained scene (.ply, .gsz, or .splat)")
-    ap.add_argument("dataset", help="COLMAP workspace or poses.json dir")
+    ap.add_argument("dataset", help="COLMAP workspace, transforms*.json "
+                    "(Blender/NeRF-synthetic) dir, or poses.json dir")
+    ap.add_argument("--split", default=None, metavar="NAME",
+                    help="transforms*.json datasets: score this split "
+                    "(e.g. 'test' for transforms_test.json — the "
+                    "upstream NeRF-synthetic eval protocol); default: "
+                    "the train split / splitless transforms.json")
+    ap.add_argument("--background", default=None, metavar="COLOR",
+                    help="composite renders AND RGBA targets over this "
+                    "color ('white', 'black', or r,g,b in [0,1]) — match "
+                    "what the scene was trained with")
     ap.add_argument("--holdout-every", type=int, default=0,
                     help="evaluate only every Nth view (the upstream "
                     "llffhold test split); 0 = all views")
@@ -32,6 +42,10 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=None,
                     help="render height (default: dataset's)")
     ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("-r", "--downscale", type=int, default=1,
+                    help="score at the dataset resolution / N (the "
+                    "upstream -r flag; COLMAP and transforms datasets "
+                    "resize same-aspect)")
     ap.add_argument("--sh-degree", type=int, default=None,
                     help="default: the scene's stored degree")
     ap.add_argument("--ewa-dilation", type=float, default=0.0,
@@ -66,17 +80,22 @@ def main() -> int:
 
     if args.height is None or args.width is None:
         shape = dataset_image_shape(args.dataset)
-        args.height = args.height or shape[0]
-        args.width = args.width or shape[1]
+        d = max(args.downscale, 1)
+        args.height = args.height or shape[0] // d
+        args.width = args.width or shape[1] // d
+
+    from gaussianrenderer_tpu.config import parse_color
 
     cfg = RenderConfig(height=args.height, width=args.width,
                        sh_degree=args.sh_degree,
                        ewa_dilation=args.ewa_dilation,
-                       ewa_compensate=args.antialias)
+                       ewa_compensate=args.antialias,
+                       background=parse_color(args.background))
     # stride selects the split BEFORE loading — only the scored views'
     # images are decoded/resized/uploaded.
     views = load_views(args.dataset, cfg,
-                       stride=args.holdout_every or 1)
+                       stride=args.holdout_every or 1,
+                       split=args.split)
     if not views:
         raise SystemExit("no views in the dataset"
                          + (" split" if args.holdout_every else ""))

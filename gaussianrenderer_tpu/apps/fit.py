@@ -7,7 +7,10 @@ The trainer-as-a-tool face of the framework (the reference's unbuilt
 
 DATASET_DIR is a standard COLMAP workspace (``sparse/0/{cameras,images,
 points3D}.bin`` + ``images/`` — auto-detected, with SfM-point-seeded
-initialization like upstream 3DGS) or a ``poses.json`` + targets
+initialization like upstream 3DGS), a Blender / NeRF-synthetic /
+instant-ngp / D-NeRF ``transforms*.json`` layout (pass
+``--background white`` for the white-background sets; D-NeRF per-frame
+times train the 4D path), or a ``poses.json`` + targets
 directory in the ``train.load_views`` format. Initialization: SfM points
 for COLMAP captures, random inside a camera-scaled bounding box
 otherwise, or ``--init scene.ply`` to refine an existing scene. Fits with the standard 3DGS per-group schedule,
@@ -21,13 +24,18 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("dataset", help="directory with poses.json + targets")
+    ap.add_argument("dataset", help="COLMAP workspace, transforms*.json "
+                    "(Blender/NeRF-synthetic) dir, or poses.json + targets")
     ap.add_argument("--out", default="fitted.ply")
     ap.add_argument("--n", type=int, default=100_000, help="splat budget")
     ap.add_argument("--steps", type=int, default=5000)
     ap.add_argument("--height", type=int, default=None,
                     help="render height (default: first target's)")
     ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("-r", "--downscale", type=int, default=1,
+                    help="train at the dataset resolution / N (the "
+                    "upstream -r flag; COLMAP and transforms datasets "
+                    "resize same-aspect)")
     ap.add_argument("--init", default=None, help="scene to refine (PLY or "
                     ".gsz), or 'sfm' to seed from the COLMAP points3D "
                     "cloud (default for COLMAP datasets); random init "
@@ -61,6 +69,12 @@ def main() -> int:
     ap.add_argument("--serve-every", type=int, default=100,
                     help="steps between monitor snapshots (each one "
                     "renders a full preview frame)")
+    ap.add_argument("--background", default=None, metavar="COLOR",
+                    help="composite renders over this color ('white', "
+                    "'black', or r,g,b in [0,1]); RGBA dataset targets "
+                    "composite over the same color (the upstream "
+                    "--white_background convention for NeRF-synthetic "
+                    "captures)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -93,13 +107,17 @@ def main() -> int:
 
     if args.height is None or args.width is None:
         shape = dataset_image_shape(args.dataset)
-        args.height = args.height or shape[0]
-        args.width = args.width or shape[1]
+        d = max(args.downscale, 1)
+        args.height = args.height or shape[0] // d
+        args.width = args.width or shape[1] // d
+
+    from gaussianrenderer_tpu.config import parse_color
 
     cfg = RenderConfig(height=args.height, width=args.width,
                        sh_degree=args.sh_degree,
                        ewa_dilation=args.ewa_dilation,
-                       ewa_compensate=args.antialias)
+                       ewa_compensate=args.antialias,
+                       background=parse_color(args.background))
     views = load_views(args.dataset, cfg)
     heldout = []
     if args.holdout_every:
@@ -137,11 +155,15 @@ def main() -> int:
             ))
         params = SceneParams.from_scene(init_scene)
     else:
-        # Random init spanning the camera rig's bounding sphere.
+        # Random init spanning the camera rig's bounding sphere, sized at
+        # the TRAINED degree: extra random bands would never receive
+        # gradients (the loss renders at cfg.sh_degree) yet would be
+        # written to the output PLY as untrained noise.
         cams = np.stack([np.asarray(v[0].position) for v in views])
         extent = float(np.abs(cams).max()) or 2.0
         params = SceneParams.from_scene(
-            make_random_scene(args.n, seed=args.seed, extent=extent)
+            make_random_scene(args.n, seed=args.seed, extent=extent,
+                              sh_degree=args.sh_degree)
         )
     extent = float(np.abs(np.asarray(params.positions)).max())
 

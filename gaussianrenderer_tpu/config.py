@@ -244,3 +244,24 @@ class UiSettings:
             self.view_mode = "rgb"
         if self.lock_tiles and self.num_tile_x > 0:
             self.num_tile_y = self.num_tile_x
+
+
+def parse_color(spec: "Optional[str]") -> "Optional[Tuple[float, float, float]]":
+    """CLI color spec → RenderConfig.background value.
+
+    Accepts ``"white"``, ``"black"``, or ``"r,g,b"`` floats in [0, 1];
+    None passes through (no background compositing). Shared by the
+    ``gr-fit`` / ``gr-eval`` / ``gr-render`` ``--background`` flags.
+    """
+    if spec is None:
+        return None
+    named = {"white": (1.0, 1.0, 1.0), "black": (0.0, 0.0, 0.0)}
+    if spec.lower() in named:
+        return named[spec.lower()]
+    parts = [float(p) for p in spec.split(",")]
+    if len(parts) != 3 or not all(0.0 <= p <= 1.0 for p in parts):
+        raise ValueError(
+            f"background {spec!r}: expected 'white', 'black', or r,g,b "
+            "floats in [0, 1]"
+        )
+    return tuple(parts)

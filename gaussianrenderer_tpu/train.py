@@ -1226,22 +1226,26 @@ def fit_scene(
 def dataset_image_shape(dataset_dir: str) -> Tuple[int, int]:
     """(height, width) of a capture dataset's images, without loading the
     dataset: COLMAP workspaces report the calibrated camera's size,
-    ``poses.json`` datasets the first target image's. The one probe both
-    ``gr-fit`` and ``gr-eval`` size their default render resolution from."""
+    ``transforms*.json`` datasets their meta ``h``/``w`` (or the first
+    frame's image), ``poses.json`` datasets the first target image's. The
+    one probe both ``gr-fit`` and ``gr-eval`` size their default render
+    resolution from."""
     import json
     import os
 
     import numpy as np
 
-    from gaussianrenderer_tpu.scene import colmap
+    from gaussianrenderer_tpu.scene import blender, colmap
 
-    if not os.path.isfile(os.path.join(dataset_dir, "poses.json")) \
-            and colmap.is_colmap_dir(dataset_dir):
-        sparse = colmap.find_sparse_dir(dataset_dir)
-        cam0 = next(iter(colmap.read_cameras_bin(
-            os.path.join(sparse, "cameras.bin")
-        ).values()))
-        return int(cam0.height), int(cam0.width)
+    if not os.path.isfile(os.path.join(dataset_dir, "poses.json")):
+        if colmap.is_colmap_dir(dataset_dir):
+            sparse = colmap.find_sparse_dir(dataset_dir)
+            cam0 = next(iter(colmap.read_cameras_bin(
+                os.path.join(sparse, "cameras.bin")
+            ).values()))
+            return int(cam0.height), int(cam0.width)
+        if blender.is_blender_dir(dataset_dir):
+            return blender.blender_image_shape(dataset_dir)
     with open(os.path.join(dataset_dir, "poses.json")) as fh:
         records = json.load(fh)
     if not records:
@@ -1257,7 +1261,7 @@ def dataset_image_shape(dataset_dir: str) -> Tuple[int, int]:
 
 
 def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0,
-               stride: int = 1):
+               stride: int = 1, split: Optional[str] = None):
     """Load a capture dataset directory into :func:`fit_scene` views.
 
     ``stride`` keeps every Nth view record (the membership of
@@ -1280,7 +1284,14 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0,
     3DGS capture layout) are detected and ingested directly via
     :mod:`gaussianrenderer_tpu.scene.colmap` when no ``poses.json``
     exists; pair with :func:`scene.colmap.init_from_points` for the
-    upstream SfM-seeded initialization.
+    upstream SfM-seeded initialization. Blender / NeRF-synthetic /
+    instant-ngp / D-NeRF ``transforms*.json`` layouts are detected next
+    (:mod:`gaussianrenderer_tpu.scene.blender`): ``split`` picks
+    ``transforms_{split}.json`` explicitly (default: train split, then
+    a splitless ``transforms.json``); RGBA targets composite over
+    ``cfg.background`` (set it — the upstream ``--white_background``
+    convention — so renders and targets agree on empty space); D-NeRF
+    per-frame times make timed triples.
 
     The reference has no dataset ingestion (scenes only, via PLY
     drag-drop) — this is trainer-side surface for fitting real captures
@@ -1299,6 +1310,13 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0,
         if _colmap.is_colmap_dir(dataset_dir):
             return _colmap.load_colmap(dataset_dir, cfg, k_sigma=k_sigma,
                                        stride=stride)
+        from gaussianrenderer_tpu.scene import blender as _blender
+
+        if _blender.is_blender_dir(dataset_dir):
+            return _blender.load_blender(
+                dataset_dir, cfg, k_sigma=k_sigma, stride=stride,
+                split=split, background=cfg.background,
+            )
 
     with open(os.path.join(dataset_dir, "poses.json")) as fh:
         records = _json.load(fh)

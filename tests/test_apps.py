@@ -202,12 +202,15 @@ def test_fit_app_smoke(tmp_path, monkeypatch):
 
     # --holdout-every: every Nth view is withheld and reported (the
     # upstream llffhold eval protocol). With 2 views and N=2, one view
-    # trains, one evaluates.
+    # trains, one evaluates. --sh-degree 1: the random init must be
+    # sized at the TRAINED degree — a wider init would ship untrained
+    # random band-2 coefficients in the output PLY.
     monkeypatch.setattr(
         "sys.argv",
         ["gr-fit", str(tmp_path), "--out", out, "--n", "64",
          "--steps", "2", "--loss", "mse", "--densify-every", "0",
-         "--opacity-reset-every", "0", "--holdout-every", "2"],
+         "--opacity-reset-every", "0", "--holdout-every", "2",
+         "--sh-degree", "1"],
     )
     import io as _io
     from contextlib import redirect_stdout
@@ -217,6 +220,11 @@ def test_fit_app_smoke(tmp_path, monkeypatch):
         assert main() == 0
     assert "1 train / 1 held-out views" in buf.getvalue()
     assert "held-out: PSNR" in buf.getvalue()
+    # The stored file must be degree 1 (12 coeffs): a wider random init
+    # would write untrained noise bands (max_sh_degree=None = the file's
+    # own degree; the default 2 zero-pads for reference parity).
+    fitted = load_ply(out, use_native=False, max_sh_degree=None)
+    assert fitted.sh.shape[1] == 12
 
 
 def test_eval_app(tmp_path, monkeypatch, capsys):
