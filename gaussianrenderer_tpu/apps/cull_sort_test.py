@@ -31,8 +31,13 @@ def main() -> int:
     ap.add_argument("--antialias", action="store_true",
                     help="upstream antialiasing opacity compensation "
                     "(for scenes trained with it; needs --ewa-dilation)")
+    ap.add_argument("--background", default=None, metavar="COLOR",
+                    help="composite frames over this color ('white', "
+                    "'black', or r,g,b in [0,1]) — match what the scene "
+                    "was trained with")
     args = ap.parse_args()
 
+    from gaussianrenderer_tpu.config import parse_color
     from gaussianrenderer_tpu.scene.io import make_random_scene
     from gaussianrenderer_tpu.viewer import Canvas
 
@@ -43,6 +48,7 @@ def main() -> int:
         tile_y=args.tiles,
         ewa_dilation=args.ewa_dilation,
         ewa_compensate=args.antialias,
+        background=parse_color(args.background),
     )
     canvas.init()
 

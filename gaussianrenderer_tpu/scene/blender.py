@@ -152,16 +152,25 @@ def load_blender(
 
     from gaussianrenderer_tpu.scene.camera import Camera
 
+    from PIL import Image
+
     with open(find_transforms(dataset_dir, split)) as fh:
         meta = json.load(fh)
-    # The dataset's own resolution, for focal→FOV conversion; render
-    # resolution (cfg) must match the images regardless.
-    ds_h = int(meta.get("h", cfg.height))
-    ds_w = int(meta.get("w", cfg.width))
+    # The dataset's own resolution, for focal→FOV conversion: ``fl_y``
+    # focal lengths are in pixels of the dataset's images, so when the
+    # meta lacks ``h``/``w`` the first frame's image is probed — cfg is
+    # NOT a stand-in (under the -r downscale cfg is smaller than the
+    # images, which would misread the focal as a wider lens).
+    if "h" in meta and "w" in meta:
+        ds_h, ds_w = int(meta["h"]), int(meta["w"])
+    elif meta.get("frames"):
+        p0 = _resolve_image(dataset_dir, meta["frames"][0]["file_path"])
+        with Image.open(p0) as im0:
+            ds_h, ds_w = int(im0.height), int(im0.width)
+    else:
+        ds_h, ds_w = cfg.height, cfg.width
     bg = np.asarray(background if background is not None else (0.0, 0.0, 0.0),
                     np.float32)
-
-    from PIL import Image
 
     views = []
     for frame in meta.get("frames", [])[:: max(stride, 1)]:

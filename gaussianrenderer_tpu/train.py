@@ -1308,6 +1308,12 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0,
         from gaussianrenderer_tpu.scene import colmap as _colmap
 
         if _colmap.is_colmap_dir(dataset_dir):
+            if split is not None:
+                raise ValueError(
+                    "split= selects transforms_{split}.json and applies "
+                    "only to Blender/NeRF-synthetic datasets; COLMAP "
+                    "workspaces split by stride (llffhold)"
+                )
             return _colmap.load_colmap(dataset_dir, cfg, k_sigma=k_sigma,
                                        stride=stride)
         from gaussianrenderer_tpu.scene import blender as _blender
@@ -1318,6 +1324,12 @@ def load_views(dataset_dir: str, cfg: RenderConfig, k_sigma: float = 3.0,
                 split=split, background=cfg.background,
             )
 
+    if split is not None:
+        raise ValueError(
+            "split= selects transforms_{split}.json and applies only to "
+            "Blender/NeRF-synthetic datasets; poses.json datasets split "
+            "by stride"
+        )
     with open(os.path.join(dataset_dir, "poses.json")) as fh:
         records = _json.load(fh)
     views = []

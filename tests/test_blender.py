@@ -175,6 +175,40 @@ def test_downscale_resize_and_aspect_guard(tmp_path):
         load_views(d, RenderConfig(height=H, width=2 * W))
 
 
+def test_fl_y_without_meta_hw_is_image_based(tmp_path):
+    """``fl_y`` is in pixels of the dataset's own images; when the meta
+    lacks ``h``/``w`` the loader must probe the image — under the -r
+    downscale cfg is smaller, and using it as the basis would misread
+    the focal as a wider lens."""
+    fov_y = 2 * math.atan(math.tan(0.45) * H / W)
+    big = np.zeros((2 * H, 2 * W, 4), np.uint8)
+    big[..., 3] = 255
+    d = _write_dataset(
+        tmp_path,
+        {  # no "h"/"w" keys — focal in the 2H-pixel image's units
+            "fl_y": (2 * H) / (2 * math.tan(fov_y / 2)),
+            "frames": [{"file_path": "r_0",
+                        "transform_matrix": _c2w_opengl((0, 0, 4), (0, 0, 0))}],
+        },
+        {"r_0": big},
+    )
+    (cam_small, _), = load_views(d, RenderConfig(height=H, width=W))
+    (cam_native, _), = load_views(d, RenderConfig(height=2 * H, width=2 * W))
+    np.testing.assert_allclose(
+        np.asarray(cam_small.proj), np.asarray(cam_native.proj), rtol=1e-6
+    )
+
+
+def test_split_rejected_for_non_transforms_datasets(tmp_path):
+    """split= only means something for transforms*.json layouts; on a
+    poses.json dataset it must raise, not silently score the wrong set."""
+    with open(os.path.join(tmp_path, "poses.json"), "w") as fh:
+        json.dump([], fh)
+    with pytest.raises(ValueError, match="transforms"):
+        load_views(str(tmp_path), RenderConfig(height=H, width=W),
+                   split="test")
+
+
 def test_dnerf_time_and_stride(tmp_path):
     frames = [
         {"file_path": f"r_{i}", "time": i / 3.0,
