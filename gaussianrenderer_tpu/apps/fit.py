@@ -56,6 +56,10 @@ def main() -> int:
                     "eval protocol); 0 = train on all views")
     ap.add_argument("--densify-every", type=int, default=300)
     ap.add_argument("--opacity-reset-every", type=int, default=1500)
+    ap.add_argument("--sh-warmup", type=int, default=0, metavar="N",
+                    help="unlock one SH band every N steps starting from "
+                    "degree 0 (upstream 3DGS's oneupSHdegree schedule, "
+                    "N=1000 there); 0 = train all bands from step 0")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", default=None, metavar="CKPT",
@@ -197,6 +201,7 @@ def main() -> int:
         loss_fn=loss_fn,
         densify_every=args.densify_every,
         opacity_reset_every=args.opacity_reset_every,
+        sh_warmup_every=args.sh_warmup,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume,

@@ -920,6 +920,7 @@ def fit_scene(
     densify_stop: float = 0.7,
     prune_scale_ratio: float = 0.1,
     opacity_reset_every: int = 0,
+    sh_warmup_every: int = 0,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     log_fn=None,
@@ -962,6 +963,15 @@ def fit_scene(
     return) and targets strip-padded automatically; ADC and timed views
     stay single-chip.
 
+    ``sh_warmup_every`` is upstream 3DGS's ``oneupSHdegree`` schedule:
+    rendering starts at SH degree 0 (DC color only) and the active
+    degree rises by one every ``sh_warmup_every`` steps (upstream uses
+    1000) up to ``cfg.sh_degree`` — base color settles before the
+    view-dependent bands unlock, which keeps early densification from
+    chasing specular noise. Bands above the active degree receive zero
+    gradient and stay at init until unlocked. Each bump re-jits the
+    step (the degree is static in the compiled graph); 0 disables.
+
     ``resume_from`` restores a :func:`save_checkpoint` directory (the
     passed ``params`` is the shape template — same budget N) and
     continues from its recorded step: view cycling, densify/reset/
@@ -992,6 +1002,8 @@ def fit_scene(
             raise ValueError("timed views are single-chip only (mesh=None)")
         if densify_every:
             raise ValueError("densify_every requires mesh=None")
+        if sh_warmup_every:
+            raise ValueError("sh_warmup_every requires mesh=None")
         if loss_fn is not mse_loss:
             raise ValueError(
                 "mesh mode uses the strip-masked loss built into "
@@ -1113,6 +1125,13 @@ def fit_scene(
         # the real total (calibrate_capacity docstring). Probed AFTER a
         # resume — the restored splats are the ones that emit.
         cfg = calibrate_capacity(params, views, cfg)
+    sh_target = cfg.sh_degree
+    if sh_warmup_every:
+        # oneupSHdegree warmup: the active degree is a pure function of
+        # the step count, so a resume picks up the right band.
+        cfg = dataclasses.replace(
+            cfg, sh_degree=min(start_step // sh_warmup_every, sh_target)
+        )
     step_fn = _make_step_fn(cfg, optimizer, loss_fn, timed=timed,
                             densify=True)
     # Upstream's size-prune threshold is relative to the camera rig's
@@ -1147,6 +1166,12 @@ def fit_scene(
         needed_max = needed if needed_max is None else \
             jnp.maximum(needed_max, needed)
         done = s + 1
+        if (sh_warmup_every and cfg.sh_degree < sh_target
+                and done % sh_warmup_every == 0):
+            # Unlock the next SH band (upstream bumps every 1000 iters).
+            cfg = dataclasses.replace(cfg, sh_degree=cfg.sh_degree + 1)
+            step_fn = _make_step_fn(cfg, optimizer, loss_fn, timed=timed,
+                                    densify=True)
         episode = (
             densify_every
             and done % densify_every == 0

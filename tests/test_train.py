@@ -714,6 +714,38 @@ def test_fit_scene_end_to_end(tmp_path):
     )
 
 
+def test_fit_scene_sh_warmup_unlocks_bands_on_schedule():
+    """sh_warmup_every is upstream's oneupSHdegree: bands above the
+    active degree get zero gradient (exactly unchanged from init) until
+    their unlock step, then start training."""
+    from gaussianrenderer_tpu.train import fit_scene
+
+    scene, cam, cfg = _setup()  # degree-2 scene: 27 SH columns
+    truth = SceneParams.from_scene(scene)
+    cp = cam.params(cfg.k_sigma)
+    views = [(cp, render_for_training(truth, cp, cfg))]
+    start = SceneParams.from_scene(
+        make_random_scene(120, seed=78, scale_range=(0.05, 0.2))
+    )
+    sh0 = np.asarray(start.sh).copy()
+
+    # 2 steps at warmup cadence 2: only degree 0 ever renders (the bump
+    # at step 2 lands after the last step) — bands 1+ bit-identical.
+    fitted, _ = fit_scene(views, cfg, start, steps=2, sh_warmup_every=2,
+                          densify_every=0, opacity_reset_every=0)
+    out = np.asarray(fitted.sh)
+    assert np.array_equal(out[:, 3:], sh0[:, 3:])
+    assert not np.array_equal(out[:, :3], sh0[:, :3])
+
+    # 4 steps: degree 1 unlocks for steps 3-4 (band 1 trains) while
+    # band 2 stays locked at init.
+    fitted4, _ = fit_scene(views, cfg, start, steps=4, sh_warmup_every=2,
+                           densify_every=0, opacity_reset_every=0)
+    out4 = np.asarray(fitted4.sh)
+    assert not np.array_equal(out4[:, 3:12], sh0[:, 3:12])
+    assert np.array_equal(out4[:, 12:], sh0[:, 12:])
+
+
 def test_fit_scene_timed_views():
     """Spacetime form: (cam, target, time) triples train the time leaf."""
     from gaussianrenderer_tpu.train import fit_scene
