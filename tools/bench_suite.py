@@ -33,7 +33,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CONFIGS = ["1", "2", "3a", "3b", "3r", "4", "5", "6", "7", "8"]
+CONFIGS = ["1", "2", "3a", "3b", "3r", "4", "5", "6", "7", "8", "9"]
 
 
 def build(config, frames):
@@ -134,6 +134,26 @@ def build(config, frames):
         cfg = RenderConfig(height=1080, width=1920, sh_degree=1)
         # Training views orbit at radius 5.5 (make_trained_scene.py) —
         # bench from the same shell.
+        pos = (3.9, 1.7, 3.9)
+    elif config == "9":
+        # Headline-scale TRAINED scene: 2M splats fit by the full
+        # fit_scene loop on the TPU (tools/make_trained_scene.py,
+        # train_scene.jsonl has the recipe + held-out PSNR + sha256),
+        # committed as the quantized .gsz container (scene/compact.py).
+        # Closes the VERDICT r3 gap: tier calibration at TRAINED-scene
+        # statistics near the 3M headline regime, not extrapolated from
+        # 500k.
+        import os
+
+        from gaussianrenderer_tpu.scene.compact import load_compact
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "trained_2m.gsz",
+        )
+        scene = load_compact(path).morton_sorted()
+        cfg = RenderConfig(height=1080, width=1920, sh_degree=1)
         pos = (3.9, 1.7, 3.9)
     else:
         raise SystemExit(f"unknown config {config}")
