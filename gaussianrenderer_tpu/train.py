@@ -968,9 +968,14 @@ def fit_scene(
     degree rises by one every ``sh_warmup_every`` steps (upstream uses
     1000) up to ``cfg.sh_degree`` — base color settles before the
     view-dependent bands unlock, which keeps early densification from
-    chasing specular noise. Bands above the active degree receive zero
-    gradient and stay at init until unlocked. Each bump re-jits the
-    step (the degree is static in the compiled graph); 0 disables.
+    chasing specular noise. The bump fires BEFORE the step renders
+    (upstream calls oneupSHdegree at the top of the iteration), so
+    step ``sh_warmup_every`` is the first at degree 1. Bands above
+    degree 0 are ZEROED at warmup start (upstream zero-inits
+    features_rest), so a band that never unlocks (steps <
+    sh_warmup_every·degree — warned) ships zero view-dependence, not
+    init noise. Each bump re-jits the step (the degree is static in
+    the compiled graph); 0 disables.
 
     ``resume_from`` restores a :func:`save_checkpoint` directory (the
     passed ``params`` is the shape template — same budget N) and
@@ -1099,6 +1104,24 @@ def fit_scene(
                         "overflow": overflow_events}
 
     n = params.positions.shape[0]
+    if sh_warmup_every and not resume_from and params.sh.shape[1] > 3:
+        # Upstream 3DGS zero-inits features_rest; with the oneupSHdegree
+        # warmup, bands that unlock late — or never, when
+        # steps < sh_warmup_every·cfg.sh_degree — must not ship their
+        # init noise in the output scene (ADVICE r3). Zeroing at warmup
+        # start makes a permanently-locked band exactly upstream's
+        # untrained state (zero view-dependence), not junk.
+        params = params._replace(sh=params.sh.at[:, 3:].set(0.0))
+    if sh_warmup_every and steps < sh_warmup_every * cfg.sh_degree:
+        import warnings
+
+        warnings.warn(
+            f"fit_scene: steps={steps} < sh_warmup_every"
+            f"*sh_degree={sh_warmup_every * cfg.sh_degree}; SH bands "
+            f"above degree {steps // sh_warmup_every} never unlock and "
+            "stay zero (view-independent color on those bands)",
+            RuntimeWarning,
+        )
     opt_state = optimizer.init(params)
     dstate = DensifyState.zero(n)
     start_step = 0
@@ -1149,6 +1172,17 @@ def fit_scene(
     capacity = _training_config(cfg).instance_capacity(n)
     needed_max = None  # device scalar: worst emission total since last check
     for s in range(start_step, steps):
+        if (sh_warmup_every and cfg.sh_degree < sh_target
+                and (s + 1) % sh_warmup_every == 0):
+            # Unlock the next SH band BEFORE rendering this step:
+            # upstream's oneupSHdegree fires at the top of iteration N
+            # (1-based), so iteration sh_warmup_every renders at degree 1
+            # (ADVICE r3 cadence fix). After the bump at step `done`,
+            # the active degree equals done // sh_warmup_every — exactly
+            # the resume formula min(start_step // sh_warmup_every, ·).
+            cfg = dataclasses.replace(cfg, sh_degree=cfg.sh_degree + 1)
+            step_fn = _make_step_fn(cfg, optimizer, loss_fn, timed=timed,
+                                    densify=True)
         view = views[s % len(views)]
         if timed:
             cam, target, tv = view
@@ -1166,12 +1200,6 @@ def fit_scene(
         needed_max = needed if needed_max is None else \
             jnp.maximum(needed_max, needed)
         done = s + 1
-        if (sh_warmup_every and cfg.sh_degree < sh_target
-                and done % sh_warmup_every == 0):
-            # Unlock the next SH band (upstream bumps every 1000 iters).
-            cfg = dataclasses.replace(cfg, sh_degree=cfg.sh_degree + 1)
-            step_fn = _make_step_fn(cfg, optimizer, loss_fn, timed=timed,
-                                    densify=True)
         episode = (
             densify_every
             and done % densify_every == 0

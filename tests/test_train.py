@@ -729,21 +729,25 @@ def test_fit_scene_sh_warmup_unlocks_bands_on_schedule():
     )
     sh0 = np.asarray(start.sh).copy()
 
-    # 2 steps at warmup cadence 2: only degree 0 ever renders (the bump
-    # at step 2 lands after the last step) — bands 1+ bit-identical.
-    fitted, _ = fit_scene(views, cfg, start, steps=2, sh_warmup_every=2,
+    # 1 step at warmup cadence 2: only degree 0 renders. Bands 1+ are
+    # ZEROED at warmup start (upstream zero-inits features_rest —
+    # ADVICE r3: locked bands must ship zero, not init noise) and stay
+    # exactly zero.
+    fitted, _ = fit_scene(views, cfg, start, steps=1, sh_warmup_every=2,
                           densify_every=0, opacity_reset_every=0)
     out = np.asarray(fitted.sh)
-    assert np.array_equal(out[:, 3:], sh0[:, 3:])
+    assert np.array_equal(out[:, 3:], np.zeros_like(out[:, 3:]))
     assert not np.array_equal(out[:, :3], sh0[:, :3])
 
-    # 4 steps: degree 1 unlocks for steps 3-4 (band 1 trains) while
-    # band 2 stays locked at init.
-    fitted4, _ = fit_scene(views, cfg, start, steps=4, sh_warmup_every=2,
+    # 3 steps: the bump fires BEFORE step 2 renders (upstream's
+    # oneupSHdegree runs at the top of the iteration — ADVICE r3 cadence
+    # fix), so band 1 trains on steps 2-3 while band 2 never unlocks and
+    # ships exactly zero.
+    fitted3, _ = fit_scene(views, cfg, start, steps=3, sh_warmup_every=2,
                            densify_every=0, opacity_reset_every=0)
-    out4 = np.asarray(fitted4.sh)
-    assert not np.array_equal(out4[:, 3:12], sh0[:, 3:12])
-    assert np.array_equal(out4[:, 12:], sh0[:, 12:])
+    out3 = np.asarray(fitted3.sh)
+    assert not np.array_equal(out3[:, 3:12], np.zeros_like(out3[:, 3:12]))
+    assert np.array_equal(out3[:, 12:], np.zeros_like(out3[:, 12:]))
 
 
 def test_fit_scene_timed_views():
