@@ -723,6 +723,169 @@ def _emit_tier_mask_slabs(
     return jnp.concatenate(keys), rows5
 
 
+#: u32 words per splat in the multi-chip exchange record (28 B/splat —
+#: vs the 22-f32 (88 B) record of the legacy gather32 exchange).
+EXCHANGE_ROWS = 7
+_VALID_BIT = jnp.uint32(1 << 30)
+_SAT_BIT = jnp.uint32(1 << 31)
+
+
+def encode_record_rows(proj: ProjectedGaussians) -> jnp.ndarray:
+    """Projected splats → the quantized 28 B/splat multi-chip record.
+
+    The multi-chip data plane (parallel/multichip.py) used to all_gather
+    a 22-f32 (88 B) record per splat; this packs the SAME payload into
+    the 7-u32 layout below, reusing the packed sort rows' encodings
+    (module docstring — the error budget is already recorded there):
+
+      row 0: screen-fixed 13.3 center  (qx u16 << 16 | qy u16, CQ_BIAS)
+      row 1: chol u | chol w           (e6m10 — the PSD conic factors)
+      row 2: chol v | opacity          (s1e6m9 | u16)
+      row 3: r|g|b 10-bit  | valid<<30 | center-saturated<<31
+      row 4: pixel AABB x              (xmin u16 << 16 | xmax u16)
+      row 5: pixel AABB y              (ymin u16 << 16 | ymax u16)
+      row 6: camera-space depth        (f32 bits — drives the frame-sort
+             key, kept exact so multi-chip depth order == single-chip)
+
+    Tile rects do NOT ride: :func:`decode_record_rows` re-derives them
+    from the AABB with the same integer stride division as projection.py
+    (bit-exact — the wide-tier path already relies on this). The
+    center-saturated bit records a center outside the u16 carrier window
+    BEFORE the encode clip (receivers cannot detect it post-clip); it
+    feeds the ``center_clipped`` stat so saturation is never silent.
+
+    Returns (7, N) uint32.
+    """
+    op16 = _color_bits(proj.opacity)
+    ch_u, ch_v, ch_w = _conic_chol(
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    )
+    ac = (_enc_e6m10(ch_u) << 16) | _enc_e6m10(ch_w)
+    bop = (_enc_s1e6m9(ch_v) << 16) | op16
+    qx_raw = jnp.round(proj.center_px[:, 0] * CENTER_SCALE).astype(
+        jnp.int32
+    ) + CQ_BIAS
+    qy_raw = jnp.round(proj.center_px[:, 1] * CENTER_SCALE).astype(
+        jnp.int32
+    ) + CQ_BIAS
+    sat = (
+        (qx_raw < 0) | (qx_raw > 65535) | (qy_raw < 0) | (qy_raw > 65535)
+    )
+    cq = (
+        jnp.clip(qx_raw, 0, 65535).astype(jnp.uint32) << 16
+    ) | jnp.clip(qy_raw, 0, 65535).astype(jnp.uint32)
+    rgbf = (
+        _rgb10_bits(proj.color)
+        | jnp.where(proj.valid, _VALID_BIT, jnp.uint32(0))
+        | jnp.where(sat, _SAT_BIT, jnp.uint32(0))
+    )
+    ax4 = proj.aabb_px
+    ax = (
+        jnp.clip(ax4[:, 0], 0, 65535).astype(jnp.uint32) << 16
+    ) | jnp.clip(ax4[:, 2], 0, 65535).astype(jnp.uint32)
+    ay = (
+        jnp.clip(ax4[:, 1], 0, 65535).astype(jnp.uint32) << 16
+    ) | jnp.clip(ax4[:, 3], 0, 65535).astype(jnp.uint32)
+    dep = jax.lax.bitcast_convert_type(
+        proj.depth.astype(jnp.float32), jnp.uint32
+    )
+    return jnp.stack([cq, ac, bop, rgbf, ax, ay, dep], axis=0)
+
+
+def decode_record_rows(
+    rows: jnp.ndarray,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+) -> Tuple[ProjectedGaussians, jnp.ndarray]:
+    """Quantized exchange record → decoded :class:`ProjectedGaussians`
+    (global screen coordinates) + the per-splat center-saturated flag.
+
+    Every field decodes to exactly the value the packed pipeline's own
+    quantizers would reproduce, so feeding the result back through
+    :func:`build_packed_instances` re-encodes idempotently — centers,
+    opacity, colors, AABB and depth are bit-identical to a single-chip
+    render of the same splats. The one exception is the conic: the
+    decoded (A, B, C) = (u², 2uv, v² + w²) re-derives Cholesky factors
+    whose ``w`` can differ from the original by ~1 ulp of the f32
+    ``v² + w²`` sum (relative error ≤ 2⁻²⁴ on the C coefficient — far
+    inside the 2⁻⁹ budget the e6m10 conic encode already carries).
+
+    Tile rects are re-derived from the AABB with projection.py's exact
+    integer stride division (``render.cu:761-764``).
+    """
+    cq, ac, bop, rgbf, ax, ay, dep = (rows[i] for i in range(EXCHANGE_ROWS))
+    valid = (rgbf & _VALID_BIT) != 0
+    sat = (rgbf & _SAT_BIT) != 0
+    inv = jnp.float32(1.0 / RGB_SCALE)
+    color = jnp.stack(
+        [
+            (rgbf & jnp.uint32(1023)).astype(jnp.float32) * inv,
+            ((rgbf >> 10) & jnp.uint32(1023)).astype(jnp.float32) * inv,
+            ((rgbf >> 20) & jnp.uint32(1023)).astype(jnp.float32) * inv,
+        ],
+        axis=-1,
+    )
+    opacity = (bop & jnp.uint32(0xFFFF)).astype(jnp.float32) * jnp.float32(
+        1.0 / COLOR_SCALE
+    )
+    conic = jnp.stack(
+        _chol_conic(
+            _dec_e6m10(ac >> 16),
+            _dec_s1e6m9(bop >> 16),
+            _dec_e6m10(ac & jnp.uint32(0xFFFF)),
+        ),
+        axis=-1,
+    )
+    cs = jnp.float32(1.0 / CENTER_SCALE)
+    center_px = jnp.stack(
+        [
+            ((cq >> 16).astype(jnp.int32) - CQ_BIAS).astype(jnp.float32) * cs,
+            ((cq & jnp.uint32(0xFFFF)).astype(jnp.int32) - CQ_BIAS).astype(
+                jnp.float32
+            )
+            * cs,
+        ],
+        axis=-1,
+    )
+    xmin = (ax >> 16).astype(jnp.int32)
+    xmax = (ax & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    ymin = (ay >> 16).astype(jnp.int32)
+    ymax = (ay & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    aabb_px = jnp.stack(
+        [xmin, ymin, xmax, ymax], axis=-1
+    ).astype(jnp.float32)
+    tile_min = jnp.stack(
+        [
+            jnp.clip(xmin // tile_w, 0, tiles_x - 1),
+            jnp.clip(ymin // tile_h, 0, tiles_y - 1),
+        ],
+        axis=-1,
+    )
+    tile_max = jnp.stack(
+        [
+            jnp.clip(xmax // tile_w, 0, tiles_x - 1),
+            jnp.clip(ymax // tile_h, 0, tiles_y - 1),
+        ],
+        axis=-1,
+    )
+    depth = jax.lax.bitcast_convert_type(dep, jnp.float32)
+    proj = ProjectedGaussians(
+        valid=valid,
+        depth=depth,
+        color=color,
+        opacity=opacity,
+        center_px=center_px,
+        conic=conic,
+        aabb_px=aabb_px,
+        tile_min=tile_min,
+        tile_max=tile_max,
+    )
+    return proj, sat
+
+
 class _Prepack(NamedTuple):
     """N-scale pre-packing shared by the device path and the CPU probe."""
 

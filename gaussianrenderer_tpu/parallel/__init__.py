@@ -1,6 +1,8 @@
 from gaussianrenderer_tpu.parallel.multichip import (
+    a2a_caps_for_scene,
     balance_strip_bounds,
     balance_strips_for_scene,
+    default_a2a_caps,
     make_mesh,
     render_frame_multichip,
     row_loads_from_rects,
@@ -10,8 +12,10 @@ from gaussianrenderer_tpu.parallel.multichip import (
 )
 
 __all__ = [
+    "a2a_caps_for_scene",
     "balance_strip_bounds",
     "balance_strips_for_scene",
+    "default_a2a_caps",
     "make_mesh",
     "render_frame_multichip",
     "row_loads_from_rects",

@@ -7,23 +7,35 @@ scale-out design:
 * **Gaussian-parallel preprocessing** (data parallel): the scene SoA is
   sharded along N over the mesh axis; each chip culls/colors/projects its
   shard locally (no communication).
-* **all_gather of compact projected records** over ICI: 24 floats per
-  splat — positions/SH/quats stay sharded; only screen-space results move.
+* **record exchange** over ICI: positions/SH/quats stay sharded; only
+  screen-space results move, as quantized 28 B/splat records
+  (``ops.instances.encode_record_rows`` — same encodings as the packed
+  sort payload). Two shapes: a quantized ``all_gather`` ("gather_q"),
+  or the strip-OWNERSHIP ``all_to_all`` ("a2a_q",
+  :func:`_exchange_a2a`) that ships each record only to the strips its
+  tile rect intersects — SURVEY §2.11's "all-to-all by tile ownership"
+  mapping — so wire bytes AND post-exchange compute are ~N/D per chip,
+  not N. The legacy 22-f32 (88 B) record ("gather32") remains the
+  bit-exact reference plane and the xla/diff (training) plane — the AD
+  transpose of its all_gather is the reduce-scatter that lands feature
+  gradients on the owning chip.
 * **Tile-parallel compositing** (spatial parallel): the tile grid is split
   into row strips, one per chip; each chip expands/sorts/composites only
   the instances overlapping its strip. The framebuffer comes back sharded
   by rows.
 
-Communication rides one ``all_gather`` on the ICI ring; there are no
-scatter/atomic patterns left to port (SURVEY.md §2.11 mapping).  The same
-structure differentiates: ``jax.grad`` through ``shard_map`` transposes the
-all_gather into a reduce-scatter of feature gradients back to the owning
-chip (used by the training step in ``gaussianrenderer_tpu/train.py``).
+There are no scatter/atomic patterns left to port (SURVEY.md §2.11
+mapping); the exchange is the only communication in the frame.
+Bytes/chip/frame at the c4 bench shape (3M splats): 264 MB (gather32)
+→ 84 MB (gather_q) → ~16 MB uncalibrated / ~6 MB calibrated (a2a_q at
+16 chips) — see PERF_NOTES.md round-4 data-plane table for the ICI
+model.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -44,6 +56,11 @@ from gaussianrenderer_tpu.ops.compositing import (
     composite_tiles_diff,
     composite_tiles_xla,
     gather_sorted_features,
+)
+from gaussianrenderer_tpu.ops.instances import (
+    SENTINEL as SENTINEL_U32,
+    decode_record_rows,
+    encode_record_rows,
 )
 from gaussianrenderer_tpu.ops.projection import (
     ProjectedGaussians,
@@ -220,6 +237,276 @@ def balance_strips_for_scene(
     )
 
 
+def a2a_caps_for_scene(
+    scene: GaussianScene,
+    cams,
+    cfg: RenderConfig,
+    n_strips: int,
+    strip_bounds: Optional[Tuple[int, ...]] = None,
+    margin: float = 1.5,
+) -> Tuple[int, int]:
+    """CPU calibration of the ownership-exchange window capacities.
+
+    Counts, per (source shard, destination strip) pair, exactly the
+    records :func:`_exchange_a2a` would route — narrow records (span ≤ 2
+    strips) to their 1-2 destinations, wide records to the all_gather
+    window — over one or more probe poses (``cams`` is a CameraParams or
+    a sequence), and returns ``(cap, wide_cap)`` with ``margin`` headroom
+    (same role as the tier calibrator's window margins; overflow past the
+    calibrated caps still flags, never silent). Shards are the contiguous
+    N/D blocks :func:`shard_scene` lays out."""
+    import numpy as np
+
+    if isinstance(cams, CameraParams) or not isinstance(
+        cams, (list, tuple)
+    ):
+        cams = [cams]
+    d = n_strips
+    if strip_bounds is None:
+        if cfg.tiles_y % d != 0:
+            raise ValueError(
+                f"tiles_y={cfg.tiles_y} not divisible by {d}; pass "
+                "strip_bounds"
+            )
+        t_loc = cfg.tiles_y // d
+        strip_bounds = tuple(i * t_loc for i in range(d + 1))
+    inner = np.asarray(strip_bounds[1:-1])
+    n = scene.num_gaussians
+    ns = -(-n // d)
+    worst_cap, worst_wide = 0, 0
+    for cam in cams:
+        proj = preprocess_gaussians(
+            scene,
+            cam,
+            width=cfg.width,
+            height=cfg.height,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            sh_degree=cfg.sh_degree,
+            quantize_centers=cfg.quantize_centers,
+            ewa_dilation=cfg.ewa_dilation,
+            ewa_compensate=cfg.ewa_compensate,
+        )
+        valid = np.asarray(proj.valid)
+        tmin_y = np.asarray(proj.tile_min)[:, 1]
+        tmax_y = np.asarray(proj.tile_max)[:, 1]
+        s0 = np.searchsorted(inner, tmin_y, side="right")
+        s1 = np.searchsorted(inner, tmax_y, side="right")
+        wide = valid & (s1 - s0 >= 2)
+        narrow = valid & ~wide
+        for src in range(d):
+            lo, hi = src * ns, min((src + 1) * ns, n)
+            if lo >= hi:
+                continue
+            sl = slice(lo, hi)
+            cnt = np.bincount(s0[sl][narrow[sl]], minlength=d)
+            straddle = narrow[sl] & (s1[sl] > s0[sl])
+            cnt = cnt + np.bincount(s1[sl][straddle], minlength=d)
+            worst_cap = max(worst_cap, int(cnt.max()))
+            worst_wide = max(worst_wide, int(np.sum(wide[sl])))
+    cap = max(256, int(math.ceil(worst_cap * margin)))
+    wide_cap = max(128, int(math.ceil(worst_wide * margin)))
+    return cap, wide_cap
+
+
+def _packed_strip_tail(
+    proj_full: ProjectedGaussians,
+    *,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    num_devices: int,
+    capacity: int,
+    tiles_y_local: int,
+    strip_h: int,
+):
+    """Strip-local packed fast path shared by BOTH exchange modes: the
+    same gather-free pipeline as the single-chip renderer
+    (ops/instances.py + tile_render2), fed a strip-restricted
+    ProjectedGaussians. Returns (fb_strip, overflow, center_clipped)."""
+    from gaussianrenderer_tpu.ops.instances import build_packed_instances
+    from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
+        composite_tiles_packed,
+    )
+
+    # COMPACTED ladders ((0, C) head, ops/instances.py): scale the
+    # lane capacity to this strip's share so S strips actually divide
+    # the frame sort. The measured worst-pose strip slack for
+    # equal-row strips is 1.69× (c4) / 2.61× (c6) (docs/sort_plan.md
+    # round-3 section) — 3× margin covers it; truncation beyond that
+    # still flags overflow (never silent). Class windows stay global
+    # (they bound membership only, which per strip is conservative).
+    strip_tiers = cfg.tiers
+    if strip_tiers and int(strip_tiers[0][0]) == 0 and num_devices > 1:
+        cap_global = int(strip_tiers[0][1])
+        cap_strip = min(cap_global, -(-3 * cap_global // num_devices))
+        strip_tiers = ((0, cap_strip),) + tuple(strip_tiers[1:])
+    inst = build_packed_instances(
+        proj_full,
+        tiles_x=cfg.tiles_x,
+        tiles_y=tiles_y_local,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        capacity=capacity,
+        near=cam.near,
+        far=cam.far,
+        tier_boost=cfg.tier_boost,
+        tiers=strip_tiers,
+        want_depth=cfg.output_depth,
+    )
+    fb_strip = composite_tiles_packed(
+        inst.packed_feats,
+        inst.tile_start,
+        inst.tile_count,
+        tiles_x=cfg.tiles_x,
+        tiles_y=tiles_y_local,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        width=cfg.width,
+        height=strip_h,  # full strip; global crop happens outside
+        chunk=cfg.packed_chunk,
+        out_alpha=cfg.output_alpha or cfg.background is not None,
+        depth_row=inst.depth_f32,
+    )
+    fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha/depth are per-pixel
+    return fb_strip, inst.overflow, inst.center_clipped
+
+
+def default_a2a_caps(
+    num_gaussians: int, num_devices: int
+) -> Tuple[int, int]:
+    """Uncalibrated static capacities ``(cap, wide_cap)`` for the
+    ownership exchange (:func:`_exchange_a2a`): ``cap`` bounds the
+    records one chip sends one strip (expected N/D² with the measured
+    ≤0.2% strip duplication — 3× margin, same envelope the strip lane
+    capacity uses), ``wide_cap`` bounds the rare records spanning ≥3
+    strips (giant splats — they ride a small all_gather window
+    instead). Exceeding either flags overflow, never silent. Calibrate
+    per scene with :func:`a2a_caps_for_scene` to cut exchange bytes."""
+    ns = -(-num_gaussians // num_devices)
+    cap = max(256, -(-3 * ns // num_devices))
+    wide_cap = max(128, ns // 64)
+    return cap, wide_cap
+
+
+def _exchange_a2a(
+    rows_local: jnp.ndarray,  # (7, N/D) u32 — encode_record_rows output
+    tmin_y: jnp.ndarray,  # (N/D,) int32 global tile-row rect bounds
+    tmax_y: jnp.ndarray,
+    valid: jnp.ndarray,  # (N/D,) bool
+    *,
+    bounds: Tuple[int, ...],  # D+1 cumulative tile-row strip boundaries
+    num_devices: int,
+    caps: Tuple[int, int],
+):
+    """Strip-OWNERSHIP exchange: each chip ships each of its projected
+    records only to the strips the record's tile rect intersects,
+    replacing the every-record-everywhere all_gather (SURVEY §2.11 maps
+    multi-chip as an all-to-all by tile ownership; measured strip
+    duplication is ≤0.2%, docs/sort_plan.md — ownership is nearly 1:1).
+
+    Wire bytes per chip drop from N·28 (quantized all_gather) to
+    ≈ D·cap·28 ≈ 3·(N/D)·28 with uncalibrated caps — a further D/3×
+    on top of the 88 B → 28 B record quantization — and every
+    post-exchange stage (prepack, live scan, area sort, emission) then
+    runs at ~N/D lanes instead of N, which is what makes the per-chip
+    compute actually divide by D.
+
+    Mechanics (scatter-free, one small sort at 2·N/D lanes):
+
+    * destination strips ``s0 = strip(tmin_y)``, ``s1 = strip(tmax_y)``;
+      records spanning ≤ 2 strips emit ≤ 2 key lanes
+      ``dest·(N/D) + index`` (index keeps GLOBAL scene order inside each
+      destination — the frame sort's tie order then matches the gather
+      path exactly); records spanning ≥ 3 strips (rect taller than a
+      whole strip) go to a D+1-th "wide" bucket.
+    * ONE stable u32-key sort groups the 7 payload rows by destination;
+      per-destination counts come from masked sums, so each
+      destination's records form a contiguous window at a cumsum
+      offset — a dynamic_slice, not a gather.
+    * fixed-capacity windows ride ``all_to_all`` (narrow) and a small
+      ``all_gather`` (wide); window tails beyond the real count are
+      zeroed (valid bit cleared) so a neighbor strip's straddler can
+      never blend twice.
+
+    Returns ``(rows_all (7, D·cap + D·wide_cap), overflow)`` — receiver
+    lanes are source-major so concatenation preserves scene order for
+    narrow records; wide records append at the end (their frame-sort
+    ties with narrow records may order differently than single-chip —
+    only exact (tile, depth_q) ties are affected).
+    """
+    d = num_devices
+    cap, wide_cap = int(caps[0]), int(caps[1])
+    ns = rows_local.shape[1]
+
+    def strip_of(row):
+        s = jnp.zeros_like(row)
+        for b in bounds[1:-1]:
+            s = s + (row >= b).astype(jnp.int32)
+        return s
+
+    s0 = strip_of(tmin_y)
+    s1 = strip_of(tmax_y)
+    span2 = s1 - s0 >= 1
+    wide_rec = valid & (s1 - s0 >= 2)
+    narrow = valid & ~wide_rec
+    idx = jnp.arange(ns, dtype=jnp.uint32)
+    nsu = jnp.uint32(ns)
+    key0 = jnp.where(
+        narrow,
+        s0.astype(jnp.uint32) * nsu + idx,
+        jnp.where(wide_rec, jnp.uint32(d) * nsu + idx, SENTINEL_U32),
+    )
+    key1 = jnp.where(
+        narrow & span2, s1.astype(jnp.uint32) * nsu + idx, SENTINEL_U32
+    )
+    keys = jnp.concatenate([key0, key1])
+    rows2 = jnp.concatenate([rows_local, rows_local], axis=1)
+    sorted_ = jax.lax.sort(
+        (keys,) + tuple(rows2[i] for i in range(rows2.shape[0])),
+        num_keys=1,
+        is_stable=True,
+    )
+    srows = jnp.stack(sorted_[1:], axis=0)  # (7, 2·ns) dest-grouped
+
+    cnts = jnp.stack(
+        [
+            jnp.sum((narrow & (s0 == c)).astype(jnp.int32))
+            + jnp.sum((narrow & span2 & (s1 == c)).astype(jnp.int32))
+            for c in range(d)
+        ]
+    )
+    cnt_w = jnp.sum(wide_rec.astype(jnp.int32))
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)]
+    )
+    # Pad so every fixed-size window slices in-bounds without clamping
+    # (a clamp would shift a full window's contents).
+    pad = max(cap, wide_cap)
+    srows = jnp.concatenate(
+        [srows, jnp.zeros((srows.shape[0], pad), jnp.uint32)], axis=1
+    )
+
+    wins = []
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    for c in range(d):
+        win = jax.lax.dynamic_slice_in_dim(srows, starts[c], cap, axis=1)
+        wins.append(jnp.where((lane < cnts[c])[None, :], win, 0))
+    send = jnp.stack(wins, axis=0)  # (D, 7, cap)
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+    narrow_all = jnp.moveaxis(recv, 0, 1).reshape(rows_local.shape[0], -1)
+
+    wwin = jax.lax.dynamic_slice_in_dim(srows, starts[d], wide_cap, axis=1)
+    wlane = jnp.arange(wide_cap, dtype=jnp.int32)
+    wwin = jnp.where((wlane < cnt_w)[None, :], wwin, 0)
+    wide_all = jax.lax.all_gather(wwin, AXIS, axis=1, tiled=True)
+
+    rows_all = jnp.concatenate([narrow_all, wide_all], axis=1)
+    overflow = jnp.any(cnts > cap) | (cnt_w > wide_cap)
+    return rows_all, overflow
+
+
 def _strip_render(
     scene_shard: GaussianScene,
     cam: CameraParams,
@@ -230,6 +517,8 @@ def _strip_render(
     time_value: Optional[jnp.ndarray],
     with_stats: bool = False,
     strip_bounds: Optional[Tuple[int, ...]] = None,
+    exchange: str = "gather32",
+    a2a_caps: Optional[Tuple[int, int]] = None,
 ):
     """Per-chip body run under shard_map (axis: AXIS).
 
@@ -238,6 +527,13 @@ def _strip_render(
     path, restricted to this chip's tile-row strip; "xla"/"diff" keep the
     gather-based reference compositors (training uses "diff" — it is the
     reverse-differentiable path).
+
+    ``exchange`` picks the packed path's data plane: "gather32" (legacy
+    22-f32 all_gather — always used by xla/diff, whose f32 features must
+    carry gradients), "gather_q" (quantized 28 B/splat all_gather —
+    encode_record_rows), or "a2a_q" (quantized strip-OWNERSHIP
+    all_to_all, :func:`_exchange_a2a` — wire bytes AND post-exchange
+    compute per chip drop to ~N/D scale).
 
     Returns ``fb_strip`` or, with ``with_stats``, ``(fb_strip, overflow,
     center_clipped)`` — truncation is never silent (project rule), so
@@ -281,6 +577,101 @@ def _strip_render(
         ewa_dilation=cfg.ewa_dilation,
         ewa_compensate=cfg.ewa_compensate,
     )
+
+    if compositor == "packed" and exchange != "gather32":
+        # ---- quantized record exchange (28 B/splat; packed path only —
+        # the xla/diff compositors keep f32 records because training
+        # differentiates through the exchange and integer rows carry no
+        # gradients). Decoded fields are exactly what the packed
+        # pipeline's own quantizers reproduce, so the image matches the
+        # f32-record path to the conic's ~2⁻²⁴ re-Cholesky term
+        # (decode_record_rows docstring).
+        rows_local = encode_record_rows(proj)  # (7, N/D) u32
+        ex_overflow = jnp.bool_(False)
+        if exchange == "a2a_q":
+            if strip_bounds is None:
+                t_loc = cfg.tiles_y // num_devices
+                bounds_eq = tuple(
+                    i * t_loc for i in range(num_devices + 1)
+                )
+            else:
+                bounds_eq = strip_bounds
+            caps = a2a_caps or default_a2a_caps(
+                rows_local.shape[1] * num_devices, num_devices
+            )
+            rows_all, ex_overflow = _exchange_a2a(
+                rows_local,
+                proj.tile_min[:, 1],
+                proj.tile_max[:, 1],
+                proj.valid,
+                bounds=bounds_eq,
+                num_devices=num_devices,
+                caps=caps,
+            )
+        else:  # "gather_q"
+            rows_all = jax.lax.all_gather(
+                rows_local, AXIS, axis=1, tiled=True
+            )
+        proj_g, cq_sat = decode_record_rows(
+            rows_all,
+            tiles_x=cfg.tiles_x,
+            tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+        )
+        # Strip rebase — the same shifts/clamps as the f32 path below,
+        # applied to the decoded values (exact: every decoded coordinate
+        # is a small multiple of 1/8 px, and y_off is an integer, so the
+        # f32 subtraction is lossless).
+        y_off = (strip_y0 * cfg.tile_h).astype(jnp.float32)
+        y_hi = jnp.maximum(rows_here * cfg.tile_h - 1, 0).astype(
+            jnp.float32
+        )
+        center_px = proj_g.center_px.at[:, 1].add(-y_off)
+        aabb = proj_g.aabb_px
+        aabb_y = jnp.clip(
+            aabb[:, jnp.array([1, 3])] - y_off, 0.0, y_hi
+        )
+        aabb = aabb.at[:, jnp.array([1, 3])].set(aabb_y)
+        tmin_y_s = jnp.maximum(proj_g.tile_min[:, 1], strip_y0) - strip_y0
+        tmax_y_s = (
+            jnp.minimum(proj_g.tile_max[:, 1], strip_y0 + rows_here - 1)
+            - strip_y0
+        )
+        valid_strip = proj_g.valid & (tmin_y_s <= tmax_y_s)
+        proj_full = ProjectedGaussians(
+            valid=valid_strip,
+            depth=proj_g.depth,
+            color=proj_g.color,
+            opacity=proj_g.opacity,
+            center_px=center_px,
+            conic=proj_g.conic,
+            aabb_px=aabb,
+            tile_min=jnp.stack(
+                [proj_g.tile_min[:, 0], tmin_y_s], axis=-1
+            ),
+            tile_max=jnp.stack(
+                [proj_g.tile_max[:, 0], tmax_y_s], axis=-1
+            ),
+        )
+        strip_h = tiles_y_local * cfg.tile_h
+        fb_strip, p_overflow, p_clipped = _packed_strip_tail(
+            proj_full=proj_full,
+            cam=cam,
+            cfg=cfg,
+            num_devices=num_devices,
+            capacity=capacity,
+            tiles_y_local=tiles_y_local,
+            strip_h=strip_h,
+        )
+        # Exchange-window truncation and pre-exchange center saturation
+        # fold into the existing flags — never silent.
+        p_overflow = p_overflow | ex_overflow
+        p_clipped = p_clipped | jnp.any(valid_strip & cq_sat)
+        if with_stats:
+            return fb_strip, p_overflow, p_clipped
+        return fb_strip
+
     feats_local = build_features(proj)  # (N/D, 16)
 
     # Compact per-splat record: features + tile rect + depth + valid.
@@ -335,69 +726,27 @@ def _strip_render(
     strip_h = tiles_y_local * cfg.tile_h
 
     if compositor == "packed":
-        # Strip-local packed fast path: same gather-free pipeline as the
-        # single-chip renderer (ops/instances.py + tile_render2), fed from
-        # the all_gathered record re-assembled into a ProjectedGaussians.
-        from gaussianrenderer_tpu.ops.instances import build_packed_instances
-        from gaussianrenderer_tpu.ops.pallas.tile_render2 import (
-            composite_tiles_packed,
-        )
-
-        proj_full = ProjectedGaussians(
-            valid=valid_strip,
-            depth=depth_all,
-            color=feats_all[:, FEAT_R : FEAT_R + 3],
-            opacity=feats_all[:, FEAT_OPACITY],
-            center_px=feats_all[:, FEAT_CX : FEAT_CX + 2],
-            conic=feats_all[:, FEAT_CONIC_A : FEAT_CONIC_A + 3],
-            aabb_px=feats_all[:, FEAT_XMIN : FEAT_XMIN + 4],
-            tile_min=tile_min_strip,
-            tile_max=tile_max_strip,
-        )
-        # COMPACTED ladders ((0, C) head, ops/instances.py): scale the
-        # lane capacity to this strip's share so S strips actually divide
-        # the frame sort. The measured worst-pose strip slack for
-        # equal-row strips is 1.69× (c4) / 2.61× (c6) (docs/sort_plan.md
-        # round-3 section) — 3× margin covers it; truncation beyond that
-        # still flags overflow (never silent). Class windows stay global
-        # (they bound membership only, which per strip is conservative).
-        strip_tiers = cfg.tiers
-        if strip_tiers and int(strip_tiers[0][0]) == 0 and num_devices > 1:
-            cap_global = int(strip_tiers[0][1])
-            cap_strip = min(
-                cap_global, -(-3 * cap_global // num_devices)
-            )
-            strip_tiers = ((0, cap_strip),) + tuple(strip_tiers[1:])
-        inst = build_packed_instances(
-            proj_full,
-            tiles_x=cfg.tiles_x,
-            tiles_y=tiles_y_local,
-            tile_w=cfg.tile_w,
-            tile_h=cfg.tile_h,
+        fb_strip, p_overflow, p_clipped = _packed_strip_tail(
+            proj_full=ProjectedGaussians(
+                valid=valid_strip,
+                depth=depth_all,
+                color=feats_all[:, FEAT_R : FEAT_R + 3],
+                opacity=feats_all[:, FEAT_OPACITY],
+                center_px=feats_all[:, FEAT_CX : FEAT_CX + 2],
+                conic=feats_all[:, FEAT_CONIC_A : FEAT_CONIC_A + 3],
+                aabb_px=feats_all[:, FEAT_XMIN : FEAT_XMIN + 4],
+                tile_min=tile_min_strip,
+                tile_max=tile_max_strip,
+            ),
+            cam=cam,
+            cfg=cfg,
+            num_devices=num_devices,
             capacity=capacity,
-            near=cam.near,
-            far=cam.far,
-            tier_boost=cfg.tier_boost,
-            tiers=strip_tiers,
-            want_depth=cfg.output_depth,
+            tiles_y_local=tiles_y_local,
+            strip_h=strip_h,
         )
-        fb_strip = composite_tiles_packed(
-            inst.packed_feats,
-            inst.tile_start,
-            inst.tile_count,
-            tiles_x=cfg.tiles_x,
-            tiles_y=tiles_y_local,
-            tile_w=cfg.tile_w,
-            tile_h=cfg.tile_h,
-            width=cfg.width,
-            height=strip_h,  # full strip; global crop happens outside
-            chunk=cfg.packed_chunk,
-            out_alpha=cfg.output_alpha or cfg.background is not None,
-            depth_row=inst.depth_f32,
-        )
-        fb_strip = _finish_fb(fb_strip, cfg)  # bg/alpha/depth are per-pixel
         if with_stats:
-            return fb_strip, inst.overflow, inst.center_clipped
+            return fb_strip, p_overflow, p_clipped
         return fb_strip
 
     proj_strip = proj._replace(
@@ -493,7 +842,8 @@ def _strip_render(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "mesh", "strip_bounds")
+    jax.jit,
+    static_argnames=("cfg", "mesh", "strip_bounds", "exchange", "a2a_caps"),
 )
 def render_frame_multichip(
     scene: GaussianScene,
@@ -502,6 +852,8 @@ def render_frame_multichip(
     mesh: Mesh,
     time_value: Optional[jnp.ndarray] = None,
     strip_bounds: Optional[Tuple[int, ...]] = None,
+    exchange: str = "gather_q",
+    a2a_caps: Optional[Tuple[int, int]] = None,
 ):
     """Render one frame across every chip of ``mesh``.
 
@@ -523,7 +875,23 @@ def render_frame_multichip(
     pre-sharded with :func:`shard_scene`. The compositor follows
     ``cfg.compositor`` exactly like the single-chip path ("packed" needs
     ``cfg.packed_compatible``; otherwise the XLA compositor runs).
+
+    ``exchange`` selects the packed path's record data plane (applies
+    only when the packed compositor runs; xla/diff always exchange f32
+    records for gradient flow):
+
+    * ``"gather_q"`` (default) — quantized 28 B/splat all_gather
+      (3.1× fewer wire bytes than the legacy 88 B record).
+    * ``"a2a_q"`` — strip-ownership all_to_all: each chip receives only
+      the ~N/D records overlapping its strip (static ``a2a_caps``
+      windows, default :func:`default_a2a_caps`; truncation flags
+      ``overflow``). Wire bytes AND post-exchange per-chip compute drop
+      to ~N/D scale — the multi-chip scaling data plane.
+    * ``"gather32"`` — the legacy f32 record exchange (bit-identical to
+      the single-chip image; kept as the reference data plane).
     """
+    if exchange not in ("gather32", "gather_q", "a2a_q"):
+        raise ValueError(f"unknown exchange mode {exchange!r}")
     d = mesh.shape[AXIS]
     if strip_bounds is None:
         if cfg.tiles_y % d != 0:
@@ -551,6 +919,8 @@ def render_frame_multichip(
             time_value=time_value,
             with_stats=True,
             strip_bounds=strip_bounds,
+            exchange=exchange,
+            a2a_caps=a2a_caps,
         )
         # any() over the mesh: max of the per-chip flags as int32.
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
