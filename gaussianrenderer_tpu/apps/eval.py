@@ -119,7 +119,11 @@ def main() -> int:
     if args.path == "packed":
         from gaussianrenderer_tpu.render import make_renderer
 
-        render_packed = make_renderer(scene, cfg, auto_tier=True)
+        # scene_path: the calibration sidecar seeds the ladder so a
+        # repeat evaluation's first compile is already calibrated.
+        render_packed = make_renderer(
+            scene, cfg, auto_tier=True, scene_path=args.scene
+        )
 
         def render_fn(cam, tv):
             fb, stats = render_packed(cam, tv)

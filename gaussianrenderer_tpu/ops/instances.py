@@ -1052,12 +1052,26 @@ def build_packed_instances(
     tiers: Optional[Tuple[Tuple[int, int], ...]] = None,
     skip_sort: bool = False,  # PROFILING ONLY: emission without sort/bounds
     want_depth: bool = False,  # decode per-lane depth from the sorted keys
+    depth_bits: Optional[int] = None,  # override the derived key split
     _skip: Tuple[str, ...] = (),  # PROFILING ONLY: drop "hist"/"prune"/"wide"
 ) -> PackedInstances:
     del capacity
     num_tiles = tiles_x * tiles_y
     tile_bits = max(int(num_tiles).bit_length(), 1)
-    depth_bits = min(32 - tile_bits, 24)
+    if depth_bits is None:
+        depth_bits = min(32 - tile_bits, 24)
+    else:
+        # Multi-chip strips pass the GLOBAL grid's depth_bits: a strip's
+        # smaller local grid would otherwise quantize depth FINER than
+        # the single-chip key, changing which nearby splats tie — and
+        # alpha blending does not commute, so tie-group order changes
+        # are visible wherever overdraw is heavy (caught at 100k-splat
+        # scale by tools/multichip_scale_probe.py; toy scenes never
+        # collided). The override is always ≤ the derived value, so the
+        # local tile id still fits above it.
+        assert tile_bits + depth_bits <= 32, (
+            f"tile_bits {tile_bits} + depth_bits {depth_bits} > 32"
+        )
 
     pk = _nscale_prepack(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,

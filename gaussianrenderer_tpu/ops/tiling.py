@@ -188,6 +188,7 @@ def build_sorted_instances(
     near: jnp.ndarray | float = 0.1,
     far: jnp.ndarray | float = 100.0,
     features: Optional[Sequence[jnp.ndarray]] = None,
+    depth_bits: Optional[int] = None,
 ) -> TileAssignment:
     """Expand per-Gaussian tile rectangles into a sorted instance list.
 
@@ -196,13 +197,21 @@ def build_sorted_instances(
     path that avoids any instance-scale gather. Without it, only
     ``gaussian_id`` is carried (legacy path; callers then gather, which is
     only viable for small scenes).
+
+    ``depth_bits`` overrides the derived key split: multi-chip strips
+    pass the GLOBAL grid's value so depth ties group exactly like the
+    single-chip sort (blend order among tied splats is visible — see
+    ops/instances.py build_packed_instances).
     """
     del depth_scale
     # Spend the key bits not needed for tiles on depth resolution (≤24).
     # bit_length(num_tiles) (not num_tiles-1) so the all-ones sentinel tile
     # can never collide with a real tile id.
     tile_bits = max(int(num_tiles).bit_length(), 1)
-    depth_bits = min(32 - tile_bits, 24)
+    if depth_bits is None:
+        depth_bits = min(32 - tile_bits, 24)
+    else:
+        assert tile_bits + depth_bits <= 32
 
     feats_u32 = None
     if features is not None:

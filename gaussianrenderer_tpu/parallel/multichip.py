@@ -342,6 +342,11 @@ def _packed_strip_tail(
         cap_global = int(strip_tiers[0][1])
         cap_strip = min(cap_global, -(-3 * cap_global // num_devices))
         strip_tiers = ((0, cap_strip),) + tuple(strip_tiers[1:])
+    # The GLOBAL grid's depth-key split: a strip's smaller local grid
+    # would quantize depth finer than single-chip, changing tie groups
+    # (and alpha blending doesn't commute) — multichip_scale_probe
+    # caught a 41 dB divergence at 100k splats from exactly this.
+    g_tile_bits = max(int(cfg.num_tiles).bit_length(), 1)
     inst = build_packed_instances(
         proj_full,
         tiles_x=cfg.tiles_x,
@@ -354,6 +359,7 @@ def _packed_strip_tail(
         tier_boost=cfg.tier_boost,
         tiers=strip_tiers,
         want_depth=cfg.output_depth,
+        depth_bits=min(32 - g_tile_bits, 24),
     )
     fb_strip = composite_tiles_packed(
         inst.packed_feats,
@@ -755,6 +761,9 @@ def _strip_render(
         tile_min=tile_min_strip,
         tile_max=tile_max_strip,
     )
+    # Global-grid depth_bits: strips must quantize depth exactly like
+    # the single-chip key or tie groups (and blend order) diverge.
+    g_tile_bits = max(int(cfg.num_tiles).bit_length(), 1)
     assignment = build_sorted_instances(
         proj_strip,
         tiles_x=cfg.tiles_x,
@@ -763,6 +772,7 @@ def _strip_render(
         depth_scale=cfg.depth_scale,
         near=cam.near,
         far=cam.far,
+        depth_bits=min(32 - g_tile_bits, 24),
     )
     want_alpha = cfg.output_alpha or cfg.background is not None
     if compositor == "diff":

@@ -667,6 +667,7 @@ def make_renderer(
     cfg: RenderConfig,
     auto_tier: bool = False,
     overflow_check_every: int = 16,
+    scene_path: "Optional[str]" = None,
 ):
     """Returns ``render(cam_params, time=None) -> (fb, stats)`` with the scene
     closed over (device-resident, jit-cached once per config).
@@ -677,14 +678,29 @@ def make_renderer(
     — the static-shape answer to the reference's mid-frame dynamic buffer
     sizing (``render.cu:962-971``). Checks are amortized (every
     ``overflow_check_every`` frames) because a device→host sync is not free.
-    """
+
+    ``scene_path`` (the file the scene was loaded from) enables the
+    calibration SIDECAR (scene/calibration.py): a cached ladder for this
+    (scene content, config bucket) seeds ``cfg.tiers`` so the session's
+    FIRST compile is already the calibrated executable — the first-frame
+    auto_tier recalibration (a second full compile) is skipped — and any
+    later recalibration is stored back for the next session. Advisory:
+    stale/corrupt sidecars only cost a recalibration, never a wrong
+    image (overflow still flags)."""
     import dataclasses
 
     # Transpose to render layout once per session (PreparedScene): saves
     # ~6 ms/frame of (N, small)→(small, N) relayout at 3M splats.
     if not hasattr(scene, "pos_t"):
         scene = scene.prepared()
-    state = {"cfg": cfg, "frame": 0}
+    state = {"cfg": cfg, "frame": 0, "seeded": False}
+    if scene_path and auto_tier and cfg.compositor == "packed":
+        from gaussianrenderer_tpu.scene.calibration import load_calibration
+
+        entry = load_calibration(scene_path, cfg)
+        if entry and entry.get("tiers"):
+            state["cfg"] = dataclasses.replace(cfg, tiers=entry["tiers"])
+            state["seeded"] = True
 
     def _call(cam, time_value):
         # Keep the positional arity stable per cache entry (None time is
@@ -722,17 +738,35 @@ def make_renderer(
                 break
         return out
 
+    def _store_sidecar():
+        if scene_path and state["cfg"].tiers:
+            from gaussianrenderer_tpu.scene.calibration import (
+                store_calibration,
+            )
+
+            store_calibration(scene_path, cfg, state["cfg"].tiers)
+
     def _render(cam: CameraParams, time_value=None):
         out = _call(cam, time_value)
         if auto_tier and state["cfg"].compositor == "packed":
             state["frame"] += 1
-            first = state["frame"] == 1
+            # A sidecar-seeded session's first compile already runs the
+            # calibrated ladder — skip the unconditional first-frame
+            # recalibration (its second compile is the 37-73 s class
+            # cost the sidecar exists to remove); overflow-triggered
+            # recalibration stays armed.
+            first = state["frame"] == 1 and not (
+                state["seeded"] and not bool(out[1].overflow)
+            )
             periodic = (state["frame"] - 1) % overflow_check_every == 0
             # Calibrate unconditionally on the first frame (the default
             # ladder is rarely lane-optimal); afterwards only when a
             # periodic check sees truncation.
             if first or (periodic and bool(out[1].overflow)):
+                prev = state["cfg"].tiers
                 out = _recalibrate(out, cam, time_value)
+                if state["cfg"].tiers != prev or state["frame"] == 1:
+                    _store_sidecar()
         return out
 
     # Expose the live (possibly auto_tier-recalibrated) config — sessions

@@ -210,8 +210,25 @@ class Canvas:
             self._start_prewarm()
 
     def load_gaussians(self, path: str) -> None:
-        """Hot-swap the scene (reference drag-drop, ``canvas.cpp:280-296``)."""
+        """Hot-swap the scene (reference drag-drop, ``canvas.cpp:280-296``).
+
+        If a calibration sidecar exists for (this file, this config
+        bucket) — written by an earlier auto_tier session or probe —
+        its ladder seeds the config, so the session's first compile is
+        already the calibrated executable (scene/calibration.py)."""
         self.scene = load_scene(path)  # PLY or .gsz, by extension
+        if self._base_cfg.compositor == "packed":
+            import dataclasses
+
+            from gaussianrenderer_tpu.scene.calibration import (
+                load_calibration,
+            )
+
+            entry = load_calibration(path, self.cfg)
+            if entry and entry.get("tiers"):
+                self._base_cfg = dataclasses.replace(
+                    self._base_cfg, tiers=entry["tiers"]
+                )
 
     def set_scene(self, scene: GaussianScene) -> None:
         self.scene = scene
