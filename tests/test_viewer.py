@@ -276,8 +276,16 @@ def test_web_viewer_http_endpoints():
         # The time param is only sent after the user scrubs the slider —
         # an untouched 4D scene must keep rendering the static scene.
         assert b"tTouched" in page
+        # Default transport is the FAST encode (JPEG via PIL, else BMP —
+        # the PNG zlib pass once dominated the 1080p user-visible loop);
+        # lossless PNG stays behind fmt=png.
         frame = urlopen(base + "/frame?t=1").read()
-        assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+        assert frame[:2] in (b"\xff\xd8", b"BM")
+        assert (
+            urlopen(base + "/frame?fmt=png").read()[:8]
+            == b"\x89PNG\r\n\x1a\n"
+        )
+        assert urlopen(base + "/frame?fmt=bmp").read()[:2] == b"BM"
         assert urlopen(base + "/orbit?dx=5&dy=2").read() == b"ok"
         assert urlopen(
             base + "/set?k_sigma=2.5&fov=80&flip=1&time=0.7&view=depth"
@@ -285,7 +293,7 @@ def test_web_viewer_http_endpoints():
         assert c.settings.k_sigma == 2.5 and c.settings.time_value == 0.7
         assert c.settings.view_mode == "depth"
         depth_frame = urlopen(base + "/frame?t=3").read()
-        assert depth_frame[:8] == b"\x89PNG\r\n\x1a\n"
+        assert depth_frame[:2] in (b"\xff\xd8", b"BM")
         assert urlopen(base + "/set?view=rgb").read() == b"ok"
         assert c.settings.view_mode == "rgb"
         stats = json.loads(urlopen(base + "/stats").read())
@@ -295,6 +303,11 @@ def test_web_viewer_http_endpoints():
         # once silently reset the session fov on any control touch).
         assert stats["k_sigma"] == 2.5 and stats["fov_y"] == 80.0
         assert stats["flip_y"] is True and stats["view_mode"] == "rgb"
+        # End-to-end /frame stage timings ride /stats (the user-visible
+        # loop is measured, not just the device frame — VERDICT r3 #4).
+        fm = stats["frame"]
+        assert fm["total_ms"] > 0 and fm["encode_ms"] >= 0
+        assert fm["fmt"] in ("jpeg", "bmp") and fm["bytes"] > 0
         assert b"synced" in page  # page gates /set on the initial sync
         # Malformed params → clean 400, not a handler traceback.
         from urllib.error import HTTPError
