@@ -239,6 +239,71 @@ def _center_q(c_px: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(q, 0, 65535)
 
 
+#: rgb-row flag bit: this splat's row-0 center uses the COARSE encode
+#: (1-px precision, ±32768 px tile-local) instead of 13.3 fixed point.
+#: Real trained scenes carry giant background splats whose centers sit
+#: thousands of px off-screen (observed ±14k px on data/trained_100k.ply)
+#: — far outside the fine carrier's [−2048, +6144) window. Clamping them
+#: (the old behavior, flagged center_clipped) rendered their whole
+#: footprint with a wrong alpha field — and clamped DIFFERENTLY per
+#: multi-chip strip, which is how tools/multichip_scale_probe.py caught
+#: it. At 1-px precision the md² error for a splat that can still pass
+#: the α ≥ 1e-3 threshold at distance d is ≤ 2·(√A·d)·(√A·δ) with
+#: √A·d ≤ 3.7 and σ = 1/√A ≥ d/3.7 ≥ 550 px ⇒ ≤ ~0.7% relative alpha —
+#: invisible, vs. arbitrarily wrong before. The kernel selects the
+#: decode per instance (one (1, K) select — not per pixel).
+COARSE_BIT = jnp.uint32(1 << 30)
+#: Coarse screen-fixed carrier: q = round(c_px) + CQ_BIAS (1-px units,
+#: covers centers in [−16384, +49151] px); tile-local row0 encode is
+#: q + 16384 − x0 (range ±32768 around the tile origin).
+COARSE_ADJ = 32768 - CQ_BIAS  # = 16384 = REL_ADJ (shared constant)
+
+
+def _center_fields(
+    cx, cy, tmin_x, tmin_y, rect_w, rect_h, tile_w: int, tile_h: int
+):
+    """Per-splat center carrier selection: returns ``(cq, coarse,
+    clip_flag)``. ``cq`` packs the screen-fixed carrier (13.3 fine, or
+    1-px coarse when the fine window would clip anywhere over the
+    splat's rect); ``clip_flag`` marks splats that exceed even the
+    coarse window (still clamped + flagged — never silent)."""
+    qxf = jnp.round(cx * CENTER_SCALE).astype(jnp.int32) + CQ_BIAS
+    qyf = jnp.round(cy * CENTER_SCALE).astype(jnp.int32) + CQ_BIAS
+    enc_max = CENTER_OFFSET - 1.0 / CENTER_SCALE
+    tmax_x = (tmin_x + rect_w - 1).astype(jnp.float32) * tile_w
+    tmax_y = (tmin_y + rect_h - 1).astype(jnp.float32) * tile_h
+    t0x = tmin_x.astype(jnp.float32) * tile_w
+    t0y = tmin_y.astype(jnp.float32) * tile_h
+    fine_bad = (
+        (qxf < 0) | (qxf > 65535) | (qyf < 0) | (qyf > 65535)
+        | (cx - t0x > enc_max) | (cx - tmax_x < -CENTER_OFFSET)
+        | (cy - t0y > enc_max) | (cy - tmax_y < -CENTER_OFFSET)
+    )
+    qxc = jnp.round(cx).astype(jnp.int32) + CQ_BIAS
+    qyc = jnp.round(cy).astype(jnp.int32) + CQ_BIAS
+    coarse_bad = (
+        (qxc < 0) | (qxc > 65535) | (qyc < 0) | (qyc > 65535)
+        | (cx - t0x > 32767.0) | (cx - tmax_x < -32768.0)
+        | (cy - t0y > 32767.0) | (cy - tmax_y < -32768.0)
+    )
+    qx = jnp.where(fine_bad, qxc, qxf)
+    qy = jnp.where(fine_bad, qyc, qyf)
+    cq = (
+        jnp.clip(qx, 0, 65535).astype(jnp.uint32) << 16
+    ) | jnp.clip(qy, 0, 65535).astype(jnp.uint32)
+    return cq, fine_bad, fine_bad & coarse_bad
+
+
+def _cq_decode(qx, qy, coarse):
+    """Carrier ints → f32 screen/strip pixel center, coarse-aware —
+    the ONE decode every emission-side consumer (live scan, per-lane
+    prune) must use so it sees exactly what the kernel sees."""
+    scale = jnp.where(coarse, 1.0, 1.0 / CENTER_SCALE)
+    cx = (qx - CQ_BIAS).astype(jnp.float32) * scale
+    cy = (qy - CQ_BIAS).astype(jnp.float32) * scale
+    return cx, cy
+
+
 def _rgb10_bits(color: jnp.ndarray) -> jnp.ndarray:
     """(N, 3) [0,1] colors → r10|g10<<10|b10<<20 (kernel row 3)."""
 
@@ -276,7 +341,7 @@ def _enum_ok(tiles_x: int, tiles_y: int, tile_w: int, tile_h: int) -> bool:
 
 
 def _live_scan(
-    prune, cq, ax, ay, tmin_x, tmin_y, rect_w, area, scan_ok,
+    prune, cq, ax, ay, tmin_x, tmin_y, rect_w, area, scan_ok, coarse,
     *, tile_w: int, tile_h: int,
 ):
     """8-position live-tile scan for rects with area ≤ ENUM_AREA.
@@ -292,8 +357,7 @@ def _live_scan(
     rect walk is division-free: increment-and-wrap against rect_w."""
     qx = (cq >> 16).astype(jnp.int32)
     qy = (cq & 0xFFFF).astype(jnp.int32)
-    cx_f = (qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
-    cy_f = (qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
+    cx_f, cy_f = _cq_decode(qx, qy, coarse)
     xmin_f = (ax >> 16).astype(jnp.float32)
     xmax_f = (ax & 0xFFFF).astype(jnp.float32)
     ymin_f = (ay >> 16).astype(jnp.float32)
@@ -490,7 +554,8 @@ def _emit_tier(
     ty = tmin_y[None, :] + dy
     lane_ok = emit[None, :] & (off < (rect_w * rect_h)[None, :])
 
-    qx = (cq >> 16).astype(jnp.int32)  # (G,) screen-fixed 13.3
+    co = (rgb & COARSE_BIT) != 0  # (G,) coarse-center flag
+    qx = (cq >> 16).astype(jnp.int32)  # (G,) screen-fixed carrier
     qy = (cq & 0xFFFF).astype(jnp.int32)
 
     # EXACT dead-tile prune (_tile_dead): an instance whose min md² over
@@ -502,12 +567,9 @@ def _emit_tier(
     x0f = (tx * tile_w).astype(jnp.float32)
     y0f = (ty * tile_h).astype(jnp.float32)
     if prune is not None:
-        cx_g = ((qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE))[
-            None, :
-        ]
-        cy_g = ((qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE))[
-            None, :
-        ]
+        cx_1, cy_1 = _cq_decode(qx, qy, co)
+        cx_g = cx_1[None, :]
+        cy_g = cy_1[None, :]
         prune_b = tuple(p[None, :] for p in prune)
         dead = _tile_dead(
             prune_b, cx_g, cy_g, x0f, y0f,
@@ -523,10 +585,14 @@ def _emit_tier(
     key = jnp.where(lane_ok, key, SENTINEL)
 
     # Tile-local recode of center and AABB (lane-dependent: tile origin).
+    # Coarse lanes subtract the tile origin in 1-px units (REL_ADJ ==
+    # COARSE_ADJ == 16384, so only the origin scale differs).
     x0i = tx * tile_w
     y0i = ty * tile_h
-    relx = jnp.clip(qx[None, :] + REL_ADJ - x0i * int(CENTER_SCALE), 0, 65535)
-    rely = jnp.clip(qy[None, :] + REL_ADJ - y0i * int(CENTER_SCALE), 0, 65535)
+    x0s = jnp.where(co[None, :], x0i, x0i * int(CENTER_SCALE))
+    y0s = jnp.where(co[None, :], y0i, y0i * int(CENTER_SCALE))
+    relx = jnp.clip(qx[None, :] + REL_ADJ - x0s, 0, 65535)
+    rely = jnp.clip(qy[None, :] + REL_ADJ - y0s, 0, 65535)
     row0 = (relx.astype(jnp.uint32) << 16) | rely.astype(jnp.uint32)
 
     xmin = jnp.clip(((ax >> 16) & abx).astype(jnp.int32)[None, :] - x0i, 0, 255)
@@ -578,10 +644,10 @@ def _emit_tier_slabs(
     cq, ac, bop, rgb, ax, ay = rows6
     safe_w = jnp.maximum(rect_w, 1)
     rect_n = rect_w * rect_h
+    co = (rgb & COARSE_BIT) != 0
     qx = (cq >> 16).astype(jnp.int32)
     qy = (cq & 0xFFFF).astype(jnp.int32)
-    cx_f = (qx - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
-    cy_f = (qy - CQ_BIAS).astype(jnp.float32) * (1.0 / CENTER_SCALE)
+    cx_f, cy_f = _cq_decode(qx, qy, co)
     xmin_g = ((ax >> 16) & aabb_bits).astype(jnp.int32)
     xmax_g = (ax & aabb_bits).astype(jnp.int32)
     ymin_g = (ay >> 16).astype(jnp.int32)
@@ -611,8 +677,10 @@ def _emit_tier_slabs(
         key = (tile_id << depth_bits) | depth_q
         keys.append(jnp.where(lane_ok, key, SENTINEL))
 
-        relx = jnp.clip(qx + REL_ADJ - x0i * int(CENTER_SCALE), 0, 65535)
-        rely = jnp.clip(qy + REL_ADJ - y0i * int(CENTER_SCALE), 0, 65535)
+        x0s = jnp.where(co, x0i, x0i * int(CENTER_SCALE))
+        y0s = jnp.where(co, y0i, y0i * int(CENTER_SCALE))
+        relx = jnp.clip(qx + REL_ADJ - x0s, 0, 65535)
+        rely = jnp.clip(qy + REL_ADJ - y0s, 0, 65535)
         row0s.append(
             (relx.astype(jnp.uint32) << 16) | rely.astype(jnp.uint32)
         )
@@ -660,6 +728,7 @@ def _emit_tier_mask_slabs(
     uses 7 integer compares — exact for p ≤ 7, no division. No dead-tile
     test here: the mask already encodes it exactly."""
     cq, ac, bop, rgb, ax, ay = rows6
+    co = (rgb & COARSE_BIT) != 0
     qx = (cq >> 16).astype(jnp.int32)
     qy = (cq & 0xFFFF).astype(jnp.int32)
     xmin_g = ((ax >> 16) & 0xFFF).astype(jnp.int32)
@@ -690,8 +759,10 @@ def _emit_tier_mask_slabs(
         key = (tile_id << depth_bits) | depth_q
         keys.append(jnp.where(lane_ok, key, SENTINEL))
 
-        relx = jnp.clip(qx + REL_ADJ - x0i * int(CENTER_SCALE), 0, 65535)
-        rely = jnp.clip(qy + REL_ADJ - y0i * int(CENTER_SCALE), 0, 65535)
+        x0s = jnp.where(co, x0i, x0i * int(CENTER_SCALE))
+        y0s = jnp.where(co, y0i, y0i * int(CENTER_SCALE))
+        relx = jnp.clip(qx + REL_ADJ - x0s, 0, 65535)
+        rely = jnp.clip(qy + REL_ADJ - y0s, 0, 65535)
         row0s.append(
             (relx.astype(jnp.uint32) << 16) | rely.astype(jnp.uint32)
         )
@@ -738,11 +809,16 @@ def encode_record_rows(proj: ProjectedGaussians) -> jnp.ndarray:
     the 7-u32 layout below, reusing the packed sort rows' encodings
     (module docstring — the error budget is already recorded there):
 
-      row 0: screen-fixed 13.3 center  (qx u16 << 16 | qy u16, CQ_BIAS)
+      row 0: screen-fixed center — 13.3 fixed point, or 1-px COARSE
+             units when the 13.3 screen window would clip (giant
+             off-screen-center splats; flagged in row 4 bit 31 — see
+             COARSE_BIT for the error budget)
       row 1: chol u | chol w           (e6m10 — the PSD conic factors)
       row 2: chol v | opacity          (s1e6m9 | u16)
       row 3: r|g|b 10-bit  | valid<<30 | center-saturated<<31
-      row 4: pixel AABB x              (xmin u16 << 16 | xmax u16)
+      row 4: pixel AABB x (xmin u16 << 16 | xmax u16; xmin ≤ 4095 for
+             every packed-compatible frame, so bit 31 carries the
+             coarse-center transport flag)
       row 5: pixel AABB y              (ymin u16 << 16 | ymax u16)
       row 6: camera-space depth        (f32 bits — drives the frame-sort
              key, kept exact so multi-chip depth order == single-chip)
@@ -768,12 +844,22 @@ def encode_record_rows(proj: ProjectedGaussians) -> jnp.ndarray:
     qy_raw = jnp.round(proj.center_px[:, 1] * CENTER_SCALE).astype(
         jnp.int32
     ) + CQ_BIAS
-    sat = (
+    # Centers the 13.3 screen window can't hold ride in COARSE 1-px
+    # units (lossless for the packed pipeline, which re-rounds coarse
+    # centers to 1 px anyway); only coarse-window overflow saturates.
+    wire_coarse = (
         (qx_raw < 0) | (qx_raw > 65535) | (qy_raw < 0) | (qy_raw > 65535)
     )
+    qxc = jnp.round(proj.center_px[:, 0]).astype(jnp.int32) + CQ_BIAS
+    qyc = jnp.round(proj.center_px[:, 1]).astype(jnp.int32) + CQ_BIAS
+    sat = wire_coarse & (
+        (qxc < 0) | (qxc > 65535) | (qyc < 0) | (qyc > 65535)
+    )
+    qx = jnp.where(wire_coarse, qxc, qx_raw)
+    qy = jnp.where(wire_coarse, qyc, qy_raw)
     cq = (
-        jnp.clip(qx_raw, 0, 65535).astype(jnp.uint32) << 16
-    ) | jnp.clip(qy_raw, 0, 65535).astype(jnp.uint32)
+        jnp.clip(qx, 0, 65535).astype(jnp.uint32) << 16
+    ) | jnp.clip(qy, 0, 65535).astype(jnp.uint32)
     rgbf = (
         _rgb10_bits(proj.color)
         | jnp.where(proj.valid, _VALID_BIT, jnp.uint32(0))
@@ -781,8 +867,14 @@ def encode_record_rows(proj: ProjectedGaussians) -> jnp.ndarray:
     )
     ax4 = proj.aabb_px
     ax = (
-        jnp.clip(ax4[:, 0], 0, 65535).astype(jnp.uint32) << 16
-    ) | jnp.clip(ax4[:, 2], 0, 65535).astype(jnp.uint32)
+        (
+            jnp.clip(ax4[:, 0], 0, 32767).astype(jnp.uint32) << 16
+        )
+        | jnp.clip(ax4[:, 2], 0, 65535).astype(jnp.uint32)
+        # bit 31 = coarse-center transport flag (xmin ≤ 32767 keeps it
+        # clear otherwise).
+        | jnp.where(wire_coarse, jnp.uint32(1 << 31), jnp.uint32(0))
+    )
     ay = (
         jnp.clip(ax4[:, 1], 0, 65535).astype(jnp.uint32) << 16
     ) | jnp.clip(ax4[:, 3], 0, 65535).astype(jnp.uint32)
@@ -839,7 +931,10 @@ def decode_record_rows(
         ),
         axis=-1,
     )
-    cs = jnp.float32(1.0 / CENTER_SCALE)
+    wire_coarse = (ax >> 31) != 0
+    cs = jnp.where(wire_coarse, 1.0, 1.0 / CENTER_SCALE).astype(
+        jnp.float32
+    )
     center_px = jnp.stack(
         [
             ((cq >> 16).astype(jnp.int32) - CQ_BIAS).astype(jnp.float32) * cs,
@@ -850,7 +945,7 @@ def decode_record_rows(
         ],
         axis=-1,
     )
-    xmin = (ax >> 16).astype(jnp.int32)
+    xmin = ((ax >> 16) & jnp.uint32(0x7FFF)).astype(jnp.int32)
     xmax = (ax & jnp.uint32(0xFFFF)).astype(jnp.int32)
     ymin = (ay >> 16).astype(jnp.int32)
     ymax = (ay & jnp.uint32(0xFFFF)).astype(jnp.int32)
@@ -898,6 +993,11 @@ class _Prepack(NamedTuple):
     tmin_y: jnp.ndarray
     rect_w: jnp.ndarray
     rect_h: jnp.ndarray
+    #: (N,) bool — the center exceeded even the COARSE carrier and was
+    #: clamped (alpha wrong in the saturating tiles); any() of this is
+    #: RenderStats.center_clipped. Fine-window overflow no longer flags:
+    #: it routes to the coarse encode instead (see _center_fields).
+    clip_flag: jnp.ndarray = None
 
 
 def _nscale_prepack(
@@ -947,9 +1047,6 @@ def _nscale_prepack(
     ac = (enc_u << 16) | enc_w
     bop = (enc_v << 16) | op16
     rgb = _rgb10_bits(proj.color)
-    cq_x = _center_q(proj.center_px[:, 0])
-    cq_y = _center_q(proj.center_px[:, 1])
-    cq = (cq_x.astype(jnp.uint32) << 16) | cq_y.astype(jnp.uint32)
     ax4 = proj.aabb_px  # (N, 4) xmin, ymin, xmax, ymax in pixels
     aabb_x = (
         jnp.clip(ax4[:, 0], 0, 65535).astype(jnp.uint32) << 16
@@ -964,10 +1061,19 @@ def _nscale_prepack(
     tmin_y = tmin[:, 1].astype(jnp.int32)
     rect_w = (tmax[:, 0] - tmin[:, 0] + 1).astype(jnp.int32)
     rect_h = (tmax[:, 1] - tmin[:, 1] + 1).astype(jnp.int32)
+    # Center carrier: 13.3 fine, or the 1-px COARSE encode for centers
+    # the fine window would clip (giant off-screen background splats —
+    # see COARSE_BIT). The flag rides rgb bit 30 to the kernel.
+    cq, coarse, clip_flag = _center_fields(
+        proj.center_px[:, 0], proj.center_px[:, 1],
+        tmin_x, tmin_y, rect_w, rect_h, tile_w, tile_h,
+    )
+    rgb = rgb | jnp.where(coarse, COARSE_BIT, jnp.uint32(0))
     # Opacity below the blend threshold can never contribute (alpha ≤ op).
     # Uses the QUANTIZED opacity — the value the kernel's threshold sees.
     valid = proj.valid & (op_q >= ALPHA_EPS)
     area = jnp.where(valid, rect_w * rect_h, 0).astype(jnp.int32)
+    clip_flag = valid & clip_flag
 
     # Exact-prune constants from the QUANTIZED conic and opacity — the
     # exact inputs the compositor kernel rebuilds, so prune and kernel
@@ -989,7 +1095,7 @@ def _nscale_prepack(
         scan_ok = valid & (area <= ENUM_AREA)
         mask8, live_cnt = _live_scan(
             prune_all, cq, aabb_x, aabb_y, tmin_x, tmin_y,
-            rect_w, area, scan_ok, tile_w=tile_w, tile_h=tile_h,
+            rect_w, area, scan_ok, coarse, tile_w=tile_w, tile_h=tile_h,
         )
         valid = valid & (~scan_ok | (live_cnt > 0))
         eff = jnp.where(scan_ok, live_cnt, area)
@@ -1000,7 +1106,8 @@ def _nscale_prepack(
 
     rows6 = (cq, ac, bop, rgb, aabb_x, aabb_y)
     return _Prepack(
-        valid, area, eff, rows6, prune_all, tmin_x, tmin_y, rect_w, rect_h
+        valid, area, eff, rows6, prune_all, tmin_x, tmin_y, rect_w, rect_h,
+        clip_flag,
     )
 
 
@@ -1404,34 +1511,11 @@ def build_packed_instances(
             # Truncated iff the class extends past the emitted window.
             overflow |= (start + cls_count[c]) > (start_cl + k_c)
 
-    # Center-encoding saturation checks (N-scale, elementwise):
-    # (a) the screen-fixed u16 carrier clips (center outside
-    #     [−2048, +6143.875] px);
-    # (b) the most extreme tile-local center over a Gaussian's rect
-    #     (cx − tmin_x·tile_w max / cx − tmax_x·tile_w min) exceeds the
-    #     13.3 encode range ±CENTER_OFFSET.
-    cx_f = proj.center_px[:, 0]
-    cy_f = proj.center_px[:, 1]
-    qx_raw = jnp.round(cx_f * CENTER_SCALE) + CQ_BIAS
-    qy_raw = jnp.round(cy_f * CENTER_SCALE) + CQ_BIAS
-    enc_max = CENTER_OFFSET - 1.0 / CENTER_SCALE
-    center_clipped = jnp.any(
-        valid
-        & (
-            (qx_raw < 0) | (qx_raw > 65535)
-            | (qy_raw < 0) | (qy_raw > 65535)
-            | (cx_f - tmin_x.astype(jnp.float32) * tile_w > enc_max)
-            | (
-                cx_f - (tmin_x + rect_w - 1).astype(jnp.float32) * tile_w
-                < -CENTER_OFFSET
-            )
-            | (cy_f - tmin_y.astype(jnp.float32) * tile_h > enc_max)
-            | (
-                cy_f - (tmin_y + rect_h - 1).astype(jnp.float32) * tile_h
-                < -CENTER_OFFSET
-            )
-        )
-    )
+    # Center-encoding saturation: splats the fine 13.3 window cannot
+    # hold route to the COARSE 1-px encode (see COARSE_BIT); only a
+    # center beyond even the coarse window (±32768 px tile-local /
+    # [−16384, +49151] px screen) clamps — and flags. Never silent.
+    center_clipped = jnp.any(pk.clip_flag)
 
     if capacity is not None and wide:
         # Compacted: only TOTAL emission breaching the capacity truncates.

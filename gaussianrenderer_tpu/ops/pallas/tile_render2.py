@@ -240,8 +240,17 @@ def _tile_kernel(
         slot = jax.lax.rem(i, dma_depth)
         raw = chunk_ref[slot]  # (DMA_ROWS, K) u32 — rows 5-7 are DMA padding
 
-        cx = _center_decode(raw[0:1, :] >> 16)  # (1, K) tile-local center
-        cy = _center_decode(raw[0:1, :] & 0xFFFF)
+        # Tile-local center: 13.3 fixed point, or the COARSE 1-px
+        # encode (±32768 range) when rgb bit 30 is set — giant
+        # background splats whose centers sit outside the fine window
+        # (ops/instances.py COARSE_BIT). Per-INSTANCE selects on (1, K)
+        # rows — not per pixel, so the pair budget is untouched.
+        rgb_bits = raw[3:4, :]
+        coarse = (rgb_bits >> 30) & 0x1
+        c_scale = jnp.where(coarse != 0, 1.0, 1.0 / CENTER_SCALE)
+        c_bias = jnp.where(coarse != 0, 32768.0, CENTER_OFFSET)
+        cx = _u2f(raw[0:1, :] >> 16) * c_scale - c_bias
+        cy = _u2f(raw[0:1, :] & 0xFFFF) * c_scale - c_bias
         # Conic from its quantized Cholesky factors — PSD by construction
         # (module docstring): 4 extra VPU mults on (1, K) rows.
         chu = _dec_e6m10(raw[1:2, :] >> 16)
@@ -250,7 +259,6 @@ def _tile_kernel(
         ca = chu * chu
         cb = 2.0 * chu * chv
         cc = chv * chv + chw * chw
-        rgb_bits = raw[3:4, :]
         red = _rgb10_decode(rgb_bits & 0x3FF)
         grn = _rgb10_decode((rgb_bits >> 10) & 0x3FF)
         blu = _rgb10_decode((rgb_bits >> 20) & 0x3FF)

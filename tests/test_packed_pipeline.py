@@ -1110,3 +1110,112 @@ def test_depth_output_matches_oracle():
     assert fb_d.shape == (4, 128, 160)
     g_d = render_oracle(scene, cam, cfg_d)
     assert float(np.abs(np.asarray(fb_d[3]) - g_d[3]).max()) / peak < 2e-3
+
+
+def _giant_splat_scene(n_base=200, seed=1):
+    """A normal scene plus giant splats whose projected centers land
+    THOUSANDS of px off-screen (the real-trained-scene background-splat
+    class: data/trained_100k.ply carries centers at ±14k px) — outside
+    the fine 13.3 center carrier's [−2048, +6144) window."""
+    from gaussianrenderer_tpu.scene.gaussians import GaussianScene
+
+    base = make_random_scene(n_base, seed=seed)
+    pos = np.asarray(base.positions)
+    sh = np.asarray(base.sh)
+    sc = np.asarray(base.scales)
+    op = np.asarray(base.opacity)
+    q = np.asarray(base.quats)
+    gp = np.array(
+        [[15.0, 0.0, 5.7], [0.0, -12.0, 5.6], [-18.0, 3.0, 5.75]],
+        np.float32,
+    )
+    gs = np.full((3, 3), 6.0, np.float32)
+    gq = np.tile(np.array([[1, 0, 0, 0]], np.float32), (3, 1))
+    gop = np.full((3,), 0.4, np.float32)
+    gsh = np.tile(sh[:1] * 0 + 0.5, (3, 1))
+    return GaussianScene(
+        positions=np.concatenate([pos, gp]),
+        sh=np.concatenate([sh, gsh]),
+        opacity=np.concatenate([op, gop]),
+        scales=np.concatenate([sc, gs]),
+        quats=np.concatenate([q, gq]),
+    )
+
+
+def test_coarse_center_giant_splats_match_oracle():
+    """Giant off-carrier-center splats take the COARSE 1-px center
+    encode (rgb bit 30) instead of clamping to the fine window — before
+    this path, their whole footprint rendered with an arbitrarily wrong
+    alpha field (flagged center_clipped, but wrong). The packed render
+    must now track the f32 oracle and NOT flag."""
+    scene = _giant_splat_scene()
+    cam = Camera()
+    cam.set_position([0.0, 0.0, 6.0])
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(60.0)
+    cam.set_aspect_ratio(1.0)
+    cam.set_clipping_planes(0.2, 100.0)
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=128, width=128, compositor="packed",
+                       tier_boost=2)
+
+    # The scene really exercises the coarse window.
+    from gaussianrenderer_tpu.ops.projection import preprocess_gaussians
+
+    p = preprocess_gaussians(
+        scene, cam.params(cfg.k_sigma), width=128, height=128,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h, tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y, sh_degree=2,
+    )
+    c = np.asarray(p.center_px)
+    v = np.asarray(p.valid)
+    off = v & (
+        (c[:, 0] < -2048) | (c[:, 0] > 6144)
+        | (c[:, 1] < -2048) | (c[:, 1] > 6144)
+    )
+    assert off.sum() >= 2, "fixture must have off-carrier centers"
+
+    fb, st = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+    assert not bool(st.center_clipped)
+    assert not bool(st.overflow)
+    gold = render_oracle(scene, cam, cfg)
+    assert psnr(np.asarray(fb), gold) > 60.0
+
+
+def test_coarse_center_multichip_strips_agree():
+    """The fine-window clamp used to land at a DIFFERENT global
+    position per strip (y_off-shifted window), so every strip except
+    strip 0 mis-rendered giant splats its own way — caught at 100k
+    scale by tools/multichip_scale_probe.py. With the coarse encode the
+    strips must agree with single-chip in every exchange mode."""
+    from gaussianrenderer_tpu.parallel import (
+        make_mesh,
+        render_frame_multichip,
+        shard_scene,
+    )
+
+    scene = _giant_splat_scene()
+    cam = Camera()
+    cam.set_position([0.0, 0.0, 6.0])
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(60.0)
+    cam.set_aspect_ratio(1.0)
+    cam.set_clipping_planes(0.2, 100.0)
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=128, width=128, compositor="packed",
+                       num_tile_x=4, num_tile_y=8, tier_boost=2)
+    cp = cam.params(cfg.k_sigma)
+    fb_single, st = render_frame(scene, cp, cfg)
+    assert not bool(st.center_clipped)
+
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    for ex in ("gather32", "gather_q", "a2a_q"):
+        fb, stats = render_frame_multichip(
+            sharded, cp, cfg, mesh, exchange=ex
+        )
+        assert not bool(stats["center_clipped"]), ex
+        np.testing.assert_allclose(
+            np.asarray(fb), np.asarray(fb_single), atol=2e-4,
+            err_msg=ex,
+        )
