@@ -775,15 +775,31 @@ def make_renderer(
     return _render
 
 
-def framebuffer_to_image(fb: jnp.ndarray, flip_y: bool = True):
+@jax.jit
+def _fb_to_u8_device(fb):
+    """(3,H,W) f32 → (H,W,3) uint8 ON DEVICE: the display fetch then
+    moves 3 bytes/px instead of 12. The D2H hop is the dominant term of
+    the user-visible viewer loop (measured 243 ms of a 294 ms
+    orbit→frame at 800×800 through the dev tunnel — viewer_latency.jsonl
+    — the same 4× applies to a direct-attached host's memcpy)."""
+    img = jnp.transpose(fb, (1, 2, 0))
+    return (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def framebuffer_to_image(fb, flip_y: bool = True):
     """Planar (3,H,W) → (H,W,3) uint8 for display/PNG.
 
     ``flip_y=True`` matches the reference viewer default (UiSettings.flip,
     fragment-shader Y flip ``canvas.hpp:104-106``): framebuffer row 0 sits at
-    NDC y=−1 (bottom), images want the top row first.
+    NDC y=−1 (bottom), images want the top row first. Device arrays are
+    converted to uint8 on device before the D2H fetch (4× fewer bytes —
+    the fetch dominates the display loop); NumPy inputs convert on host.
     """
     import numpy as np
 
+    if isinstance(fb, jnp.ndarray) and not isinstance(fb, np.ndarray):
+        img = np.asarray(_fb_to_u8_device(fb))
+        return img[::-1] if flip_y else img
     img = np.asarray(fb).transpose(1, 2, 0)
     if flip_y:
         img = img[::-1]

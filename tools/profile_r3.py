@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--term-stride", type=int, default=1,
                     help="early-term check cadence (0 = never check)")
     ap.add_argument("--dma-depth", type=int, default=2)
+    ap.add_argument("--ply", default=None,
+                    help="profile a scene FILE (e.g. data/trained_100k.ply"
+                    " for the c7 shape) instead of the synthetic c4 scene")
+    ap.add_argument("--sh-degree", type=int, default=2)
+    ap.add_argument("--pos", default="0,1,8",
+                    help="camera position x,y,z (c7 uses 3.9,1.5,3.9)")
     ap.add_argument("--out", default="profile_r3.jsonl")
     args = ap.parse_args()
 
@@ -76,14 +82,22 @@ def main():
         height=args.height,
         width=args.width,
         compositor="packed",
+        sh_degree=args.sh_degree,
         tiers=parse_tiers(args.tiers),
         **({"packed_chunk": args.chunk} if args.chunk else {}),
     )
-    scene = make_random_scene(
-        args.gaussians, seed=0, extent=4.0, scale_range=(0.004, 0.03)
-    ).morton_sorted().prepared()
+    if args.ply:
+        from gaussianrenderer_tpu.scene.io import load_ply
+
+        scene = load_ply(
+            args.ply, max_sh_degree=args.sh_degree
+        ).morton_sorted().prepared()
+    else:
+        scene = make_random_scene(
+            args.gaussians, seed=0, extent=4.0, scale_range=(0.004, 0.03)
+        ).morton_sorted().prepared()
     cam = Camera()
-    cam.set_position([0.0, 1.0, 8.0])
+    cam.set_position([float(v) for v in args.pos.split(",")])
     cam.set_look_at([0.0, 0.0, 0.0])
     cam.set_fov_y(70.0)
     cam.set_aspect_ratio(args.width / args.height)
