@@ -17,12 +17,20 @@ from typing import Optional
 def device_info() -> dict:
     try:
         import jax
+        import jaxlib
 
         d = jax.devices()[0]
         return {
             "device": str(d.device_kind),
             "platform": d.platform,
             "num_devices": len(jax.devices()),
+            # Backend provenance: the frame sort's price is RENTED from
+            # XLA's lax.sort (docs/sort_plan.md "sort risk" note) — a
+            # backend upgrade that moves the headline ±20% must be
+            # attributable in one glance, so every benchmark row records
+            # the jax/jaxlib pair it was measured under.
+            "jax": jax.__version__,
+            "jaxlib": jaxlib.__version__,
         }
     except Exception:
         return {"device": "unknown", "platform": "unknown", "num_devices": 0}
