@@ -206,6 +206,18 @@ class RenderConfig:
         # round to a multiple of chunk_size for clean kernel loops
         return _cdiv(cap, self.chunk_size) * self.chunk_size
 
+    @staticmethod
+    def auto_packed_chunk(sort_lanes: int) -> int:
+        """Measured chunk-size rule for the packed compositor: 256
+        amortizes the ~0.9 µs/chunk fixed cost at production lane counts
+        (−9% at the c4 shape, profile_r3.jsonl); below ~1.5M lanes the
+        last-chunk dense-block waste at low tile occupancy dominates
+        instead and 128 wins (17.1 → 16.3 ms at the c7 trained-100k
+        shape, profile_c7.jsonl). Session calibration
+        (``make_renderer(auto_tier=True)``, bench_suite) applies this
+        when ``packed_chunk`` is left at its default."""
+        return 128 if sort_lanes < 1_500_000 else 256
+
     def with_resolution(self, height: int, width: int) -> "RenderConfig":
         """Dynamic-resize support (reference ``Canvas::onResize``,
         ``canvas.cpp:198-224``): returns a config for the new framebuffer;

@@ -378,7 +378,15 @@ def area_histogram(scene, cam_params, cfg) -> "np.ndarray":
     tests/test_packed_pipeline.py)."""
     import numpy as np
 
-    return np.asarray(_hist_probe(cfg)(scene, cam_params), dtype=np.int64)
+    return np.asarray(_hist_probe(cfg)(scene, cam_params)[0], dtype=np.int64)
+
+
+def emission_total(scene, cam_params, cfg) -> int:
+    """Exact per-pose emission total (Σ live-tile lanes over valid
+    splats) from the same jitted probe as :func:`area_histogram` — the
+    ``emission_max`` input of :func:`calibrate_tiers`. Equals the packed
+    render's ``stats.num_instances`` for the same pose."""
+    return int(_hist_probe(cfg)(scene, cam_params)[1])
 
 
 @functools.lru_cache(maxsize=32)
@@ -388,7 +396,10 @@ def _hist_probe(cfg):
     would retrace the full N-scale projection+prepack graph every pose."""
 
     def probe(scene, cam_params):
-        from gaussianrenderer_tpu.ops.instances import effective_hist
+        from gaussianrenderer_tpu.ops.instances import (
+            _eff_hist,
+            _nscale_prepack,
+        )
 
         proj = preprocess_gaussians(
             scene,
@@ -404,13 +415,15 @@ def _hist_probe(cfg):
             ewa_dilation=cfg.ewa_dilation,
             ewa_compensate=cfg.ewa_compensate,
         )
-        return effective_hist(
+        pk = _nscale_prepack(
             proj,
             tiles_x=cfg.tiles_x,
             tiles_y=cfg.tiles_y,
             tile_w=cfg.tile_w,
             tile_h=cfg.tile_h,
         )
+        total = jnp.sum(jnp.where(pk.valid, pk.eff, 0))
+        return _eff_hist(pk.valid, pk.eff), total
 
     return jax.jit(probe)
 
@@ -421,6 +434,7 @@ def calibrate_tiers(
     headroom: float = 1.3,
     min_k: int = 256,
     max_tiers: int = 7,
+    emission_max: "Optional[int]" = None,
 ):
     """Choose an area ladder from a frame's tile-area histogram.
 
@@ -429,6 +443,16 @@ def calibrate_tiers(
     population × headroom, power-of-two bucketed so nearby camera poses
     reuse the jit cache) and returns the one minimizing TOTAL sort lanes —
     the sort is the scaling cost, and lanes ≈ cost.
+
+    ``emission_max``: the largest OBSERVED per-pose emission total (exact
+    Σ eff — ``emission_total`` probe, or ``stats.num_instances`` from a
+    rendered frame). The compacted head capacity is then clamped to
+    1.25× this number: the modeled Σ m_c·count_c over a max-combined
+    histogram sums PER-CLASS maxima across poses, which overestimates
+    the max TOTAL ~2× on real orbits (different poses max different
+    classes — measured 943k modeled vs 468k worst-pose actual on the
+    100k trained scene), and every clamped lane is frame-sort time.
+    Overflow past the clamp still flags and recalibrates (never silent).
     """
     import numpy as np
 
@@ -581,7 +605,13 @@ def calibrate_tiers(
             emit_lanes += m * k
         if not tiers:
             return (), float("inf")
-        cap = round_up(int(need * cap_margin) + 1024, 4)
+        cap = int(need * cap_margin) + 1024
+        if emission_max is not None:
+            # Exact observed worst-pose total beats the sum-of-maxima
+            # model (docstring); 1.25× margin covers pose drift at the
+            # measured ±5% orbit variation with room to spare.
+            cap = min(cap, int(emission_max * 1.25) + 1024)
+        cap = round_up(cap, 4)
         cost = (
             cap * SORT_NS_PER_LANE
             + (SORT_KNEE_NS if cap > SORT_KNEE_LANES else 0.0)
@@ -717,14 +747,44 @@ def make_renderer(
             hist = out[1].area_hist
             headroom = 1.5 * (2.0**tries)
             if hist is not None:
+                # The frame's EXACT emission total clamps the compacted
+                # head (calibrate_tiers emission_max) — the histogram
+                # model alone oversizes it ~2×, and every clamped lane
+                # is frame-sort time. On an overflow retry the observed
+                # total ≈ the truncating capacity, so the margin is
+                # grown with the tries.
+                emission_max = int(
+                    int(out[1].num_instances) * (1.1 * 2.0**tries)
+                )
                 new_tiers = calibrate_tiers(
-                    hist, num_tiles=state["cfg"].num_tiles, headroom=headroom
+                    hist,
+                    num_tiles=state["cfg"].num_tiles,
+                    headroom=headroom,
+                    emission_max=emission_max,
                 )
                 if new_tiers == state["cfg"].tiers and not bool(out[1].overflow):
                     break
-                state["cfg"] = dataclasses.replace(
+                new_cfg = dataclasses.replace(
                     state["cfg"], tiers=new_tiers
                 )
+                # Measured chunk rule (config.auto_packed_chunk): apply
+                # only over the default so an explicit user choice
+                # sticks.
+                if new_tiers and int(new_tiers[0][0]) == 0:
+                    lanes = int(new_tiers[0][1])
+                else:
+                    lanes = ladder_lanes(
+                        new_tiers, scene.num_gaussians
+                    )
+                auto_chunk = RenderConfig.auto_packed_chunk(lanes)
+                if (
+                    cfg.packed_chunk == RenderConfig().packed_chunk
+                    and new_cfg.packed_chunk != auto_chunk
+                ):
+                    new_cfg = dataclasses.replace(
+                        new_cfg, packed_chunk=auto_chunk
+                    )
+                state["cfg"] = new_cfg
             elif bool(out[1].overflow):
                 state["cfg"] = dataclasses.replace(
                     state["cfg"],

@@ -10,8 +10,17 @@ is not initialized until first use.
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic persistent-compile-cache dir: the default is shared with any
+# concurrently running TPU bench/session processes, and a concurrent
+# writer once segfaulted the suite inside the cache READ path
+# (jax compilation_cache.get_executable_and_time). CPU test compiles are
+# cheap; isolation costs nothing.
+os.environ["GR_TPU_COMPILE_CACHE"] = tempfile.mkdtemp(
+    prefix="gr_test_xla_cache_"
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

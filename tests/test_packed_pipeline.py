@@ -1219,3 +1219,57 @@ def test_coarse_center_multichip_strips_agree():
             np.asarray(fb), np.asarray(fb_single), atol=2e-4,
             err_msg=ex,
         )
+
+
+def test_emission_clamped_head_and_auto_chunk():
+    """calibrate_tiers(emission_max=...) clamps the compacted head to
+    the OBSERVED worst-pose emission (the histogram's Σ m·count sums
+    per-class maxima and oversizes it ~2× — measured 943k modeled vs
+    468k actual on the 100k trained scene), and make_renderer's
+    calibration applies the measured packed-chunk rule. Render equality
+    and the overflow flag pin that the clamp is safe."""
+    from gaussianrenderer_tpu.render import (
+        area_histogram,
+        calibrate_tiers,
+        emission_total,
+        make_renderer,
+    )
+
+    scene = make_random_scene(3000, seed=6)
+    cam = Camera()
+    cam.set_position([0.0, 0.0, 6.0])
+    cam.set_look_at([0.0, 0.0, 0.0])
+    cam.set_fov_y(60.0)
+    cam.set_aspect_ratio(1.0)
+    cam.set_clipping_planes(0.2, 100.0)
+    cam.update_camera_matrices()
+    cfg = RenderConfig(height=128, width=128, compositor="packed")
+    cp = cam.params(cfg.k_sigma)
+
+    hist = area_histogram(scene, cp, cfg)
+    emax = emission_total(scene, cp, cfg)
+    assert emax > 0
+    loose = calibrate_tiers(hist, num_tiles=cfg.num_tiles)
+    tight = calibrate_tiers(
+        hist, num_tiles=cfg.num_tiles, emission_max=emax
+    )
+    if loose and int(loose[0][0]) == 0:  # compacted candidate won
+        assert int(tight[0][1]) <= int(loose[0][1])
+        assert int(tight[0][1]) >= emax  # margin keeps coverage
+
+    # Session path: auto_tier applies the clamp + the chunk rule; the
+    # frame must not overflow and emission_total must equal the render's
+    # own num_instances (same prepack).
+    render = make_renderer(scene, cfg, auto_tier=True)
+    fb, stats = render(cp)
+    assert not bool(stats.overflow)
+    assert int(stats.num_instances) == emax
+    from gaussianrenderer_tpu.render import ladder_lanes
+
+    live = render.current_cfg()
+    lanes = (
+        int(live.tiers[0][1])
+        if live.tiers and int(live.tiers[0][0]) == 0
+        else ladder_lanes(live.tiers, scene.num_gaussians)
+    )
+    assert live.packed_chunk == RenderConfig.auto_packed_chunk(lanes)

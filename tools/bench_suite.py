@@ -195,6 +195,17 @@ def run_resize(frames, out, tiers=None):
         cfg_lo = dataclasses.replace(
             cfg_lo, tiers=parse_tiers(parts[-1])
         )
+        def _chunked(c):
+            t = c.tiers
+            if t and int(t[0][0]) == 0:
+                # Measured chunk rule (config.auto_packed_chunk).
+                return dataclasses.replace(
+                    c, packed_chunk=c.auto_packed_chunk(int(t[0][1]))
+                )
+            return c
+
+        cfg_hi = _chunked(cfg_hi)
+        cfg_lo = _chunked(cfg_lo)
     scene = scene.prepared()
     cam = Camera()
     cam.set_position(list(pos))
@@ -283,6 +294,14 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     scene, cfg, pos, tvals = build(config, frames)
     if tiers:
         cfg = dataclasses.replace(cfg, tiers=parse_tiers(tiers))
+        t = cfg.tiers
+        if t and int(t[0][0]) == 0:
+            # Measured chunk rule (config.auto_packed_chunk): small-lane
+            # scenes win with 128 (last-chunk waste), big ones with 256.
+            cfg = dataclasses.replace(
+                cfg,
+                packed_chunk=cfg.auto_packed_chunk(int(t[0][1])),
+            )
     num_gaussians = scene.num_gaussians
     scene_raw = scene  # (N, ...) row-major; the calibration probe subsamples it
     scene = scene.prepared()  # render layout once (saves ~6 ms/frame at 3M)
@@ -309,7 +328,7 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         # symmetry and see only the low-count poses).
         import numpy as np
 
-        from gaussianrenderer_tpu.render import area_histogram
+        from gaussianrenderer_tpu.render import area_histogram, emission_total
 
         # 3r needs a ladder PER resolution bucket (areas redistribute
         # across classes between 1080p and 720p — see run_resize).
@@ -319,6 +338,7 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         ladders = []
         for c in cfgs:
             hist = None
+            emax = 0
             probe_cam = Camera()
             probe_cam.set_position(list(pos))
             probe_cam.set_look_at([0.0, 0.0, 0.0])
@@ -328,10 +348,17 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
             probe_cam.update_camera_matrices()
             for _ in range(frames):
                 probe_cam.orbit(360.0 / frames, 0.0)
-                h = area_histogram(scene_raw, probe_cam.params(c.k_sigma), c)
+                p = probe_cam.params(c.k_sigma)
+                h = area_histogram(scene_raw, p, c)
                 hist = h if hist is None else np.maximum(hist, h)
+                # Exact worst-pose emission clamps the compacted head —
+                # the max-combined histogram's Σ m·count sums per-class
+                # maxima and oversizes it ~2× (calibrate_tiers).
+                emax = max(emax, emission_total(scene_raw, p, c))
             ladders.append(
-                format_tiers(calibrate_tiers(hist, num_tiles=c.num_tiles))
+                format_tiers(calibrate_tiers(
+                    hist, num_tiles=c.num_tiles, emission_max=emax
+                ))
             )
         print(";".join(ladders))
         return

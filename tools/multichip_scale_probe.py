@@ -90,8 +90,13 @@ def main():
 
     # Session calibration, exactly like make_renderer(auto_tier=True):
     # scene-calibrated COMPACTED ladder + balanced strip bounds + a2a caps.
+    from gaussianrenderer_tpu.render import emission_total
+
     hist = area_histogram(scene, cp, cfg)
-    tiers = calibrate_tiers(hist, num_tiles=cfg.num_tiles)
+    tiers = calibrate_tiers(
+        hist, num_tiles=cfg.num_tiles,
+        emission_max=emission_total(scene, cp, cfg),
+    )
     cfg = RenderConfig(**{**cfg.__dict__, "tiers": tiers})
     bounds = balance_strips_for_scene(scene, cp, cfg, d)
     caps = a2a_caps_for_scene(scene, cp, cfg, d, strip_bounds=bounds)
