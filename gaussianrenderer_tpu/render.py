@@ -435,6 +435,7 @@ def calibrate_tiers(
     min_k: int = 256,
     max_tiers: int = 7,
     emission_max: "Optional[int]" = None,
+    pose_hists=None,
 ):
     """Choose an area ladder from a frame's tile-area histogram.
 
@@ -444,15 +445,24 @@ def calibrate_tiers(
     reuse the jit cache) and returns the one minimizing TOTAL sort lanes —
     the sort is the scaling cost, and lanes ≈ cost.
 
-    ``emission_max``: the largest OBSERVED per-pose emission total (exact
-    Σ eff — ``emission_total`` probe, or ``stats.num_instances`` from a
-    rendered frame). The compacted head capacity is then clamped to
-    1.25× this number: the modeled Σ m_c·count_c over a max-combined
-    histogram sums PER-CLASS maxima across poses, which overestimates
-    the max TOTAL ~2× on real orbits (different poses max different
-    classes — measured 943k modeled vs 468k worst-pose actual on the
-    100k trained scene), and every clamped lane is frame-sort time.
-    Overflow past the clamp still flags and recalibrates (never silent).
+    The compacted head capacity defaults to Σ m_c·count_c over the
+    max-combined histogram — which sums PER-CLASS maxima across poses
+    and so overestimates the worst-pose TOTAL up to ~2× on real orbits
+    (different poses max different classes), and every excess lane is
+    frame-sort time. Two clamps tighten it (post tier-merge, because
+    merging also inflates the head by window-model costs):
+
+    * ``pose_hists`` (a sequence of per-pose histograms — the exact
+      information the max-combine destroys): the head is clamped to
+      1.25× the worst pose's Σ count_b·m_cover(b) under the CHOSEN
+      ladder — the exact capacity the compacted buffer consumes (every
+      member of a class pays its full tier width m, not its live-tile
+      count).
+    * ``emission_max`` (a single frame's exact Σ eff —
+      ``emission_total`` probe or ``stats.num_instances``): a LOWER
+      bound on capacity need (bucketing pays m ≥ eff per member), so it
+      clamps with a 1.6× margin; the overflow flag + auto_tier retry
+      loop covers outliers (never silent).
     """
     import numpy as np
 
@@ -605,13 +615,7 @@ def calibrate_tiers(
             emit_lanes += m * k
         if not tiers:
             return (), float("inf")
-        cap = int(need * cap_margin) + 1024
-        if emission_max is not None:
-            # Exact observed worst-pose total beats the sum-of-maxima
-            # model (docstring); 1.25× margin covers pose drift at the
-            # measured ±5% orbit variation with room to spare.
-            cap = min(cap, int(emission_max * 1.25) + 1024)
-        cap = round_up(cap, 4)
+        cap = round_up(int(need * cap_margin) + 1024, 4)
         cost = (
             cap * SORT_NS_PER_LANE
             + (SORT_KNEE_NS if cap > SORT_KNEE_LANES else 0.0)
@@ -689,6 +693,36 @@ def calibrate_tiers(
         guard_m = min(guard_m, round_up(num_tiles))
         if guard_m > last_m:
             tiers = tiers + ((guard_m, max(64, min_k)),)
+
+    # Post-merge head clamp from OBSERVED per-pose emission (docstring).
+    if tiers and int(tiers[0][0]) == 0 and (
+        pose_hists is not None or emission_max is not None
+    ):
+        widths = [int(m) for m, _ in tiers[1:]]
+
+        def pose_need(h):
+            need = 0
+            for i, e in enumerate(edges):
+                c = int(h[i])
+                if c:
+                    need += c * next(
+                        (m for m in widths if m >= e), widths[-1]
+                    )
+            c = int(h[len(edges)])
+            if c:
+                need += c * widths[-1]
+            return need
+
+        bounds = []
+        if pose_hists is not None:
+            bounds.append(
+                1.25 * max(pose_need(h) for h in pose_hists)
+            )
+        if emission_max is not None:
+            bounds.append(1.6 * float(emission_max))
+        cap_bound = round_up(int(max(bounds)) + 1024, 4)
+        if cap_bound < int(tiers[0][1]):
+            tiers = ((0, cap_bound),) + tuple(tiers[1:])
     return tiers
 
 

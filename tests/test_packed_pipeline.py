@@ -1253,9 +1253,15 @@ def test_emission_clamped_head_and_auto_chunk():
     tight = calibrate_tiers(
         hist, num_tiles=cfg.num_tiles, emission_max=emax
     )
+    exact = calibrate_tiers(
+        hist, num_tiles=cfg.num_tiles, pose_hists=[hist]
+    )
     if loose and int(loose[0][0]) == 0:  # compacted candidate won
         assert int(tight[0][1]) <= int(loose[0][1])
         assert int(tight[0][1]) >= emax  # margin keeps coverage
+        # The exact per-pose Σ m·count bound also covers the emission.
+        assert int(exact[0][1]) >= emax
+        assert int(exact[0][1]) <= int(loose[0][1])
 
     # Session path: auto_tier applies the clamp + the chunk rule; the
     # frame must not overflow and emission_total must equal the render's

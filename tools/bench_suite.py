@@ -328,7 +328,7 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         # symmetry and see only the low-count poses).
         import numpy as np
 
-        from gaussianrenderer_tpu.render import area_histogram, emission_total
+        from gaussianrenderer_tpu.render import area_histogram
 
         # 3r needs a ladder PER resolution bucket (areas redistribute
         # across classes between 1080p and 720p — see run_resize).
@@ -337,8 +337,7 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
             cfgs.append(cfg.with_resolution(720, 1280))
         ladders = []
         for c in cfgs:
-            hist = None
-            emax = 0
+            hists = []
             probe_cam = Camera()
             probe_cam.set_position(list(pos))
             probe_cam.set_look_at([0.0, 0.0, 0.0])
@@ -349,15 +348,15 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
             for _ in range(frames):
                 probe_cam.orbit(360.0 / frames, 0.0)
                 p = probe_cam.params(c.k_sigma)
-                h = area_histogram(scene_raw, p, c)
-                hist = h if hist is None else np.maximum(hist, h)
-                # Exact worst-pose emission clamps the compacted head —
-                # the max-combined histogram's Σ m·count sums per-class
-                # maxima and oversizes it ~2× (calibrate_tiers).
-                emax = max(emax, emission_total(scene_raw, p, c))
+                hists.append(area_histogram(scene_raw, p, c))
+            # Per-pose histograms clamp the compacted head to the exact
+            # worst-pose capacity consumption — the max-combined
+            # histogram's Σ m·count sums per-class maxima and oversizes
+            # it up to ~2× (calibrate_tiers docstring).
             ladders.append(
                 format_tiers(calibrate_tiers(
-                    hist, num_tiles=c.num_tiles, emission_max=emax
+                    np.maximum.reduce(hists), num_tiles=c.num_tiles,
+                    pose_hists=hists,
                 ))
             )
         print(";".join(ladders))
@@ -388,10 +387,22 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     compile_s = time.time() - t0
     log(f"[{config}] compile+first {compile_s:.0f}s inst={n_inst} overflow={overflow}")
 
-    # Chained dispatch (4 frames per sync): the tunnel charges ~40-60 ms
+    # Chained dispatch (N frames per sync): the tunnel charges ~40-60 ms
     # per-execute beyond the sync floor; a pipelined display loop sees the
-    # chained number (same convention as bench.py).
-    chain = 4
+    # chained number (same convention as bench.py). The floor estimate
+    # itself drifts ±tens of ms between processes, and its error divides
+    # by the chain length — at sub-20 ms frames a chain of 4 leaves
+    # ±5 ms/frame of pure measurement noise (observed: c1 readings
+    # 5.5-14.1 ms for an IDENTICAL config across runs), so small frames
+    # use the longest chain the frame budget allows.
+    t0 = time.perf_counter()
+    if tvals is None:
+        fb, _ = render_jit(scene, params[0])
+    else:
+        fb, _ = render_jit(scene, params[0], tvals[0])
+    float(fb[0, 0, 0])
+    est = (time.perf_counter() - t0) * 1e3 - floor
+    chain = 4 if est > 50.0 else max(4, min(frames, 16))
     batches = [
         list(range(i, min(i + chain, frames))) for i in range(0, frames, chain)
     ]
