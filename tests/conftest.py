@@ -30,3 +30,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The persistent compilation cache is OFF for the suite: serializing
+# some CPU executables segfaulted jax 0.9 (observed in both the cache
+# READ path — stale entry from a concurrent TPU writer — and the WRITE
+# path, racing Canvas.init's prewarm thread which AOT-compiles
+# concurrently with the main thread). Tests that call
+# enable_compilation_cache() still exercise that code path (it sets the
+# dir), but this master switch keeps the cache inert; CPU test compiles
+# are cheap.
+jax.config.update("jax_enable_compilation_cache", False)
