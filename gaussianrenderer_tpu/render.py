@@ -763,7 +763,19 @@ def make_renderer(
 
         entry = load_calibration(scene_path, cfg)
         if entry and entry.get("tiers"):
-            state["cfg"] = dataclasses.replace(cfg, tiers=entry["tiers"])
+            seeded = dataclasses.replace(cfg, tiers=entry["tiers"])
+            # The chunk is part of the executable identity: without it
+            # the warm session compiles a DIFFERENT program than the
+            # cold session cached (measured: warm start stayed at 167 s
+            # on a chunk mismatch, session_start.jsonl).
+            if (
+                entry.get("packed_chunk")
+                and cfg.packed_chunk == RenderConfig().packed_chunk
+            ):
+                seeded = dataclasses.replace(
+                    seeded, packed_chunk=int(entry["packed_chunk"])
+                )
+            state["cfg"] = seeded
             state["seeded"] = True
 
     def _call(cam, time_value):
@@ -838,7 +850,12 @@ def make_renderer(
                 store_calibration,
             )
 
-            store_calibration(scene_path, cfg, state["cfg"].tiers)
+            store_calibration(
+                scene_path,
+                cfg,
+                state["cfg"].tiers,
+                extra={"packed_chunk": state["cfg"].packed_chunk},
+            )
 
     def _render(cam: CameraParams, time_value=None):
         out = _call(cam, time_value)

@@ -229,6 +229,14 @@ class Canvas:
                 self._base_cfg = dataclasses.replace(
                     self._base_cfg, tiers=entry["tiers"]
                 )
+                if entry.get("packed_chunk"):
+                    # Executable identity includes the chunk — seeding
+                    # only the ladder would compile a different program
+                    # than the one the writing session cached.
+                    self._base_cfg = dataclasses.replace(
+                        self._base_cfg,
+                        packed_chunk=int(entry["packed_chunk"]),
+                    )
 
     def set_scene(self, scene: GaussianScene) -> None:
         self.scene = scene
