@@ -244,17 +244,19 @@ def a2a_caps_for_scene(
     n_strips: int,
     strip_bounds: Optional[Tuple[int, ...]] = None,
     margin: float = 1.5,
-) -> Tuple[int, int]:
+) -> Tuple[int, int, int]:
     """CPU calibration of the ownership-exchange window capacities.
 
     Counts, per (source shard, destination strip) pair, exactly the
-    records :func:`_exchange_a2a` would route — narrow records (span ≤ 2
-    strips) to their 1-2 destinations, wide records to the all_gather
-    window — over one or more probe poses (``cams`` is a CameraParams or
-    a sequence), and returns ``(cap, wide_cap)`` with ``margin`` headroom
-    (same role as the tier calibrator's window margins; overflow past the
-    calibrated caps still flags, never silent). Shards are the contiguous
-    N/D blocks :func:`shard_scene` lays out."""
+    records :func:`_exchange_a2a` would route — FIRST-destination
+    records to the main windows, 2-strip straddler copies to the
+    straddler windows, wide (≥3-strip) records to the all_gather
+    window — over one or more probe poses (``cams`` is a CameraParams
+    or a sequence), and returns ``(cap, wide_cap, straddle_cap)`` with
+    ``margin`` headroom (same role as the tier calibrator's window
+    margins; overflow past the calibrated caps still flags, never
+    silent). Shards are the contiguous N/D blocks :func:`shard_scene`
+    lays out."""
     import numpy as np
 
     if isinstance(cams, CameraParams) or not isinstance(
@@ -273,7 +275,7 @@ def a2a_caps_for_scene(
     inner = np.asarray(strip_bounds[1:-1])
     n = scene.num_gaussians
     ns = -(-n // d)
-    worst_cap, worst_wide = 0, 0
+    worst_cap, worst_wide, worst_straddle = 0, 0, 0
     for cam in cams:
         proj = preprocess_gaussians(
             scene,
@@ -303,12 +305,16 @@ def a2a_caps_for_scene(
             sl = slice(lo, hi)
             cnt = np.bincount(s0[sl][narrow[sl]], minlength=d)
             straddle = narrow[sl] & (s1[sl] > s0[sl])
-            cnt = cnt + np.bincount(s1[sl][straddle], minlength=d)
+            scnt = np.bincount(s1[sl][straddle], minlength=d)
             worst_cap = max(worst_cap, int(cnt.max()))
+            worst_straddle = max(
+                worst_straddle, int(scnt.max()) if scnt.size else 0
+            )
             worst_wide = max(worst_wide, int(np.sum(wide[sl])))
     cap = max(256, int(math.ceil(worst_cap * margin)))
     wide_cap = max(128, int(math.ceil(worst_wide * margin)))
-    return cap, wide_cap
+    straddle_cap = max(64, int(math.ceil(worst_straddle * margin)))
+    return cap, wide_cap, straddle_cap
 
 
 def _packed_strip_tail(
@@ -381,19 +387,22 @@ def _packed_strip_tail(
 
 def default_a2a_caps(
     num_gaussians: int, num_devices: int
-) -> Tuple[int, int]:
-    """Uncalibrated static capacities ``(cap, wide_cap)`` for the
-    ownership exchange (:func:`_exchange_a2a`): ``cap`` bounds the
-    records one chip sends one strip (expected N/D² with the measured
-    ≤0.2% strip duplication — 3× margin, same envelope the strip lane
-    capacity uses), ``wide_cap`` bounds the rare records spanning ≥3
-    strips (giant splats — they ride a small all_gather window
-    instead). Exceeding either flags overflow, never silent. Calibrate
-    per scene with :func:`a2a_caps_for_scene` to cut exchange bytes."""
+) -> Tuple[int, int, int]:
+    """Uncalibrated static capacities ``(cap, wide_cap, straddle_cap)``
+    for the ownership exchange (:func:`_exchange_a2a`): ``cap`` bounds
+    the FIRST-destination records one chip sends one strip (expected
+    N/D² — 3× margin, same envelope the strip lane capacity uses),
+    ``wide_cap`` bounds the rare records spanning ≥3 strips (giant
+    splats — they ride a small all_gather window instead), and
+    ``straddle_cap`` bounds one chip's 2-strip straddlers PER
+    destination (measured strip duplication ≤0.2% — docs/sort_plan.md).
+    Exceeding any flags overflow, never silent. Calibrate per scene
+    with :func:`a2a_caps_for_scene` to cut exchange bytes."""
     ns = -(-num_gaussians // num_devices)
     cap = max(256, -(-3 * ns // num_devices))
     wide_cap = max(128, ns // 64)
-    return cap, wide_cap
+    straddle_cap = max(128, ns // max(num_devices * 8, 8))
+    return cap, wide_cap, straddle_cap
 
 
 def _exchange_a2a(
@@ -419,31 +428,42 @@ def _exchange_a2a(
     runs at ~N/D lanes instead of N, which is what makes the per-chip
     compute actually divide by D.
 
-    Mechanics (scatter-free, one small sort at 2·N/D lanes):
+    Mechanics (scatter-free; the MAIN sort runs N/D lanes — straddlers
+    ride a key-only sort + small gather, exploiting the ≤0.2% measured
+    duplication, so the exchange grouping costs ~½ of the naive
+    two-slabs-per-record design):
 
     * destination strips ``s0 = strip(tmin_y)``, ``s1 = strip(tmax_y)``;
-      records spanning ≤ 2 strips emit ≤ 2 key lanes
-      ``dest·(N/D) + index`` (index keeps GLOBAL scene order inside each
+      every record emits ONE main key ``dest·(N/D) + index`` for its
+      FIRST destination (index keeps GLOBAL scene order inside each
       destination — the frame sort's tie order then matches the gather
-      path exactly); records spanning ≥ 3 strips (rect taller than a
-      whole strip) go to a D+1-th "wide" bucket.
-    * ONE stable u32-key sort groups the 7 payload rows by destination;
-      per-destination counts come from masked sums, so each
-      destination's records form a contiguous window at a cumsum
+      path); records spanning ≥ 3 strips (rect taller than a whole
+      strip) go to a D+1-th "wide" bucket.
+    * ONE stable u32-key sort groups the 7 payload rows by first
+      destination; per-destination counts come from masked sums, so
+      each destination's records form a contiguous window at a cumsum
       offset — a dynamic_slice, not a gather.
-    * fixed-capacity windows ride ``all_to_all`` (narrow) and a small
-      ``all_gather`` (wide); window tails beyond the real count are
-      zeroed (valid bit cleared) so a neighbor strip's straddler can
-      never blend twice.
+    * 2-strip STRADDLERS (the second-destination copies) are selected
+      by a (key, index)-only sort — 2 operands at N/D lanes — and ONE
+      small (7, straddle_cap·D) column gather ("K small" rule), then
+      window per second-destination the same way.
+    * fixed-capacity windows ride ``all_to_all`` (main + straddler) and
+      a small ``all_gather`` (wide); window tails beyond the real count
+      are zeroed (valid bit cleared) so a straddler can never blend
+      twice.
 
-    Returns ``(rows_all (7, D·cap + D·wide_cap), overflow)`` — receiver
-    lanes are source-major so concatenation preserves scene order for
-    narrow records; wide records append at the end (their frame-sort
-    ties with narrow records may order differently than single-chip —
-    only exact (tile, depth_q) ties are affected).
+    Returns ``(rows_all (7, D·(cap + straddle_cap) + D·wide_cap),
+    overflow)`` — receiver lanes are source-major so concatenation
+    preserves scene order for first-destination records; straddler and
+    wide copies append after (their frame-sort ties with main records
+    may order differently than single-chip — only exact
+    (tile, depth_q) ties are affected).
     """
     d = num_devices
-    cap, wide_cap = int(caps[0]), int(caps[1])
+    caps = tuple(caps)
+    if len(caps) == 2:  # legacy (cap, wide_cap): derive the straddle cap
+        caps = caps + (max(128, rows_local.shape[1] // max(d * 8, 8)),)
+    cap, wide_cap, scap = int(caps[0]), int(caps[1]), int(caps[2])
     ns = rows_local.shape[1]
 
     def strip_of(row):
@@ -454,9 +474,9 @@ def _exchange_a2a(
 
     s0 = strip_of(tmin_y)
     s1 = strip_of(tmax_y)
-    span2 = s1 - s0 >= 1
     wide_rec = valid & (s1 - s0 >= 2)
     narrow = valid & ~wide_rec
+    straddle = narrow & (s1 > s0)
     idx = jnp.arange(ns, dtype=jnp.uint32)
     nsu = jnp.uint32(ns)
     key0 = jnp.where(
@@ -464,28 +484,25 @@ def _exchange_a2a(
         s0.astype(jnp.uint32) * nsu + idx,
         jnp.where(wide_rec, jnp.uint32(d) * nsu + idx, SENTINEL_U32),
     )
-    key1 = jnp.where(
-        narrow & span2, s1.astype(jnp.uint32) * nsu + idx, SENTINEL_U32
-    )
-    keys = jnp.concatenate([key0, key1])
-    rows2 = jnp.concatenate([rows_local, rows_local], axis=1)
     sorted_ = jax.lax.sort(
-        (keys,) + tuple(rows2[i] for i in range(rows2.shape[0])),
+        (key0,) + tuple(rows_local[i] for i in range(rows_local.shape[0])),
         num_keys=1,
         is_stable=True,
     )
-    srows = jnp.stack(sorted_[1:], axis=0)  # (7, 2·ns) dest-grouped
+    srows = jnp.stack(sorted_[1:], axis=0)  # (7, ns) first-dest-grouped
 
     cnts = jnp.stack(
-        [
-            jnp.sum((narrow & (s0 == c)).astype(jnp.int32))
-            + jnp.sum((narrow & span2 & (s1 == c)).astype(jnp.int32))
-            for c in range(d)
-        ]
+        [jnp.sum((narrow & (s0 == c)).astype(jnp.int32)) for c in range(d)]
+    )
+    scnts = jnp.stack(
+        [jnp.sum((straddle & (s1 == c)).astype(jnp.int32)) for c in range(d)]
     )
     cnt_w = jnp.sum(wide_rec.astype(jnp.int32))
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)]
+    )
+    sstarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(scnts)]
     )
     # Pad so every fixed-size window slices in-bounds without clamping
     # (a clamp would shift a full window's contents).
@@ -503,13 +520,52 @@ def _exchange_a2a(
     recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
     narrow_all = jnp.moveaxis(recv, 0, 1).reshape(rows_local.shape[0], -1)
 
+    # ---- straddler second-destination copies: key-only sort + gather.
+    key1 = jnp.where(
+        straddle, s1.astype(jnp.uint32) * nsu + idx, SENTINEL_U32
+    )
+    _, sel = jax.lax.sort(
+        (key1, jnp.arange(ns, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    total_s = d * scap
+    sel_cols = sel[: min(total_s, ns)]
+    if total_s > ns:  # degenerate tiny-shard case: pad the selection
+        sel_cols = jnp.concatenate(
+            [sel_cols, jnp.zeros((total_s - ns,), jnp.int32)]
+        )
+    st_rows = rows_local[:, sel_cols]  # (7, D·scap) — small-K gather
+    st_rows = jnp.concatenate(
+        [st_rows, jnp.zeros((st_rows.shape[0], scap), jnp.uint32)], axis=1
+    )
+    swins = []
+    slane = jnp.arange(scap, dtype=jnp.int32)
+    for c in range(d):
+        # sstarts are positions within the straddler-sorted PREFIX; the
+        # prefix itself starts at column 0 of st_rows (sel is sorted by
+        # key1 so straddlers occupy the first Σ scnts columns).
+        win = jax.lax.dynamic_slice_in_dim(
+            st_rows, jnp.minimum(sstarts[c], total_s), scap, axis=1
+        )
+        swins.append(jnp.where((slane < scnts[c])[None, :], win, 0))
+    ssend = jnp.stack(swins, axis=0)  # (D, 7, scap)
+    srecv = jax.lax.all_to_all(ssend, AXIS, split_axis=0, concat_axis=0)
+    straddle_all = jnp.moveaxis(srecv, 0, 1).reshape(
+        rows_local.shape[0], -1
+    )
+
     wwin = jax.lax.dynamic_slice_in_dim(srows, starts[d], wide_cap, axis=1)
     wlane = jnp.arange(wide_cap, dtype=jnp.int32)
     wwin = jnp.where((wlane < cnt_w)[None, :], wwin, 0)
     wide_all = jax.lax.all_gather(wwin, AXIS, axis=1, tiled=True)
 
-    rows_all = jnp.concatenate([narrow_all, wide_all], axis=1)
-    overflow = jnp.any(cnts > cap) | (cnt_w > wide_cap)
+    rows_all = jnp.concatenate(
+        [narrow_all, straddle_all, wide_all], axis=1
+    )
+    overflow = (
+        jnp.any(cnts > cap)
+        | jnp.any(scnts > scap)
+        | (cnt_w > wide_cap)
+    )
     return rows_all, overflow
 
 

@@ -216,9 +216,9 @@ def test_a2a_window_truncation_flags_overflow():
 def test_default_caps_and_bad_mode():
     import pytest
 
-    cap, wide = default_a2a_caps(3_000_000, 16)
+    cap, wide, straddle = default_a2a_caps(3_000_000, 16)
     ns = -(-3_000_000 // 16)
-    assert cap >= 3 * ns // 16 and wide >= ns // 64
+    assert cap >= 3 * ns // 16 and wide >= ns // 64 and straddle >= 64
 
     scene, cam, cfg = _setup()
     mesh = make_mesh()

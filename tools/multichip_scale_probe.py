@@ -117,7 +117,7 @@ def main():
     rec_bytes = {
         "gather32": 22 * 4 * n,  # every chip receives the full N record
         "gather_q": EXCHANGE_ROWS * 4 * n,
-        "a2a_q": EXCHANGE_ROWS * 4 * (d * caps[0] + d * caps[1]),
+        "a2a_q": EXCHANGE_ROWS * 4 * d * sum(int(c) for c in caps),
     }
     rows = []
     for ex in ("gather32", "gather_q", "a2a_q"):
