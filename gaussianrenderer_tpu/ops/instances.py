@@ -252,7 +252,12 @@ def _center_q(c_px: jnp.ndarray) -> jnp.ndarray:
 #: √A·d ≤ 3.7 and σ = 1/√A ≥ d/3.7 ≥ 550 px ⇒ ≤ ~0.7% relative alpha —
 #: invisible, vs. arbitrarily wrong before. The kernel selects the
 #: decode per instance (one (1, K) select — not per pixel).
-COARSE_BIT = jnp.uint32(1 << 30)
+#: A NumPy scalar ON PURPOSE — module-level jnp arrays become captured
+#: jit constants that jax 0.9 hoists into an extra executable parameter
+#: ("Execution supplied N buffers but compiled program expected N+1" on
+#: re-dispatch — the SENTINEL comment's bug class; a jnp COARSE_BIT
+#: reproduced it in the 3r calibration probe).
+COARSE_BIT = _np.uint32(1 << 30)
 #: Coarse screen-fixed carrier: q = round(c_px) + CQ_BIAS (1-px units,
 #: covers centers in [−16384, +49151] px); tile-local row0 encode is
 #: q + 16384 − x0 (range ±32768 around the tile origin).
@@ -797,8 +802,10 @@ def _emit_tier_mask_slabs(
 #: u32 words per splat in the multi-chip exchange record (28 B/splat —
 #: vs the 22-f32 (88 B) record of the legacy gather32 exchange).
 EXCHANGE_ROWS = 7
-_VALID_BIT = jnp.uint32(1 << 30)
-_SAT_BIT = jnp.uint32(1 << 31)
+#: NumPy scalars on purpose — see COARSE_BIT (captured-jnp-constant
+#: arity bug class).
+_VALID_BIT = _np.uint32(1 << 30)
+_SAT_BIT = _np.uint32(1 << 31)
 
 
 def encode_record_rows(proj: ProjectedGaussians) -> jnp.ndarray:

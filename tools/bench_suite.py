@@ -288,9 +288,15 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     from gaussianrenderer_tpu.utils import JsonlWriter
     from gaussianrenderer_tpu.utils.timing import measure_floor
 
-    from gaussianrenderer_tpu.utils import enable_compilation_cache
+    if not calibrate_only:
+        # The CPU-only calibration subprocess does NOT enable the
+        # persistent cache: its compiles are cheap, and shared-dir
+        # entries can be XLA:CPU AOT results from a different machine
+        # feature set (the loader warns "could lead to SIGILL") or
+        # poisoned by concurrent writers.
+        from gaussianrenderer_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+        enable_compilation_cache()
     scene, cfg, pos, tvals = build(config, frames)
     if tiers:
         cfg = dataclasses.replace(cfg, tiers=parse_tiers(tiers))
