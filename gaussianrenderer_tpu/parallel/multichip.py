@@ -413,7 +413,7 @@ def _exchange_a2a(
     *,
     bounds: Tuple[int, ...],  # D+1 cumulative tile-row strip boundaries
     num_devices: int,
-    caps: Tuple[int, int],
+    caps: Tuple[int, int, int],
 ):
     """Strip-OWNERSHIP exchange: each chip ships each of its projected
     records only to the strips the record's tile rect intersects,
@@ -461,6 +461,10 @@ def _exchange_a2a(
     """
     d = num_devices
     caps = tuple(caps)
+    # DEPRECATED input shape: the current caps format is the 3-tuple
+    # (cap, wide_cap, straddle_cap) that default_a2a_caps /
+    # a2a_caps_for_scene return; persisting callers (e.g. the sidecar's
+    # a2a_caps entry) should store that shape (ADVICE r4).
     if len(caps) == 2:  # legacy (cap, wide_cap): derive the straddle cap
         caps = caps + (max(128, rows_local.shape[1] // max(d * 8, 8)),)
     cap, wide_cap, scap = int(caps[0]), int(caps[1]), int(caps[2])
@@ -580,7 +584,7 @@ def _strip_render(
     with_stats: bool = False,
     strip_bounds: Optional[Tuple[int, ...]] = None,
     exchange: str = "gather32",
-    a2a_caps: Optional[Tuple[int, int]] = None,
+    a2a_caps: Optional[Tuple[int, int, int]] = None,
 ):
     """Per-chip body run under shard_map (axis: AXIS).
 
@@ -919,7 +923,7 @@ def render_frame_multichip(
     time_value: Optional[jnp.ndarray] = None,
     strip_bounds: Optional[Tuple[int, ...]] = None,
     exchange: str = "gather_q",
-    a2a_caps: Optional[Tuple[int, int]] = None,
+    a2a_caps: Optional[Tuple[int, int, int]] = None,
 ):
     """Render one frame across every chip of ``mesh``.
 

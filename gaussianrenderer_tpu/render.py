@@ -719,7 +719,20 @@ def calibrate_tiers(
                 1.25 * max(pose_need(h) for h in pose_hists)
             )
         if emission_max is not None:
-            bounds.append(1.6 * float(emission_max))
+            # Capacity is consumed at full tier width m_hi per member
+            # while emission_max sums eff > m_lo, so the worst
+            # capacity/emission ratio is the ladder's largest
+            # m_hi/(m_lo+1) class-edge jump — an eff distribution
+            # clustered just above bucket lower edges can exceed a flat
+            # 1.6× margin and trigger overflow-retry recompiles every
+            # session (ADVICE r4). Derive the margin from the chosen
+            # ladder (floored at the measured-safe 1.6).
+            lo = 0
+            r_worst = 1.0
+            for m in widths:
+                r_worst = max(r_worst, m / (lo + 1))
+                lo = m
+            bounds.append(max(1.6, 1.1 * r_worst) * float(emission_max))
         cap_bound = round_up(int(max(bounds)) + 1024, 4)
         if cap_bound < int(tiers[0][1]):
             tiers = ((0, cap_bound),) + tuple(tiers[1:])

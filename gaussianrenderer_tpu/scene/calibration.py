@@ -59,7 +59,15 @@ def scene_fingerprint(scene_path: str) -> str:
 
 
 def config_key(cfg) -> str:
-    """The calibration-relevant static-config bucket."""
+    """The calibration-relevant static-config bucket.
+
+    Every knob that changes splat footprints (and hence the area
+    histogram the ladder was calibrated from) must appear here —
+    ``k_sigma`` scales every footprint, so omitting it made a
+    non-default-k_sigma session reuse a ladder calibrated for a
+    different footprint scale (ADVICE r4; cost was overflow +
+    recalibration, never a wrong image, but it defeated the sidecar's
+    compile-skip purpose)."""
     return (
         f"{cfg.width}x{cfg.height}"
         f"/t{cfg.tile_w}x{cfg.tile_h}"
@@ -67,6 +75,7 @@ def config_key(cfg) -> str:
         f"/q{int(cfg.quantize_centers)}"
         f"/d{cfg.ewa_dilation:g}"
         f"/c{int(cfg.ewa_compensate)}"
+        f"/k{cfg.k_sigma:g}"
     )
 
 

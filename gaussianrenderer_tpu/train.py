@@ -931,6 +931,7 @@ def fit_scene(
     strip_bounds=None,
     auto_capacity: bool = True,
     resume_from: Optional[str] = None,
+    zero_sh_rest: Optional[bool] = None,
 ):
     """The full 3DGS training loop as one supported call.
 
@@ -1104,13 +1105,43 @@ def fit_scene(
                         "overflow": overflow_events}
 
     n = params.positions.shape[0]
-    if sh_warmup_every and not resume_from and params.sh.shape[1] > 3:
+    if (
+        sh_warmup_every
+        and not resume_from
+        and params.sh.shape[1] > 3
+        and zero_sh_rest is not False
+    ):
         # Upstream 3DGS zero-inits features_rest; with the oneupSHdegree
         # warmup, bands that unlock late — or never, when
         # steps < sh_warmup_every·cfg.sh_degree — must not ship their
         # init noise in the output scene (ADVICE r3). Zeroing at warmup
         # start makes a permanently-locked band exactly upstream's
         # untrained state (zero view-dependence), not junk.
+        #
+        # ``zero_sh_rest`` (ADVICE r4): a caller FINE-TUNING a pretrained
+        # scene (params loaded from a trained PLY, resume_from unset)
+        # would silently lose all view-dependent color here. Default None
+        # keeps the fresh-fit behavior but warns when the bands being
+        # zeroed carry real signal; pass False to keep pretrained bands
+        # (the warmup then only gates when they resume training) or True
+        # to zero silently.
+        if zero_sh_rest is None:
+            import numpy as _zsr_np
+
+            rest_mag = float(
+                _zsr_np.max(_zsr_np.abs(_zsr_np.asarray(params.sh[:, 3:])))
+            ) if n else 0.0
+            if rest_mag > 1e-6:
+                import warnings
+
+                warnings.warn(
+                    "fit_scene: sh_warmup_every is zeroing non-zero SH "
+                    f"bands above degree 0 (max |coeff| {rest_mag:.3g}) — "
+                    "a pretrained scene loses its view-dependent color. "
+                    "Pass zero_sh_rest=False to keep the bands, or "
+                    "zero_sh_rest=True to silence this warning.",
+                    RuntimeWarning,
+                )
         params = params._replace(sh=params.sh.at[:, 3:].set(0.0))
     if sh_warmup_every and steps < sh_warmup_every * cfg.sh_degree:
         import warnings
