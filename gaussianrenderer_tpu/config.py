@@ -144,6 +144,24 @@ class RenderConfig:
     #: from the scene's area histogram.
     tiers: Optional[tuple] = None
 
+    #: Frame-coherent saturation/overdraw culling (ops/satcull.py,
+    #: packed path only): splats provably behind fully-saturated
+    #: (T < 1e-3) 16×16 pixel blocks — per the PREVIOUS frame's
+    #: saturation depths — are dropped before the frame sort, removing
+    #: their sort lanes AND compositor pairs. Exact for a static camera
+    #: from frame 2; under motion ``sat_margin`` (camera-depth units)
+    #: absorbs saturation-front shifts and the ``sat_risk`` stat counts
+    #: blocks where the coherence assumption broke (self-healing next
+    #: frame). The per-frame cutoff state threads through
+    #: ``render_frame``'s ``sat_state``/third return value
+    #: (``make_renderer`` does this automatically).
+    sat_cull: bool = False
+
+    #: Conservative depth margin (camera units) added to every
+    #: saturation cutoff before culling. Generalizes the reference's
+    #: per-pixel early-exit (``render.cu:326-328``) across frames.
+    sat_margin: float = 0.25
+
     # ---------------------------------------------------------------- derived
     @property
     def tile_w(self) -> int:

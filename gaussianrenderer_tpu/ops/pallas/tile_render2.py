@@ -73,6 +73,10 @@ PACK_ROWS = 5
 #: payload stays 5 rows (that's where row count costs ~11 ms each).
 DMA_ROWS = 8
 
+#: Lane padding of the per-tile saturation-index output block (Mosaic
+#: requires 128-divisible last block dims; only [0, sat_blocks) carry data).
+SAT_PAD = 128
+
 
 #: Fixed-point encodings (must match ops/instances.py): 13.3 fixed point,
 #: tile-local centers in [−4096, +4095.875] — exact for integer-quantized
@@ -157,12 +161,8 @@ def _tile_kernel(
     tile_count_ref,  # (T,) int32 SMEM
     # inputs
     feats_hbm,  # (DMA_ROWS, C + 2*chunk) uint32, stays in HBM
-    # outputs
-    out_ref,  # (3, P) VMEM block for this tile
-    # scratch
-    chunk_ref,  # (2, DMA_ROWS, chunk) uint32 VMEM double buffer
-    sem_ref,  # (2,) DMA semaphores
-    *,
+    # outputs (sat_ref present only with sat_blocks)
+    *refs,  # out_ref (3, P) VMEM [, sat_ref (1, B)], chunk scratch, sems
     tile_w: int,
     tile_h: int,
     chunk: int,
@@ -172,7 +172,15 @@ def _tile_kernel(
     out_depth: bool = False,
     term_stride: int = 1,
     dma_depth: int = 2,
+    sat_blocks: int = 0,
+    tiles_x: int = 0,
+    width: int = 0,
+    height: int = 0,
 ):
+    if sat_blocks:
+        out_ref, sat_ref, chunk_ref, sem_ref = refs
+    else:
+        out_ref, chunk_ref, sem_ref = refs
     k = chunk
     p = tile_h * tile_w
     t = pl.program_id(0)
@@ -196,6 +204,28 @@ def _tile_kernel(
         )  # (P, 8)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
+    if sat_blocks:
+        # Saturation-depth census (ops/satcull.py): per 16×16 sub-block,
+        # record the first sorted-lane index at which the block's max
+        # transmittance over its IN-IMAGE pixels fell below T_EPS. Blocks
+        # are (by, bx) row-major; chunk-granular recording rounds the
+        # cutoff UP (conservative). Cost per chunk: sat_blocks masked
+        # (P, 1) max-reduces — noise next to the (P, K) pair chain.
+        sb = 16
+        bw = tile_w // sb
+        in_img = ((t % tiles_x) * tile_w + px_i < width) & (
+            (t // tiles_x) * tile_h + py_i < height
+        )  # (P, 1)
+        sat_masks = []
+        for b in range(sat_blocks):
+            bx = b % bw
+            by = b // bw
+            sat_masks.append(
+                in_img
+                & (px_i >= bx * sb) & (px_i < (bx + 1) * sb)
+                & (py_i >= by * sb) & (py_i < (by + 1) * sb)
+            )
+
     def chunk_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
             feats_hbm.at[:, pl.ds(aligned_start + chunk_idx * k, k)],
@@ -217,7 +247,7 @@ def _tile_kernel(
     #                    per-pixel gate zeroes, so output is IDENTICAL
     #   term_stride=0  — no early termination (measurement baseline)
     def cond(state):
-        i, alive, transmittance, _ = state
+        i, alive, transmittance = state[0], state[1], state[2]
         if term_stride == 0:
             return i < num_chunks
         if term_stride == 1:
@@ -227,7 +257,7 @@ def _tile_kernel(
         return jnp.logical_and(i < num_chunks, alive)
 
     def body(state):
-        i, alive, transmittance, rgb = state
+        i, alive, transmittance, rgb, sat = state
 
         @pl.when(i + (dma_depth - 1) < num_chunks)
         def _():
@@ -363,15 +393,39 @@ def _tile_kernel(
                 lambda t: alive,
                 transmittance,
             )
-        return i + 1, alive, transmittance, rgb
+        if sat_blocks:
+            # Conservative: the crossing happened somewhere inside this
+            # chunk; record its LAST real lane (cutoffs only round up).
+            lane_end = jnp.minimum(
+                aligned_start + (i + 1) * k, start + count
+            ) - 1
+            sat = tuple(
+                jnp.where(
+                    (jnp.max(jnp.where(sat_masks[b], transmittance, 0.0))
+                     < T_EPS) & (sat[b] < 0),
+                    lane_end,
+                    sat[b],
+                )
+                for b in range(sat_blocks)
+            )
+        return i + 1, alive, transmittance, rgb, sat
 
     init = (
         jnp.int32(0),
         jnp.bool_(True),
         jnp.ones((p, 1), dtype=jnp.float32),
         jnp.zeros((p, 4 if out_depth else 3), dtype=jnp.float32),
+        tuple(jnp.int32(-1) for _ in range(sat_blocks)),
     )
-    i_end, _, t_final, rgb = jax.lax.while_loop(cond, body, init)
+    i_end, _, t_final, rgb, sat_fin = jax.lax.while_loop(cond, body, init)
+    if sat_blocks:
+        # The out block is lane-padded to SAT_PAD (Mosaic requires
+        # 128-divisible last block dims); positions ≥ sat_blocks carry −1.
+        row = jnp.full((1, SAT_PAD), -1, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SAT_PAD), 1)
+        for b in range(sat_blocks):
+            row = jnp.where(lane == b, sat_fin[b], row)
+        sat_ref[:] = row
 
     # Drain the prefetched-but-unconsumed DMAs after an early exit
     # (started = [0, min(num_chunks, i_end + dma_depth − 1)), waited =
@@ -401,7 +455,7 @@ def _tile_kernel(
     static_argnames=(
         "tiles_x", "tiles_y", "tile_w", "tile_h", "width", "height",
         "chunk", "precision", "mxu_q", "out_alpha", "term_stride",
-        "dma_depth",
+        "dma_depth", "with_sat",
     ),
 )
 def composite_tiles_packed(
@@ -422,13 +476,24 @@ def composite_tiles_packed(
     depth_row: "jnp.ndarray | None" = None,  # (C,) f32 camera-space depth
     term_stride: int = 1,
     dma_depth: int = 2,
+    with_sat: bool = False,
 ) -> jnp.ndarray:
     """Composite all tiles from packed features; returns (3, H, W) f32,
     plus optional rows in [alpha, depth] order: accumulated alpha
     (``out_alpha``) and expected depth Σ w·d (``depth_row`` — rides the
-    spare DMA row 5, costing the sort nothing)."""
+    spare DMA row 5, costing the sort nothing).
+
+    ``with_sat=True`` additionally returns the (T·B,) int32 per-sub-block
+    saturation lane indices (B = 16×16 blocks per tile, (by, bx)
+    row-major; −1 = never saturated) — the input of
+    ``ops.satcull.cutoff_from_sat``."""
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
+    sat_blocks = (tile_w // 16) * (tile_h // 16) if with_sat else 0
+    if with_sat:
+        assert tile_w % 16 == 0 and tile_h % 16 == 0, (
+            "sat census needs 16px-divisible tiles"
+        )
     # Pad the instance axis so every aligned chunk window is in bounds, and
     # the row axis 5 → DMA_ROWS=8 (Mosaic sublane alignment; see DMA_ROWS).
     c = packed_feats.shape[1]
@@ -449,14 +514,33 @@ def composite_tiles_packed(
         _tile_kernel, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
         precision=precision, mxu_q=mxu_q, out_alpha=out_alpha,
         out_depth=out_depth, term_stride=term_stride, dma_depth=dma_depth,
+        sat_blocks=sat_blocks, tiles_x=tiles_x, width=width, height=height,
     )
+    fb_spec = pl.BlockSpec(
+        (nc, p), lambda t, *prefetch: (0, t), memory_space=pltpu.VMEM
+    )
+    fb_shape = jax.ShapeDtypeStruct((nc, num_tiles * p), jnp.float32)
+    if with_sat:
+        out_specs = [
+            fb_spec,
+            pl.BlockSpec(
+                (1, SAT_PAD),
+                lambda t, *prefetch: (0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            fb_shape,
+            jax.ShapeDtypeStruct((1, num_tiles * SAT_PAD), jnp.int32),
+        ]
+    else:
+        out_specs = fb_spec
+        out_shape = fb_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (nc, p), lambda t, *prefetch: (0, t), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((dma_depth, DMA_ROWS, chunk), jnp.uint32),
             pltpu.SemaphoreType.DMA((dma_depth,)),
@@ -465,13 +549,18 @@ def composite_tiles_packed(
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nc, num_tiles * p), jnp.float32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, tile_count, feats)
+    sat = None
+    if with_sat:
+        out, sat = out
+        sat = sat.reshape(num_tiles, SAT_PAD)[:, :sat_blocks].reshape(-1)
 
     fb = out.reshape(nc, tiles_y, tiles_x, tile_h, tile_w)
     fb = fb.transpose(0, 1, 3, 2, 4).reshape(
         nc, tiles_y * tile_h, tiles_x * tile_w
     )
-    return fb[:, :height, :width]
+    fb = fb[:, :height, :width]
+    return (fb, sat) if with_sat else fb

@@ -55,6 +55,15 @@ class RenderStats(NamedTuple):
     #: () bool (packed path only) — a tile-local center saturated the 13.3
     #: fixed-point encode; affected splats render with a clamped center.
     center_clipped: Optional[jnp.ndarray] = None
+    #: () int32 (sat_cull only) — splats dropped by the saturation cull
+    #: this frame (ops/satcull.py).
+    sat_culled: Optional[jnp.ndarray] = None
+    #: () int32 (sat_cull only) — 16×16 blocks that were saturated last
+    #: frame (so culling was active there) but did NOT saturate this
+    #: frame: the disocclusion signal that frame coherence may have
+    #: clipped content this frame. Such blocks publish no cutoff for the
+    #: next frame (self-healing). Never silent, per the truncation rule.
+    sat_risk: Optional[jnp.ndarray] = None
 
 
 def _render_impl(
@@ -63,6 +72,7 @@ def _render_impl(
     cfg: RenderConfig,
     time_value: Optional[jnp.ndarray] = None,
     ndc_probe: Optional[jnp.ndarray] = None,
+    sat_state: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, RenderStats]:
     # 4D spacetime Gaussians: time-conditioned opacity AND position slicing
     # before projection (reference roadmap README.md:16; BASELINE config 5).
@@ -100,6 +110,37 @@ def _render_impl(
             composite_tiles_packed,
         )
 
+        with_sat = cfg.sat_cull and sat_state is not None
+        sat_culled = None
+        if with_sat:
+            # Frame-coherent saturation cull (ops/satcull.py): drop
+            # splats provably behind last frame's T<1e-3 fronts BEFORE
+            # emission, so their lanes never reach the area/frame sorts
+            # or the compositor. Conservative + flagged, never silent.
+            from gaussianrenderer_tpu.ops import satcull
+
+            sy, sx = satcull.sat_grid(
+                cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h
+            )
+            depth_bits = min(
+                32 - max(int(cfg.num_tiles).bit_length(), 1), 24
+            )
+            step = (jnp.float32(cam.far) - jnp.float32(cam.near)) / float(
+                (1 << depth_bits) - 1
+            )
+            culled = satcull.cull_mask(
+                proj.valid,
+                proj.depth,
+                proj.aabb_px,
+                satcull.build_pyramid(sat_state),
+                sx=sx,
+                sy=sy,
+                margin=cfg.sat_margin,
+                depth_step=step,
+            )
+            sat_culled = jnp.sum(culled.astype(jnp.int32))
+            proj = proj._replace(valid=proj.valid & ~culled)
+
         inst = build_packed_instances(
             proj,
             tiles_x=cfg.tiles_x,
@@ -111,7 +152,7 @@ def _render_impl(
             far=cam.far,
             tier_boost=cfg.tier_boost,
             tiers=cfg.tiers,
-            want_depth=want_depth,
+            want_depth=want_depth or with_sat,
         )
         fb = composite_tiles_packed(
             inst.packed_feats,
@@ -125,8 +166,30 @@ def _render_impl(
             height=cfg.height,
             chunk=cfg.packed_chunk,
             out_alpha=want_alpha,
-            depth_row=inst.depth_f32,
+            depth_row=inst.depth_f32 if want_depth else None,
+            with_sat=with_sat,
         )
+        sat_risk = None
+        new_cutoff = None
+        if with_sat:
+            fb, sat_idx = fb
+            new_cutoff = satcull.cutoff_from_sat(
+                sat_idx,
+                inst.depth_f32,
+                tiles_x=cfg.tiles_x,
+                tiles_y=cfg.tiles_y,
+                tile_w=cfg.tile_w,
+                tile_h=cfg.tile_h,
+            )
+            # Disocclusion honesty: blocks that were culling (cutoff
+            # present) but failed to re-saturate. They publish SAT_NONE
+            # in new_cutoff, so the next frame self-heals.
+            sat_risk = jnp.sum(
+                (
+                    (sat_state < satcull.SAT_NONE)
+                    & (new_cutoff >= satcull.SAT_NONE)
+                ).astype(jnp.int32)
+            )
         fb = _finish_fb(fb, cfg)
         stats = RenderStats(
             num_culled=jnp.sum(proj.valid.astype(jnp.int32)),
@@ -134,7 +197,11 @@ def _render_impl(
             overflow=inst.overflow,
             area_hist=inst.area_hist,
             center_clipped=inst.center_clipped,
+            sat_culled=sat_culled,
+            sat_risk=sat_risk,
         )
+        if with_sat:
+            return fb, stats, new_cutoff
         return fb, stats
 
     assignment = build_sorted_instances(
@@ -269,6 +336,16 @@ def _render_frame_time(scene, cam, cfg, time_value):
     return _render_impl(scene, cam, cfg, time_value)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_frame_sat(scene, cam, cfg, sat_state):
+    return _render_impl(scene, cam, cfg, None, None, sat_state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_frame_time_sat(scene, cam, cfg, time_value, sat_state):
+    return _render_impl(scene, cam, cfg, time_value, None, sat_state)
+
+
 _warned_default_tiers = False
 
 
@@ -277,15 +354,21 @@ def render_frame(
     cam: CameraParams,
     cfg: RenderConfig,
     time_value: Optional[jnp.ndarray] = None,
+    sat_state: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, RenderStats]:
     """Render one frame. Returns a planar (3, H, W) float32 framebuffer.
 
     The planar layout matches the reference's SSBO framebuffer
     (``canvas.hpp:104-106``): channel-major, row y=0 at NDC y=−1.
     ``cfg`` is static (hashable dataclass); camera and time are traced, so
-    interaction never recompiles. Dispatches to one of two fixed-arity
+    interaction never recompiles. Dispatches to one of four fixed-arity
     jitted entry points (a single Optional-arg jit trips the C++ fast-path
     argument matching on this jax version when arities are mixed).
+
+    With ``cfg.sat_cull`` pass ``sat_state`` (the previous frame's cutoff
+    image; ``ops.satcull.initial_cutoff`` for frame 1) — the return
+    becomes ``(fb, stats, new_sat_state)``. ``make_renderer`` threads the
+    state automatically.
     """
     if (
         cfg.tiers is None
@@ -312,8 +395,16 @@ def render_frame(
                 "~4x.",
                 stacklevel=2,
             )
-    fn = _render_frame_static if time_value is None else _render_frame_time
-    args = (scene, cam, cfg) if time_value is None else (scene, cam, cfg, time_value)
+    if sat_state is not None:
+        if time_value is None:
+            fn, args = _render_frame_sat, (scene, cam, cfg, sat_state)
+        else:
+            fn = _render_frame_time_sat
+            args = (scene, cam, cfg, time_value, sat_state)
+    elif time_value is None:
+        fn, args = _render_frame_static, (scene, cam, cfg)
+    else:
+        fn, args = _render_frame_time, (scene, cam, cfg, time_value)
     try:
         return fn(*args)
     except ValueError as e:  # pragma: no cover - jax 0.9 fastpath bug
@@ -795,9 +886,30 @@ def make_renderer(
         # Keep the positional arity stable per cache entry (None time is
         # simply omitted) — mixing arities for the same static cfg trips
         # the jit fast-path argument matching on some jax versions.
+        cfg_now = state["cfg"]
+        sat = None
+        if (
+            cfg_now.sat_cull
+            and cfg_now.compositor == "packed"
+            and cfg_now.packed_compatible
+        ):
+            if state.get("sat") is None:
+                from gaussianrenderer_tpu.ops.satcull import initial_cutoff
+
+                state["sat"] = initial_cutoff(
+                    cfg_now.tiles_x, cfg_now.tiles_y,
+                    cfg_now.tile_w, cfg_now.tile_h,
+                )
+            sat = state["sat"]
         if time_value is None:
-            return render_frame(scene, cam, state["cfg"])
-        return render_frame(scene, cam, state["cfg"], time_value)
+            out = render_frame(scene, cam, cfg_now, sat_state=sat)
+        else:
+            out = render_frame(scene, cam, cfg_now, time_value, sat_state=sat)
+        if sat is not None:
+            fb, stats, new_sat = out
+            state["sat"] = new_sat
+            return fb, stats
+        return out
 
     def _recalibrate(out, cam, time_value):
         """Calibrate from the frame's histogram; retry while truncating."""
