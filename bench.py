@@ -64,6 +64,18 @@ def main():
         help="explicit instance-tier ladder 'm:k,m:k,...' (skips calibration)",
     )
     ap.add_argument(
+        "--sat-cull",
+        action="store_true",
+        help="frame-coherent saturation culling (ops/satcull.py): cutoff "
+        "state threads through the dispatch chain; reports culled counts",
+    )
+    ap.add_argument(
+        "--sat-margin",
+        type=float,
+        default=None,
+        help="override cfg.sat_margin (camera-depth units)",
+    )
+    ap.add_argument(
         "--calibrate-only",
         action="store_true",
         help="CPU-only projection probe: print the calibrated ladder to "
@@ -121,6 +133,12 @@ def main():
         width=args.width,
         compositor=args.compositor,
         tier_boost=args.tier_boost,
+        sat_cull=args.sat_cull,
+        **(
+            {"sat_margin": args.sat_margin}
+            if args.sat_margin is not None
+            else {}
+        ),
     )
     log(
         f"cfg: {cfg.width}x{cfg.height} tiles {cfg.tiles_x}x{cfg.tiles_y} "
@@ -204,8 +222,27 @@ def main():
 
     render_jit = jax.jit(functools.partial(_render_impl, cfg=cfg))
 
+    sat_state = None
+    if args.sat_cull:
+        from gaussianrenderer_tpu.ops import satcull
+
+        sat_state = satcull.initial_cutoff(
+            cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h
+        )
+
+        @jax.jit
+        def render_sat(s, p, sat):
+            return _render_impl(s, p, cfg, None, None, sat)
+
+    def frame(params):
+        nonlocal sat_state
+        if sat_state is None:
+            return render_jit(scene, params)
+        fb, stats, sat_state = render_sat(scene, params, sat_state)
+        return fb, stats
+
     t0 = time.time()
-    fb, stats = render_jit(scene, cam.params(cfg.k_sigma))
+    fb, stats = frame(cam.params(cfg.k_sigma))
     n_inst = int(stats.num_instances)
     n_cull = int(stats.num_culled)
     overflow = bool(stats.overflow)
@@ -213,6 +250,58 @@ def main():
         f"first frame (compile+run): {time.time()-t0:.1f}s; "
         f"instances={n_inst} culled={n_cull} overflow={overflow}"
     )
+    if args.sat_cull:
+        # Warm the cutoff state once so the measured orbit culls from
+        # frame one (matches a running interactive session).
+        _, stats2 = frame(cam.params(cfg.k_sigma))
+        log(
+            f"sat-cull warm: culled={int(stats2.sat_culled)} splats, "
+            f"instances={int(stats2.num_instances)}"
+        )
+        # Recalibrate the ladder against the CULLED population: the
+        # windowed/compacted window sizes are static, so without this
+        # the frame sort still covers the UNCULLED lane count (culled
+        # lanes merely turn SENTINEL) and the cull only helps the
+        # compositor. The culled frame's area_hist/num_instances are
+        # exactly the culled eff statistics (the cull runs before
+        # prepack). Overflow on disocclusion frames is flagged and
+        # would auto-boost in a make_renderer session.
+        if stats2.area_hist is not None and cfg.tiers is not None:
+            import numpy as _np_sat
+
+            new_tiers = calibrate_tiers(
+                _np_sat.asarray(stats2.area_hist, dtype=_np_sat.int64),
+                num_tiles=cfg.num_tiles,
+                headroom=1.5,
+                emission_max=int(int(stats2.num_instances) * 1.3),
+            )
+            if new_tiers != cfg.tiers:
+                cfg = dataclasses.replace(cfg, tiers=new_tiers)
+                if new_tiers and int(new_tiers[0][0]) == 0:
+                    lanes2 = int(new_tiers[0][1])
+                else:
+                    lanes2 = ladder_lanes(new_tiers, num_gaussians)
+                if cfg.packed_chunk == RenderConfig().packed_chunk:
+                    cfg = dataclasses.replace(
+                        cfg,
+                        packed_chunk=RenderConfig.auto_packed_chunk(lanes2),
+                    )
+                log(
+                    f"sat-cull recalibrated tiers: {new_tiers} "
+                    f"(lanes ~{lanes2/1e6:.1f}M)"
+                )
+
+                @jax.jit
+                def render_sat(s, p, sat):
+                    return _render_impl(s, p, cfg, None, None, sat)
+
+                t0 = time.time()
+                _, stats3 = frame(cam.params(cfg.k_sigma))
+                log(
+                    f"recalibrated compile+run {time.time()-t0:.1f}s "
+                    f"inst={int(stats3.num_instances)} "
+                    f"overflow={bool(stats3.overflow)}"
+                )
     if overflow:
         log("WARNING: tier overflow — coverage truncated")
 
@@ -283,7 +372,7 @@ def main():
     def chain(params_chunk):
         fb = None
         for p in params_chunk:
-            fb, _ = render_jit(scene, p)
+            fb, _ = frame(p)
         return float(fb[0, 0, 0])
 
     chain(frame_params[:1])  # warm
@@ -319,6 +408,17 @@ def main():
         else None
     )
 
+    sat_detail = None
+    if args.sat_cull:
+        _, st_f = frame(frame_params[-1])
+        sat_detail = {
+            "culled_splats": int(st_f.sat_culled),
+            "risk_blocks": int(st_f.sat_risk),
+            "instances": int(st_f.num_instances),
+            "margin": cfg.sat_margin,
+        }
+        log(f"sat-cull final: {sat_detail}")
+
     details = {
         "metric": "ms_per_frame",
         "resolution": f"{args.width}x{args.height}",
@@ -335,6 +435,7 @@ def main():
         "per_dispatch_ms": dispatch_ms,
         "walls_ms": walls,
         "sync_floor_ms": floor,
+        "sat_cull": sat_detail,
     }
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)

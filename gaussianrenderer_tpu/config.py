@@ -162,6 +162,13 @@ class RenderConfig:
     #: per-pixel early-exit (``render.cu:326-328``) across frames.
     sat_margin: float = 0.25
 
+    #: Spatial erosion radius (16px blocks) of the cutoff image before
+    #: culling: protects against saturation fronts sliding LATERALLY by
+    #: up to this many blocks between frames (the depth margin only
+    #: covers motion along the ray). 1 covers ~16 px/frame of screen
+    #: motion; raise for faster cameras, 0 for static ones.
+    sat_dilate: int = 1
+
     # ---------------------------------------------------------------- derived
     @property
     def tile_w(self) -> int:

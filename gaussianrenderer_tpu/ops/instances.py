@@ -345,9 +345,28 @@ def _enum_ok(tiles_x: int, tiles_y: int, tile_w: int, tile_h: int) -> bool:
     return tiles_x * tile_w <= 4095
 
 
+def _sat_cut_lookup(table, tile_ids):
+    """Batched per-position saturation-cutoff fetch: ``tile_ids`` is a
+    list of (G,) int32 tile indices; returns a list of (G,) f32 cutoff
+    thresholds (quantized-depth units) via ONE gather-free MXU table
+    lookup over the concatenation (ops/pallas/lookup.py — an N-scale
+    ``jnp.take`` would be scalar-core bound). ``table`` is the
+    (num_tiles,) f32 table from ``ops.satcull.tile_cutoff_q``."""
+    from gaussianrenderer_tpu.ops.pallas.lookup import table_lookup
+
+    m = int(table.shape[0])
+    q = 128
+    r = max(-(-m // q), 1)
+    r = -(-r // 8) * 8  # sublane-align the one-hot contraction dim
+    flat = jnp.concatenate(tile_ids)
+    cuts = table_lookup(table, flat, r=r, q=q)
+    g = tile_ids[0].shape[0]
+    return [cuts[i * g : (i + 1) * g] for i in range(len(tile_ids))]
+
+
 def _live_scan(
     prune, cq, ax, ay, tmin_x, tmin_y, rect_w, area, scan_ok, coarse,
-    *, tile_w: int, tile_h: int,
+    *, tile_w: int, tile_h: int, tiles_x: int = 0, sat=None,
 ):
     """8-position live-tile scan for rects with area ≤ ENUM_AREA.
 
@@ -359,7 +378,15 @@ def _live_scan(
     pays 3 sort lanes, not 8 — whereas the per-lane prune alone still
     paid a (SENTINEL) sort lane per dead tile. ``ax``/``ay`` are the
     PURE packed AABB rows (mask nibbles not yet inserted). The (dx, dy)
-    rect walk is division-free: increment-and-wrap against rect_w."""
+    rect walk is division-free: increment-and-wrap against rect_w.
+
+    ``sat`` (optional ``(table_q, depth_qf)`` — see
+    :func:`_sat_cut_lookup`): positions whose tile is saturation-culled
+    for this splat's depth are DEAD here too, so they stop consuming
+    lanes before the area sort (the per-position saturation cull — the
+    c7 census puts tile-granular dead instances at ~56% of the
+    composited stream, ~2.6× what the per-splat whole-rect cull
+    reaches)."""
     qx = (cq >> 16).astype(jnp.int32)
     qy = (cq & 0xFFFF).astype(jnp.int32)
     cx_f, cy_f = _cq_decode(qx, qy, coarse)
@@ -370,25 +397,34 @@ def _live_scan(
     safe_w = jnp.maximum(rect_w, 1)
     dx = jnp.zeros_like(rect_w)
     dy = jnp.zeros_like(rect_w)
-    mask = jnp.zeros(area.shape, jnp.uint32)
-    cnt = jnp.zeros(area.shape, jnp.int32)
+    txs, tys = [], []
     for p in range(ENUM_AREA):
-        tx = tmin_x + dx
-        ty = tmin_y + dy
-        dead = _tile_dead(
-            prune, cx_f, cy_f,
-            (tx * tile_w).astype(jnp.float32),
-            (ty * tile_h).astype(jnp.float32),
-            xmin_f, ymin_f, xmax_f, ymax_f, tile_w, tile_h,
-        )
-        live = scan_ok & (p < area) & ~dead
-        mask = mask | jnp.where(live, jnp.uint32(1 << p), jnp.uint32(0))
-        cnt = cnt + live.astype(jnp.int32)
+        txs.append(tmin_x + dx)
+        tys.append(tmin_y + dy)
         if p + 1 < ENUM_AREA:
             dx = dx + 1
             wrap = dx >= safe_w
             dx = jnp.where(wrap, 0, dx)
             dy = dy + wrap.astype(jnp.int32)
+    cuts = None
+    if sat is not None:
+        cuts = _sat_cut_lookup(
+            sat[0], [txs[p] + tys[p] * tiles_x for p in range(ENUM_AREA)]
+        )
+    mask = jnp.zeros(area.shape, jnp.uint32)
+    cnt = jnp.zeros(area.shape, jnp.int32)
+    for p in range(ENUM_AREA):
+        dead = _tile_dead(
+            prune, cx_f, cy_f,
+            (txs[p] * tile_w).astype(jnp.float32),
+            (tys[p] * tile_h).astype(jnp.float32),
+            xmin_f, ymin_f, xmax_f, ymax_f, tile_w, tile_h,
+        )
+        if cuts is not None:
+            dead = dead | (sat[1] > cuts[p])
+        live = scan_ok & (p < area) & ~dead
+        mask = mask | jnp.where(live, jnp.uint32(1 << p), jnp.uint32(0))
+        cnt = cnt + live.astype(jnp.int32)
     return mask, cnt
 
 
@@ -500,6 +536,7 @@ def _emit_tier(
     member_major: bool = False,
     live_mask: bool = False,
     aabb_bits: int = 0xFFFF,
+    sat_table: "Optional[jnp.ndarray]" = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Broadcast one tier: each Gaussian × m tile lanes.
 
@@ -535,6 +572,8 @@ def _emit_tier(
     halves on decode (0xFFF when the mask nibbles are packed).
     """
     if live_mask:
+        # Live-mask lanes were already saturation-culled (when enabled)
+        # inside _live_scan — the mask bit simply never got set.
         assert m <= ENUM_AREA
         return _emit_tier_mask_slabs(
             tmin_x, tmin_y, rect_w, emit, depth_q, rows6,
@@ -546,7 +585,7 @@ def _emit_tier(
             tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, prune,
             m=m, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
             depth_bits=depth_bits, member_major=member_major,
-            aabb_bits=aabb_bits,
+            aabb_bits=aabb_bits, sat_table=sat_table,
         )
     cq, ac, bop, rgb, ax, ay = rows6
     abx = aabb_bits
@@ -586,6 +625,13 @@ def _emit_tier(
         )
         lane_ok &= ~dead
     tile_id = (tx + ty * tiles_x).astype(jnp.uint32)
+    if sat_table is not None:
+        # Per-position saturation cull (tile-granular cutoff table,
+        # ops/satcull.py tile_cutoff_q): one flattened MXU lookup.
+        cut = _sat_cut_lookup(
+            sat_table, [(tx + ty * tiles_x).reshape(-1)]
+        )[0].reshape(tx.shape)
+        lane_ok &= ~(depth_q.astype(jnp.float32)[None, :] > cut)
     key = (tile_id << depth_bits) | depth_q[None, :]
     key = jnp.where(lane_ok, key, SENTINEL)
 
@@ -642,7 +688,7 @@ def _emit_tier(
 def _emit_tier_slabs(
     tmin_x, tmin_y, rect_w, rect_h, emit, depth_q, rows6, prune,
     *, m, tiles_x, tile_w, tile_h, depth_bits, member_major=False,
-    aabb_bits=0xFFFF,
+    aabb_bits=0xFFFF, sat_table=None,
 ):
     """Small-m tier emission as m full-lane-width 1-D slabs (see
     :func:`_emit_tier` — identical outputs and lane order)."""
@@ -662,6 +708,15 @@ def _emit_tier_slabs(
     ymin_f = ymin_g.astype(jnp.float32)
     ymax_f = ymax_g.astype(jnp.float32)
 
+    cuts = None
+    if sat_table is not None:
+        tids = []
+        for i in range(m):
+            dx = jnp.remainder(jnp.int32(i), safe_w)
+            dy = jnp.int32(i) // safe_w
+            tids.append((tmin_x + dx) + (tmin_y + dy) * tiles_x)
+        cuts = _sat_cut_lookup(sat_table, tids)
+        depth_f = depth_q.astype(jnp.float32)
     keys, row0s, row4s = [], [], []
     for i in range(m):
         dx = jnp.remainder(jnp.int32(i), safe_w)  # (G,)
@@ -669,6 +724,8 @@ def _emit_tier_slabs(
         tx = tmin_x + dx
         ty = tmin_y + dy
         lane_ok = emit & (i < rect_n)
+        if cuts is not None:
+            lane_ok &= ~(depth_f > cuts[i])
         x0i = tx * tile_w
         y0i = ty * tile_h
         if prune is not None:
@@ -1015,6 +1072,7 @@ def _nscale_prepack(
     tile_w: int,
     tile_h: int,
     skip_prune: bool = False,
+    sat=None,  # Optional (table_q, depth_qf) — per-position saturation cull
 ) -> _Prepack:
     """Per-Gaussian pre-packing + live-tile scan (N-scale, elementwise).
 
@@ -1103,6 +1161,7 @@ def _nscale_prepack(
         mask8, live_cnt = _live_scan(
             prune_all, cq, aabb_x, aabb_y, tmin_x, tmin_y,
             rect_w, area, scan_ok, coarse, tile_w=tile_w, tile_h=tile_h,
+            tiles_x=tiles_x, sat=sat,
         )
         valid = valid & (~scan_ok | (live_cnt > 0))
         eff = jnp.where(scan_ok, live_cnt, area)
@@ -1168,6 +1227,11 @@ def build_packed_instances(
     want_depth: bool = False,  # decode per-lane depth from the sorted keys
     depth_bits: Optional[int] = None,  # override the derived key split
     _skip: Tuple[str, ...] = (),  # PROFILING ONLY: drop "hist"/"prune"/"wide"
+    sat_cut_q: Optional[jnp.ndarray] = None,  # (num_tiles,) f32 per-tile
+    # saturation cutoffs in depth-quantization units (satcull.tile_cutoff_q)
+    # — enables the PER-POSITION saturation cull in the live scan and the
+    # positional emitters: instances behind a fully-saturated tile stop
+    # consuming sort lanes and compositor pairs.
 ) -> PackedInstances:
     del capacity
     num_tiles = tiles_x * tiles_y
@@ -1187,9 +1251,20 @@ def build_packed_instances(
             f"tile_bits {tile_bits} + depth_bits {depth_bits} > 32"
         )
 
+    sat = None
+    if sat_cut_q is not None:
+        # Unmasked quantized depth (the same carrier the sort key uses;
+        # invalid lanes are dead regardless, so masking can wait).
+        span0 = jnp.maximum(jnp.float32(far) - jnp.float32(near), 1e-6)
+        d01_raw = jnp.clip((proj.depth - near) / span0, 0.0, 1.0)
+        sat = (
+            sat_cut_q,
+            (d01_raw * float((1 << depth_bits) - 1)).astype(jnp.uint32)
+            .astype(jnp.float32),
+        )
     pk = _nscale_prepack(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,
-        tile_h=tile_h, skip_prune="prune" in _skip,
+        tile_h=tile_h, skip_prune="prune" in _skip, sat=sat,
     )
     valid, area, eff, rows6 = pk.valid, pk.area, pk.eff, pk.rows6
     prune_all = pk.prune_all
@@ -1237,6 +1312,7 @@ def build_packed_instances(
             member_major=mm,
             live_mask=lm,
             aabb_bits=abx,
+            sat_table=sat_cut_q,
         )
 
     m0 = ladder[0][0]

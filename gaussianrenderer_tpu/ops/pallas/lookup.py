@@ -4,17 +4,21 @@ Instance/N-scale gathers are scalar-core bound on TPU (~8 ns per output
 element — PERF_NOTES.md layout rules), so a 3M-splat lookup into even a
 tiny table costs ~24 ms through ``jnp.take``. The saturation-cull pass
 (ops/satcull.py) needs exactly that shape — N per-splat indices into a
-≲16k-entry flattened cutoff pyramid — once per frame.
+≲16k-entry flattened cutoff table/pyramid — once per frame.
 
-This kernel factors the flat index into (row, column) of a (R, Q) view
-of the table and evaluates
+This kernel factors the flat index into (row, column) of an (R, Q) view
+of the table and evaluates, per 1024-index block,
 
-    out[n] = Σ_q  (one_hot(idx>>log2 Q) @ table)[n, q] · one_hot(idx&(Q−1))[n, q]
+    out[n] = Σ_q (tableᵀ @ one_hot(idx>>log2 Q))[q, n] · one_hot(idx&(Q−1))[q, n]
 
-per 1024-index block: one (1024, R)·(R, Q) bf16 MXU matmul (one-hot ×
-value products are exact) plus two iota-compares and a lane reduce on
-the VPU. Measured cost model: ~R·Q MACs per index — ~1 ms at N = 3M,
-R = Q = 128 (vs ~24 ms for the gather).
+— one (Q, R)·(R, B) bf16 MXU matmul (one-hot × value products are
+exact) plus two iota-compares and a sublane reduce on the VPU. All
+shapes are lane-major (last dim 1024/128-wide): degenerate (N, 1)
+layouts fed to/from a pallas custom-call sent XLA's layout assignment
+into scalar-space (S(1)) allocations at 3M scale, OOMing the backend —
+the lane-major formulation avoids minor-dim-1 arrays entirely.
+Measured cost model: ~R·Q MACs per index — ~1 ms at N = 3M, R = Q = 128
+(vs ~24 ms for the gather).
 
 The table rides in bf16 (8-bit mantissa): callers whose values must not
 round DOWN (the conservative saturation cutoffs) pre-round UP with
@@ -33,10 +37,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-#: Indices per grid step (8 sublanes × 128 lanes keeps every op 2-D).
-BLOCK = 1024
+#: Indices per grid step. Sized so the (Q, BLOCK) one-hot/row
+#: intermediates stay a few MB of VMEM while the Pallas per-grid-step
+#: fixed cost (~1 µs — same class as the compositor's chunk fixed term)
+#: amortizes: at 1024 lanes/step a 24M-lookup frame paid ~25 ms of pure
+#: grid overhead; at 8192 it is ~3k steps total.
+BLOCK = 8192
 
 
 def bf16_ceil(x: jnp.ndarray) -> jnp.ndarray:
@@ -49,20 +56,21 @@ def bf16_ceil(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lookup_kernel(idx_ref, table_ref, out_ref, *, r: int, q: int):
-    idx = idx_ref[:]  # (BLOCK, 1) int32
+    idx = idx_ref[:]  # (1, BLOCK) int32
     hi = idx // q
     lo = idx - hi * q
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
-    iota_q = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)
-    oh_hi = (hi == iota_r).astype(jnp.bfloat16)  # (BLOCK, R)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (q, 1), 0)
+    ohr = (hi == iota_r).astype(table_ref.dtype)  # (R, BLOCK)
     rows = jax.lax.dot_general(
-        oh_hi,
-        table_ref[:],  # (R, Q) bf16
+        table_ref[:],  # (Q, R) bf16 — the transposed table view
+        ohr,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BLOCK, Q) f32 — exact: products are 0/1 × bf16 value
-    oh_lo = (lo == iota_q).astype(jnp.float32)
-    out_ref[:] = jnp.sum(rows * oh_lo, axis=1, keepdims=True)
+    )  # (Q, BLOCK) f32 — exact: products are 0/1 × bf16 value
+    ohq = (lo == iota_q).astype(jnp.float32)  # (Q, BLOCK)
+    out_ref[:] = jnp.sum(rows * ohq, axis=0, keepdims=True)
+
 
 
 @functools.partial(jax.jit, static_argnames=("r", "q"))
@@ -84,20 +92,29 @@ def table_lookup(
     n = idx.shape[0]
     nb = -(-n // BLOCK)
     idx2 = jnp.clip(idx, 0, m - 1).astype(jnp.int32)
-    idx2 = jnp.pad(idx2, (0, nb * BLOCK - n)).reshape(nb * BLOCK, 1)
-    tab = jnp.zeros((r * q,), jnp.bfloat16).at[:m].set(
-        table.astype(jnp.bfloat16)
-    ).reshape(r, q)
+    idx2 = jnp.pad(idx2, (0, nb * BLOCK - n)).reshape(1, nb * BLOCK)
+    # bf16 table on the real MXU; the CPU interpreter has no
+    # bf16×bf16→f32 dot, so it runs the (already bf16-rounded) values
+    # as f32 — bit-identical results either way.
+    interpret = jax.default_backend() != "tpu"
+    tdt = jnp.float32 if interpret else jnp.bfloat16
+    tab = (
+        jnp.zeros((r * q,), tdt)
+        .at[:m]
+        .set(table.astype(jnp.bfloat16).astype(tdt))
+        .reshape(r, q)
+        .T  # (Q, R): the kernel consumes the transposed view
+    )
 
     out = pl.pallas_call(
         functools.partial(_lookup_kernel, r=r, q=q),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((BLOCK, 1), lambda b: (b, 0)),
-            pl.BlockSpec((r, q), lambda b: (0, 0)),
+            pl.BlockSpec((1, BLOCK), lambda b: (0, b)),
+            pl.BlockSpec((q, r), lambda b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 1), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb * BLOCK, 1), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        out_specs=pl.BlockSpec((1, BLOCK), lambda b: (0, b)),
+        out_shape=jax.ShapeDtypeStruct((1, nb * BLOCK), jnp.float32),
+        interpret=interpret,
     )(idx2, tab)
-    return out[:n, 0]
+    return out.reshape(-1)[:n]

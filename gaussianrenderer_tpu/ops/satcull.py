@@ -192,6 +192,70 @@ def cull_mask(
     return valid & (depth > cut + (margin + 1.5 * depth_step))
 
 
+def dilate_cutoff(cutoff_img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Spatial min-filter over a (2r+1)² block neighborhood.
+
+    The depth margin absorbs saturation-front motion ALONG the ray;
+    camera rotation/translation also slides fronts LATERALLY across the
+    screen — at 15°/frame orbit steps a front moves several 16px blocks,
+    and a depth margin alone cannot see that (c4 census pose 2: 31 dB
+    before dilation). Raising every cutoff to the MAX of its
+    neighborhood (higher cutoff = cull less; a SAT_NONE neighbor
+    disables culling outright) makes the cull safe against up to
+    ``radius`` blocks of lateral front motion per frame. Separable, r
+    steps of 3-point maxes — image-space cost, negligible."""
+    img = cutoff_img
+    for _ in range(max(radius, 0)):
+        pad = jnp.pad(img, ((1, 1), (0, 0)), constant_values=SAT_NONE)
+        img = jnp.maximum(jnp.maximum(pad[:-2], pad[1:-1]), pad[2:])
+        pad = jnp.pad(img, ((0, 0), (1, 1)), constant_values=SAT_NONE)
+        img = jnp.maximum(
+            jnp.maximum(pad[:, :-2], pad[:, 1:-1]), pad[:, 2:]
+        )
+    return img
+
+
+def tile_cutoff_q(
+    cutoff_img: jnp.ndarray,  # (sy, sx) f32 — decoded-depth cutoffs
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    near,
+    depth_step,
+    margin: float,
+) -> jnp.ndarray:
+    """Per-TILE cutoff table in frame-sort depth-quantization units — the
+    input of the PER-POSITION cull inside emission (ops/instances.py
+    ``sat_cut_q``): an instance at tile t with quantized depth q is dead
+    iff q > table[t].
+
+    Tile-granular conservatism: an instance may touch ANY block of its
+    tile, so the tile's cutoff is the MAX over its 16×16 blocks —
+    culling needs the WHOLE tile saturated beyond the instance's depth,
+    exactly the reach of the kernel's early-exit, applied before the
+    sort instead of inside the compositor. The c7 census puts this at
+    ~56% of composited instances vs ~59% for block granularity
+    (overdraw_census.jsonl), so the cheaper table costs ~3% of the
+    ceiling. Values are bf16-ceiled (the MXU lookup table rides bf16;
+    rounding UP only ever un-culls). An unsaturated block (SAT_NONE)
+    makes its tile never cull."""
+    from gaussianrenderer_tpu.ops.pallas.lookup import bf16_ceil
+
+    bh = tile_h // SB
+    bw = tile_w // SB
+    tmax_ = cutoff_img.reshape(tiles_y, bh, tiles_x, bw).max(axis=(1, 3))
+    q = jnp.floor(
+        (tmax_.reshape(-1) - jnp.float32(near))
+        / jnp.maximum(jnp.float32(depth_step), 1e-20)
+    )
+    margin_q = jnp.ceil(
+        jnp.float32(margin) / jnp.maximum(jnp.float32(depth_step), 1e-20)
+    )
+    return bf16_ceil(q + margin_q).astype(jnp.float32)
+
+
 def cutoff_from_sat(
     sat_idx: jnp.ndarray,  # (T·B,) int32 — kernel sat output, −1 = never
     depth_sorted: jnp.ndarray,  # (C,) f32 per-lane decoded depth

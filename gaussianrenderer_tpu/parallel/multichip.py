@@ -237,6 +237,153 @@ def balance_strips_for_scene(
     )
 
 
+def tile_loads_from_rects(
+    tmin, tmax, valid, tiles_x: int, tiles_y: int
+) -> np.ndarray:
+    """Instance lanes per TILE from tile-rect arrays (NumPy) — the 2-D
+    analog of :func:`row_loads_from_rects` for rect-strip balancing.
+    4-corner difference array + double prefix sum: O(N + tiles)."""
+    tmin = np.asarray(tmin)
+    tmax = np.asarray(tmax)
+    use = (
+        np.asarray(valid)
+        & (tmax[:, 1] >= 0) & (tmin[:, 1] < tiles_y)
+        & (tmax[:, 0] >= 0) & (tmin[:, 0] < tiles_x)
+    )
+    x0 = np.clip(tmin[use, 0], 0, tiles_x - 1)
+    x1 = np.clip(tmax[use, 0], 0, tiles_x - 1)
+    y0 = np.clip(tmin[use, 1], 0, tiles_y - 1)
+    y1 = np.clip(tmax[use, 1], 0, tiles_y - 1)
+    d = np.zeros((tiles_y + 1, tiles_x + 1), np.int64)
+    np.add.at(d, (y0, x0), 1)
+    np.subtract.at(d, (y0, x1 + 1), 1)
+    np.subtract.at(d, (y1 + 1, x0), 1)
+    np.add.at(d, (y1 + 1, x1 + 1), 1)
+    return np.cumsum(np.cumsum(d, axis=0), axis=1)[:tiles_y, :tiles_x]
+
+
+def balance_strip_rects(tile_loads, n_strips: int):
+    """2-D load-balanced rect decomposition: contiguous row BANDS, each
+    split into contiguous column ranges (VERDICT r4 #3 — past ~16 chips
+    the row-only partition is quantization-bound: 34 tile rows over 16
+    strips leaves slack 1.31 from row indivisibility alone, not load).
+
+    Tries every (bands, cols-per-band) factorization of ``n_strips``
+    (including the pure-row (D, 1) layout), balancing row-band
+    boundaries on row sums and each band's column boundaries on that
+    band's column sums (both optimal-contiguous via
+    :func:`balance_strip_bounds`), and returns the best as
+    ``(row_bounds, col_bounds_per_band)`` — the ``strip_rects`` input
+    of :func:`render_frame_multichip` — plus its worst-rect slack
+    (max rect load / ideal). Chips are ordered band-major.
+    """
+    loads = np.asarray(tile_loads, np.int64)
+    tiles_y, tiles_x = loads.shape
+    ideal = max(loads.sum() / max(n_strips, 1), 1.0)
+    best = None
+    for bands in range(1, n_strips + 1):
+        if n_strips % bands:
+            continue
+        cols = n_strips // bands
+        if bands > tiles_y or cols > tiles_x:
+            continue
+        row_bounds = balance_strip_bounds(loads.sum(axis=1), bands)
+        col_bounds = []
+        worst = 0
+        for b in range(bands):
+            y0, y1 = row_bounds[b], row_bounds[b + 1]
+            band = loads[y0:y1]
+            if band.size == 0:  # empty band: all columns to the last rect
+                cb = tuple([0] * cols + [tiles_x])
+            else:
+                cb = balance_strip_bounds(band.sum(axis=0), cols)
+            col_bounds.append(tuple(cb))
+            for j in range(cols):
+                worst = max(
+                    worst,
+                    int(loads[y0:y1, cb[j]:cb[j + 1]].sum()),
+                )
+        slack = worst / ideal
+        if best is None or slack < best[2]:
+            best = (tuple(row_bounds), tuple(col_bounds), slack)
+    if best is None:
+        raise ValueError(
+            f"no rect factorization of {n_strips} fits a "
+            f"{tiles_y}x{tiles_x} grid"
+        )
+    return (best[0], best[1]), best[2]
+
+
+def rect_geometry(strip_rects, num_devices: int, tiles_y: int, tiles_x: int):
+    """Validate a ``(row_bounds, col_bounds_per_band)`` rect spec and
+    return ``(rects, rows_max, cols_max)`` where ``rects[chip]`` is
+    ``(y0, rows, x0, cols)`` in band-major chip order. The ONE geometry
+    derivation shared by the render path and the reassembly."""
+    row_bounds, col_bounds = strip_rects
+    bands = len(row_bounds) - 1
+    if row_bounds[0] != 0 or row_bounds[-1] != tiles_y or any(
+        row_bounds[i] > row_bounds[i + 1] for i in range(bands)
+    ):
+        raise ValueError(f"bad rect row_bounds {row_bounds}")
+    if len(col_bounds) != bands:
+        raise ValueError("col_bounds must have one tuple per row band")
+    rects = []
+    for b in range(bands):
+        cb = col_bounds[b]
+        if cb[0] != 0 or cb[-1] != tiles_x or any(
+            cb[i] > cb[i + 1] for i in range(len(cb) - 1)
+        ):
+            raise ValueError(f"bad rect col_bounds {cb}")
+        for j in range(len(cb) - 1):
+            rects.append(
+                (
+                    row_bounds[b],
+                    row_bounds[b + 1] - row_bounds[b],
+                    cb[j],
+                    cb[j + 1] - cb[j],
+                )
+            )
+    if len(rects) != num_devices:
+        raise ValueError(
+            f"rect spec yields {len(rects)} rects for {num_devices} chips"
+        )
+    rows_max = max(max(r[1] for r in rects), 1)
+    cols_max = max(max(r[3] for r in rects), 1)
+    return tuple(rects), rows_max, cols_max
+
+
+def balance_rects_for_scene(
+    scene: GaussianScene,
+    cam: CameraParams,
+    cfg: RenderConfig,
+    n_strips: int,
+):
+    """One-call 2-D rect calibration (the :func:`balance_strips_for_scene`
+    analog): probe one pose's per-tile loads, partition into row bands ×
+    column ranges. Returns ``(strip_rects, slack)``."""
+    proj = preprocess_gaussians(
+        scene,
+        cam,
+        width=cfg.width,
+        height=cfg.height,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        tiles_x=cfg.tiles_x,
+        tiles_y=cfg.tiles_y,
+        sh_degree=cfg.sh_degree,
+        quantize_centers=cfg.quantize_centers,
+        ewa_dilation=cfg.ewa_dilation,
+        ewa_compensate=cfg.ewa_compensate,
+    )
+    from gaussianrenderer_tpu.ops.instances import packed_valid_np
+
+    valid = packed_valid_np(proj.valid, proj.opacity)
+    loads = tile_loads_from_rects(
+        proj.tile_min, proj.tile_max, valid, cfg.tiles_x, cfg.tiles_y
+    )
+    return balance_strip_rects(loads, n_strips)
+
+
 def a2a_caps_for_scene(
     scene: GaussianScene,
     cams,
@@ -326,6 +473,8 @@ def _packed_strip_tail(
     capacity: int,
     tiles_y_local: int,
     strip_h: int,
+    tiles_x_local: "Optional[int]" = None,
+    strip_w: "Optional[int]" = None,
 ):
     """Strip-local packed fast path shared by BOTH exchange modes: the
     same gather-free pipeline as the single-chip renderer
@@ -353,9 +502,13 @@ def _packed_strip_tail(
     # (and alpha blending doesn't commute) — multichip_scale_probe
     # caught a 41 dB divergence at 100k splats from exactly this.
     g_tile_bits = max(int(cfg.num_tiles).bit_length(), 1)
+    if tiles_x_local is None:
+        tiles_x_local = cfg.tiles_x
+    if strip_w is None:
+        strip_w = cfg.width
     inst = build_packed_instances(
         proj_full,
-        tiles_x=cfg.tiles_x,
+        tiles_x=tiles_x_local,
         tiles_y=tiles_y_local,
         tile_w=cfg.tile_w,
         tile_h=cfg.tile_h,
@@ -371,12 +524,12 @@ def _packed_strip_tail(
         inst.packed_feats,
         inst.tile_start,
         inst.tile_count,
-        tiles_x=cfg.tiles_x,
+        tiles_x=tiles_x_local,
         tiles_y=tiles_y_local,
         tile_w=cfg.tile_w,
         tile_h=cfg.tile_h,
-        width=cfg.width,
-        height=strip_h,  # full strip; global crop happens outside
+        width=strip_w,
+        height=strip_h,  # full strip/rect; global crop happens outside
         chunk=cfg.packed_chunk,
         out_alpha=cfg.output_alpha or cfg.background is not None,
         depth_row=inst.depth_f32,
@@ -411,9 +564,12 @@ def _exchange_a2a(
     tmax_y: jnp.ndarray,
     valid: jnp.ndarray,  # (N/D,) bool
     *,
-    bounds: Tuple[int, ...],  # D+1 cumulative tile-row strip boundaries
+    bounds: Optional[Tuple[int, ...]],  # D+1 cumulative row boundaries
     num_devices: int,
     caps: Tuple[int, int, int],
+    strip_rects=None,  # 2-D (row_bounds, col_bounds_per_band) ownership
+    tmin_x: Optional[jnp.ndarray] = None,  # required with strip_rects
+    tmax_x: Optional[jnp.ndarray] = None,
 ):
     """Strip-OWNERSHIP exchange: each chip ships each of its projected
     records only to the strips the record's tile rect intersects,
@@ -470,17 +626,59 @@ def _exchange_a2a(
     cap, wide_cap, scap = int(caps[0]), int(caps[1]), int(caps[2])
     ns = rows_local.shape[1]
 
-    def strip_of(row):
-        s = jnp.zeros_like(row)
-        for b in bounds[1:-1]:
-            s = s + (row >= b).astype(jnp.int32)
-        return s
+    if strip_rects is not None:
+        # 2-D RECT ownership (VERDICT r4 #3): destinations are every
+        # (row band × column range) rect the record's tile rect
+        # intersects. The downstream machinery is unchanged — it only
+        # needs (first dest, second dest, destination count); a static
+        # band loop derives them with per-band column searchsorted
+        # (static tuples → compare chains, no gathers).
+        row_bounds, col_bounds = strip_rects
+        bands = len(row_bounds) - 1
+        ndest = jnp.zeros_like(tmin_y)
+        dest0 = jnp.zeros_like(tmin_y)
+        dest1 = jnp.zeros_like(tmin_y)
+        found0 = jnp.zeros(tmin_y.shape, bool)
+        found1 = jnp.zeros(tmin_y.shape, bool)
+        base = 0
+        for b in range(bands):
+            cb = col_bounds[b]
+            cols = len(cb) - 1
+            ov = (tmin_y <= row_bounds[b + 1] - 1) & (
+                tmax_y >= row_bounds[b]
+            )
+            c0 = jnp.zeros_like(tmin_x)
+            c1 = jnp.zeros_like(tmax_x)
+            for e in cb[1:-1]:
+                c0 = c0 + (tmin_x >= e).astype(jnp.int32)
+                c1 = c1 + (tmax_x >= e).astype(jnp.int32)
+            cnt_b = jnp.where(ov, c1 - c0 + 1, 0)
+            ndest = ndest + cnt_b
+            chip0 = base + c0
+            dest0 = jnp.where(~found0 & ov, chip0, dest0)
+            second_here = ov & ~found0 & (cnt_b >= 2)
+            dest1 = jnp.where(~found1 & second_here, chip0 + 1, dest1)
+            later = ov & found0 & ~found1
+            dest1 = jnp.where(later, chip0, dest1)
+            found1 = found1 | second_here | later
+            found0 = found0 | ov
+            base += cols
+        wide_rec = valid & (ndest >= 3)
+        narrow = valid & ~wide_rec
+        straddle = narrow & (ndest == 2)
+        s0, s1 = dest0, dest1
+    else:
+        def strip_of(row):
+            s = jnp.zeros_like(row)
+            for b in bounds[1:-1]:
+                s = s + (row >= b).astype(jnp.int32)
+            return s
 
-    s0 = strip_of(tmin_y)
-    s1 = strip_of(tmax_y)
-    wide_rec = valid & (s1 - s0 >= 2)
-    narrow = valid & ~wide_rec
-    straddle = narrow & (s1 > s0)
+        s0 = strip_of(tmin_y)
+        s1 = strip_of(tmax_y)
+        wide_rec = valid & (s1 - s0 >= 2)
+        narrow = valid & ~wide_rec
+        straddle = narrow & (s1 > s0)
     idx = jnp.arange(ns, dtype=jnp.uint32)
     nsu = jnp.uint32(ns)
     key0 = jnp.where(
@@ -585,6 +783,7 @@ def _strip_render(
     strip_bounds: Optional[Tuple[int, ...]] = None,
     exchange: str = "gather32",
     a2a_caps: Optional[Tuple[int, int, int]] = None,
+    strip_rects=None,  # 2-D (row_bounds, col_bounds_per_band) ownership
 ):
     """Per-chip body run under shard_map (axis: AXIS).
 
@@ -606,7 +805,23 @@ def _strip_render(
     multi-chip callers surface the per-chip flags reduced over the mesh.
     """
     chip = jax.lax.axis_index(AXIS)
-    if strip_bounds is None:
+    strip_x0 = None  # set for 2-D rect strips only
+    tiles_x_local = cfg.tiles_x
+    if strip_rects is not None:
+        # 2-D rect strips (row bands × column ranges): every chip
+        # computes the (rows_max, cols_max) envelope (one static shape
+        # for shard_map) but owns only its rect.
+        rects, rows_max, cols_max = rect_geometry(
+            strip_rects, num_devices, cfg.tiles_y, cfg.tiles_x
+        )
+        arr = jnp.asarray(rects, jnp.int32)  # (D, 4): y0, rows, x0, cols
+        strip_y0 = arr[chip, 0]
+        rows_here = arr[chip, 1]
+        strip_x0 = arr[chip, 2]
+        cols_here = arr[chip, 3]
+        tiles_y_local = rows_max
+        tiles_x_local = cols_max
+    elif strip_bounds is None:
         # Equal-row strips: every chip owns tiles_y/D contiguous rows.
         tiles_y_local = cfg.tiles_y // num_devices
         strip_y0 = chip * tiles_y_local
@@ -655,7 +870,9 @@ def _strip_render(
         rows_local = encode_record_rows(proj)  # (7, N/D) u32
         ex_overflow = jnp.bool_(False)
         if exchange == "a2a_q":
-            if strip_bounds is None:
+            if strip_rects is not None:
+                bounds_eq = None
+            elif strip_bounds is None:
                 t_loc = cfg.tiles_y // num_devices
                 bounds_eq = tuple(
                     i * t_loc for i in range(num_devices + 1)
@@ -673,6 +890,9 @@ def _strip_render(
                 bounds=bounds_eq,
                 num_devices=num_devices,
                 caps=caps,
+                strip_rects=strip_rects,
+                tmin_x=proj.tile_min[:, 0],
+                tmax_x=proj.tile_max[:, 0],
             )
         else:  # "gather_q"
             rows_all = jax.lax.all_gather(
@@ -705,6 +925,26 @@ def _strip_render(
             - strip_y0
         )
         valid_strip = proj_g.valid & (tmin_y_s <= tmax_y_s)
+        tmin_x_s = proj_g.tile_min[:, 0]
+        tmax_x_s = proj_g.tile_max[:, 0]
+        if strip_x0 is not None:
+            # Rect strips: the same rebase in x (exact — coordinates
+            # are 1/8-px multiples and x_off is an integer px count).
+            x_off = (strip_x0 * cfg.tile_w).astype(jnp.float32)
+            x_hi = jnp.maximum(cols_here * cfg.tile_w - 1, 0).astype(
+                jnp.float32
+            )
+            center_px = center_px.at[:, 0].add(-x_off)
+            aabb_x = jnp.clip(
+                aabb[:, jnp.array([0, 2])] - x_off, 0.0, x_hi
+            )
+            aabb = aabb.at[:, jnp.array([0, 2])].set(aabb_x)
+            tmin_x_s = jnp.maximum(tmin_x_s, strip_x0) - strip_x0
+            tmax_x_s = (
+                jnp.minimum(tmax_x_s, strip_x0 + cols_here - 1)
+                - strip_x0
+            )
+            valid_strip = valid_strip & (tmin_x_s <= tmax_x_s)
         proj_full = ProjectedGaussians(
             valid=valid_strip,
             depth=proj_g.depth,
@@ -713,12 +953,8 @@ def _strip_render(
             center_px=center_px,
             conic=proj_g.conic,
             aabb_px=aabb,
-            tile_min=jnp.stack(
-                [proj_g.tile_min[:, 0], tmin_y_s], axis=-1
-            ),
-            tile_max=jnp.stack(
-                [proj_g.tile_max[:, 0], tmax_y_s], axis=-1
-            ),
+            tile_min=jnp.stack([tmin_x_s, tmin_y_s], axis=-1),
+            tile_max=jnp.stack([tmax_x_s, tmax_y_s], axis=-1),
         )
         strip_h = tiles_y_local * cfg.tile_h
         fb_strip, p_overflow, p_clipped = _packed_strip_tail(
@@ -729,6 +965,8 @@ def _strip_render(
             capacity=capacity,
             tiles_y_local=tiles_y_local,
             strip_h=strip_h,
+            tiles_x_local=tiles_x_local,
+            strip_w=tiles_x_local * cfg.tile_w,
         )
         # Exchange-window truncation and pre-exchange center saturation
         # fold into the existing flags — never silent.
@@ -785,10 +1023,31 @@ def _strip_render(
     tmax_y = jnp.minimum(tile_max[:, 1], strip_y0 + rows_here - 1) - strip_y0
     intersects = tmin_y <= tmax_y
     valid_strip = valid_all & intersects
-    tile_min_strip = jnp.stack([tile_min[:, 0], tmin_y], axis=-1)
-    tile_max_strip = jnp.stack([tile_max[:, 0], tmax_y], axis=-1)
+    tmin_x = tile_min[:, 0]
+    tmax_x = tile_max[:, 0]
+    if strip_x0 is not None:
+        # Rect strips: the same shift/clamp/restrict in x.
+        x_off = (strip_x0 * cfg.tile_w).astype(jnp.float32)
+        xshift = jnp.zeros((FEAT_DIM,), jnp.float32).at[
+            jnp.array([FEAT_CX, FEAT_XMIN, FEAT_XMIN + 2])
+        ].set(x_off)
+        feats_all = feats_all - xshift[None, :]
+        x_hi = jnp.maximum(cols_here * cfg.tile_w - 1, 0).astype(
+            jnp.float32
+        )
+        aabb_x = jnp.clip(
+            feats_all[:, jnp.array([FEAT_XMIN, FEAT_XMIN + 2])], 0.0, x_hi
+        )
+        feats_all = feats_all.at[
+            :, jnp.array([FEAT_XMIN, FEAT_XMIN + 2])
+        ].set(aabb_x)
+        tmin_x = jnp.maximum(tmin_x, strip_x0) - strip_x0
+        tmax_x = jnp.minimum(tmax_x, strip_x0 + cols_here - 1) - strip_x0
+        valid_strip = valid_strip & (tmin_x <= tmax_x)
+    tile_min_strip = jnp.stack([tmin_x, tmin_y], axis=-1)
+    tile_max_strip = jnp.stack([tmax_x, tmax_y], axis=-1)
 
-    num_tiles_local = cfg.tiles_x * tiles_y_local
+    num_tiles_local = tiles_x_local * tiles_y_local
     strip_h = tiles_y_local * cfg.tile_h
 
     if compositor == "packed":
@@ -810,6 +1069,8 @@ def _strip_render(
             capacity=capacity,
             tiles_y_local=tiles_y_local,
             strip_h=strip_h,
+            tiles_x_local=tiles_x_local,
+            strip_w=tiles_x_local * cfg.tile_w,
         )
         if with_stats:
             return fb_strip, p_overflow, p_clipped
@@ -913,7 +1174,10 @@ def _strip_render(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "strip_bounds", "exchange", "a2a_caps"),
+    static_argnames=(
+        "cfg", "mesh", "strip_bounds", "exchange", "a2a_caps",
+        "strip_rects",
+    ),
 )
 def render_frame_multichip(
     scene: GaussianScene,
@@ -924,6 +1188,7 @@ def render_frame_multichip(
     strip_bounds: Optional[Tuple[int, ...]] = None,
     exchange: str = "gather_q",
     a2a_caps: Optional[Tuple[int, int, int]] = None,
+    strip_rects=None,
 ):
     """Render one frame across every chip of ``mesh``.
 
@@ -962,6 +1227,16 @@ def render_frame_multichip(
     """
     if exchange not in ("gather32", "gather_q", "a2a_q"):
         raise ValueError(f"unknown exchange mode {exchange!r}")
+    if strip_rects is not None:
+        if strip_bounds is not None:
+            raise ValueError("pass strip_bounds OR strip_rects, not both")
+        if not (
+            cfg.compositor == "packed" and cfg.packed_compatible
+        ):
+            raise ValueError(
+                "2-D rect strips require the packed compositor (the "
+                "xla/diff training paths keep row strips)"
+            )
     d = mesh.shape[AXIS]
     if strip_bounds is None:
         if cfg.tiles_y % d != 0:
@@ -991,6 +1266,7 @@ def render_frame_multichip(
             strip_bounds=strip_bounds,
             exchange=exchange,
             a2a_caps=a2a_caps,
+            strip_rects=strip_rects,
         )
         # any() over the mesh: max of the per-chip flags as int32.
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
@@ -1013,6 +1289,33 @@ def render_frame_multichip(
     )
     fb, overflow, clipped = fn(scene, cam)
     stats = {"overflow": overflow, "center_clipped": clipped}
+    if strip_rects is not None:
+        # Reassemble band-major rect blocks: chip c's slab is
+        # rows_max·tile_h rows × cols_max·tile_w cols, of which
+        # (rows·th, cols·tw) are real. Per band: concat its rects'
+        # column slices; then concat the bands' rows.
+        rects, rows_max, cols_max = rect_geometry(
+            strip_rects, d, cfg.tiles_y, cfg.tiles_x
+        )
+        th, tw = cfg.tile_h, cfg.tile_w
+        row_bounds, col_bounds = strip_rects
+        band_imgs = []
+        c = 0
+        for b in range(len(row_bounds) - 1):
+            band_h = (row_bounds[b + 1] - row_bounds[b]) * th
+            cols_here = []
+            for j in range(len(col_bounds[b]) - 1):
+                y0 = c * rows_max * th
+                w_here = (col_bounds[b][j + 1] - col_bounds[b][j]) * tw
+                if band_h > 0 and w_here > 0:
+                    cols_here.append(
+                        fb[:, y0 : y0 + band_h, :w_here]
+                    )
+                c += 1
+            if band_h > 0 and cols_here:
+                band_imgs.append(jnp.concatenate(cols_here, axis=2))
+        fb = jnp.concatenate(band_imgs, axis=1)
+        return fb[:, : cfg.height, : cfg.width], stats
     if strip_bounds is not None:
         # Reassemble: chip c's block is rows_max·tile_h rows, of which the
         # first (bounds[c+1]−bounds[c])·tile_h are real. Static offsets →

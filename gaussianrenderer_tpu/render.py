@@ -128,11 +128,12 @@ def _render_impl(
             step = (jnp.float32(cam.far) - jnp.float32(cam.near)) / float(
                 (1 << depth_bits) - 1
             )
+            sat_eff = satcull.dilate_cutoff(sat_state, cfg.sat_dilate)
             culled = satcull.cull_mask(
                 proj.valid,
                 proj.depth,
                 proj.aabb_px,
-                satcull.build_pyramid(sat_state),
+                satcull.build_pyramid(sat_eff),
                 sx=sx,
                 sy=sy,
                 margin=cfg.sat_margin,
@@ -140,6 +141,21 @@ def _render_impl(
             )
             sat_culled = jnp.sum(culled.astype(jnp.int32))
             proj = proj._replace(valid=proj.valid & ~culled)
+            # Per-POSITION cull (tile-granular): instances of surviving
+            # splats that land behind a fully-saturated tile stop
+            # consuming lanes inside emission (satcull.tile_cutoff_q).
+            sat_cut_q = satcull.tile_cutoff_q(
+                sat_eff,
+                tiles_x=cfg.tiles_x,
+                tiles_y=cfg.tiles_y,
+                tile_w=cfg.tile_w,
+                tile_h=cfg.tile_h,
+                near=cam.near,
+                depth_step=step,
+                margin=cfg.sat_margin,
+            )
+        else:
+            sat_cut_q = None
 
         inst = build_packed_instances(
             proj,
@@ -153,6 +169,7 @@ def _render_impl(
             tier_boost=cfg.tier_boost,
             tiers=cfg.tiers,
             want_depth=want_depth or with_sat,
+            sat_cut_q=sat_cut_q,
         )
         fb = composite_tiles_packed(
             inst.packed_feats,

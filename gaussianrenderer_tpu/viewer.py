@@ -300,14 +300,19 @@ class Canvas:
             print(line, flush=True)
         return fb, stats
 
-    def draw(self) -> np.ndarray:
+    def draw(self, fb=None) -> np.ndarray:
         """Fetch the frame for display: (H, W, 3) uint8, Y-flip per settings
         (the reference's D2H + SSBO + fragment-shader flip). In depth view
         mode the expected-depth row is alpha-normalized and min-max scaled
-        to a grayscale image (uncovered pixels black)."""
-        if self._fb is None:
-            self.render()
-        fb = self._fb
+        to a grayscale image (uncovered pixels black).
+
+        ``fb`` overrides the framebuffer to fetch — the /stream pusher
+        passes the PREVIOUS frame so its D2H overlaps the next frame's
+        device execution (web_viewer._stream)."""
+        if fb is None:
+            if self._fb is None:
+                self.render()
+            fb = self._fb
         if self.settings.view_mode == "depth" and fb.shape[0] >= 5:
             fb = np.asarray(fb)
             alpha, depth = fb[3], fb[4]

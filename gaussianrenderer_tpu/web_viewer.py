@@ -14,7 +14,17 @@ it through real HTTP.
 
 Endpoints:
   GET /          the viewer page
-  GET /frame     current frame as PNG (renders on demand)
+  GET /frame     current frame as JPEG/BMP/PNG (renders on demand)
+  GET /stream    multipart/x-mixed-replace (MJPEG) PUSH stream: frames
+                 are rendered and pushed whenever input marks the view
+                 dirty (?continuous=1 streams an orbit unconditionally);
+                 render(t+1) is dispatched BEFORE frame t's fetch+encode
+                 so the device works while bytes move (the D2H hop is
+                 the dominant term of the user loop, viewer_latency.jsonl)
+  POST /load?name=x.ply   upload a scene file (browser drag-drop target;
+                 reference hot-swap ``canvas.cpp:280-296``) — stored
+                 under a stable per-name path so the calibration sidecar
+                 from a previous drop warm-starts the swap
   GET /orbit?dx=&dy=   orbit by pixel deltas × orbit speed
   GET /zoom?d=         zoom along the view axis
   GET /set?k_sigma=&fov=&flip=   update UiSettings
@@ -135,8 +145,22 @@ body { background:#111; color:#ddd; font-family:monospace; margin:16px; }
 <div class="panel" id="stats"></div>
 <script>
 const img = document.getElementById('view');
+// Push transport: the server streams MJPEG parts whenever input marks
+// the view dirty (render/fetch pipelined server-side). Falls back to
+// /frame polling if the stream dies.
+let streaming = true;
+function startStream() {
+  img.onerror = () => { streaming = false; refresh(); };
+  img.src = '/stream?t=' + Date.now();
+}
 let busy = false, dirty = true;
 async function refresh() {
+  if (streaming) {
+    fetch('/stats').then(r => r.json()).then(s => {
+      document.getElementById('stats').textContent = JSON.stringify(s);
+    });
+    return;
+  }
   if (busy) { dirty = true; return; }
   busy = true; dirty = false;
   img.src = '/frame?t=' + Date.now();
@@ -160,6 +184,23 @@ window.addEventListener('mousemove', async e => {
 img.addEventListener('wheel', async e => {
   e.preventDefault();
   await fetch(`/zoom?d=${e.deltaY > 0 ? -0.3 : 0.3}`);
+  refresh();
+});
+// Drag-and-drop a .ply/.gsz anywhere on the page → hot scene swap
+// (reference canvas.cpp:280-296). The server keeps a stable per-name
+// path so a re-dropped scene warm-starts from its calibration sidecar.
+window.addEventListener('dragover', e => { e.preventDefault(); });
+window.addEventListener('drop', async e => {
+  e.preventDefault();
+  const f = e.dataTransfer.files[0];
+  if (!f) return;
+  const st = document.getElementById('stats');
+  st.textContent = `loading ${f.name} (${f.size} bytes)…`;
+  const r = await fetch('/load?name=' + encodeURIComponent(f.name), {
+    method: 'POST', body: f,
+  });
+  st.textContent = r.ok ? `loaded ${f.name}: ` + await r.text()
+                        : `load failed: ` + await r.text();
   refresh();
 });
 let tTouched = false;  // never send time until the user scrubs it — a
@@ -198,6 +239,7 @@ fetch('/stats').then(r => r.json()).then(s => {
   document.getElementById('vm').value = s.view_mode || 'rgb';
   synced = true;
 });
+startStream();
 refresh();
 </script></body></html>"""
 
@@ -206,16 +248,74 @@ def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
     """Build the viewer's ThreadingHTTPServer without starting it — the
     testable core of :func:`serve_canvas` (drive with ``serve_forever`` /
     ``shutdown``; ``port=0`` picks a free port)."""
+    import os
+    import tempfile
+
     lock = threading.Lock()
     #: Last /frame stage timings (ms) — surfaced via /stats so the
     #: user-visible loop is measured end-to-end, not just the device
     #: frame: dispatch (canvas.render call), fetch+draw (device sync +
     #: D2H + colorspace), encode, total, and the wire bytes.
     frame_ms = {}
+    #: Input→stream signaling: every input endpoint marks the view dirty
+    #: and wakes the /stream pushers.
+    cond = threading.Condition()
+    state = {"gen": 0}
+    upload_dir = os.path.join(tempfile.gettempdir(), "gr_uploads")
+
+    def mark_dirty():
+        with cond:
+            state["gen"] += 1
+            cond.notify_all()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path == "/load":
+                    import os as _os
+
+                    name = _os.path.basename(q.get("name", "drop.ply"))
+                    if not name or name.startswith("."):
+                        raise ValueError("bad scene file name")
+                    length = int(self.headers.get("Content-Length", "0"))
+                    if length <= 0 or length > 8 << 30:
+                        raise ValueError("missing or oversized upload body")
+                    _os.makedirs(upload_dir, exist_ok=True)
+                    path = _os.path.join(upload_dir, name)
+                    with open(path, "wb") as fh:
+                        remaining = length
+                        while remaining:
+                            chunk = self.rfile.read(min(remaining, 1 << 20))
+                            if not chunk:
+                                raise ValueError("truncated upload")
+                            fh.write(chunk)
+                            remaining -= len(chunk)
+                    with lock:
+                        # drop_file consults the calibration sidecar for
+                        # this (stable) path, so re-dropping a scene
+                        # warm-starts with its calibrated ladder.
+                        canvas.drop_file(path)
+                        n = canvas.scene.num_gaussians
+                    mark_dirty()
+                    self._send(
+                        200,
+                        "application/json",
+                        json.dumps({"ok": True, "gaussians": int(n)}).encode(),
+                    )
+                else:
+                    self._send(404, "text/plain", b"not found")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            except Exception as e:  # surface load errors to the page
+                try:
+                    self._send(400, "text/plain", str(e).encode())
+                except OSError:
+                    pass
 
         def _send(self, code, ctype, body: bytes):
             self.send_response(code)
@@ -224,6 +324,80 @@ def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
             self.send_header("Cache-Control", "no-store")
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream(self, q):
+            """MJPEG push loop (multipart/x-mixed-replace).
+
+            Pipelined: frame t+1's render is DISPATCHED before frame t's
+            fetch+encode+write, so the device computes while the
+            dominant D2H/encode/transfer hop of the previous frame runs
+            (jax dispatch is async; the fetch is what blocks). Frames
+            are pushed only when input marked the view dirty
+            (?continuous=1 renders an orbit unconditionally; ?frames=N
+            closes after N parts — the latency probe uses both)."""
+            import time
+
+            continuous = q.get("continuous") == "1"
+            max_frames = int(q.get("frames", "0") or 0)
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                "multipart/x-mixed-replace; boundary=grframe",
+            )
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            pending = None
+            last_gen = -1
+            sent = 0
+            while True:
+                with cond:
+                    fresh = state["gen"] != last_gen
+                if continuous or fresh or pending is None:
+                    with lock:
+                        last_gen = state["gen"]
+                        t0 = time.perf_counter()
+                        canvas.render()
+                        frame_ms["dispatch_ms"] = round(
+                            (time.perf_counter() - t0) * 1e3, 2
+                        )
+                        new_fb = canvas._fb
+                else:
+                    new_fb = None
+                if pending is not None:
+                    t1 = time.perf_counter()
+                    with lock:
+                        img = canvas.draw(fb=pending)
+                    t2 = time.perf_counter()
+                    body, ctype, used = _encode_frame(
+                        img, q.get("fmt", "auto")
+                    )
+                    t3 = time.perf_counter()
+                    frame_ms.update(
+                        fetch_draw_ms=round((t2 - t1) * 1e3, 2),
+                        encode_ms=round((t3 - t2) * 1e3, 2),
+                        fmt=used,
+                        bytes=len(body),
+                        streamed=True,
+                    )
+                    part = (
+                        b"--grframe\r\nContent-Type: "
+                        + ctype.encode()
+                        + b"\r\nContent-Length: "
+                        + str(len(body)).encode()
+                        + b"\r\n\r\n"
+                        + body
+                        + b"\r\n"
+                    )
+                    self.wfile.write(part)
+                    self.wfile.flush()
+                    sent += 1
+                    if max_frames and sent >= max_frames:
+                        return
+                pending = new_fb
+                if pending is None and not continuous:
+                    with cond:
+                        if state["gen"] == last_gen:
+                            cond.wait(timeout=30.0)
 
         def do_GET(self):
             url = urlparse(self.path)
@@ -253,6 +427,8 @@ def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
                         bytes=len(body),
                     )
                     self._send(200, ctype, body)
+                elif url.path == "/stream":
+                    self._stream(q)
                 elif url.path == "/orbit":
                     with lock:
                         dx = float(q.get("dx", 0.0))
@@ -261,10 +437,12 @@ def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
                             dx * canvas.controls.orbit_speed_x,
                             dy * canvas.controls.orbit_speed_y,
                         )
+                    mark_dirty()
                     self._send(200, "text/plain", b"ok")
                 elif url.path == "/zoom":
                     with lock:
                         canvas.camera.zoom(float(q.get("d", 0.0)))
+                    mark_dirty()
                     self._send(200, "text/plain", b"ok")
                 elif url.path == "/set":
                     with lock:
@@ -279,6 +457,7 @@ def make_server(canvas, host: str = "127.0.0.1", port: int = 8800):
                         if "view" in q:
                             canvas.settings.view_mode = q["view"]
                         canvas.settings.clamp()
+                    mark_dirty()
                     self._send(200, "text/plain", b"ok")
                 elif url.path == "/stats":
                     with lock:

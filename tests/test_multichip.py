@@ -293,3 +293,56 @@ def test_multichip_background_and_alpha_match_single_device():
         np.asarray(fb_multi), np.asarray(fb_single), atol=1e-5
     )
     assert not bool(stats["overflow"])
+
+
+def test_rect_strips_match_single_device():
+    """2-D rect strips (row bands × column ranges — VERDICT r4 #3) must
+    render the single-chip image exactly, including uneven rects and the
+    x-rebase, on BOTH quantized exchanges."""
+    scene, cam, cfg = _setup()
+    cfg = RenderConfig(**{**cfg.__dict__, "compositor": "packed"})
+    fb_single, _ = render_frame(scene, cam.params(cfg.k_sigma), cfg)
+
+    mesh = make_mesh()
+    sharded = shard_scene(scene, mesh)
+    # 8 chips as 4 bands × 2 cols with uneven rows AND columns
+    # (grid is 4 tiles wide × 8 tall).
+    rects = ((0, 3, 5, 7, 8), ((0, 1, 4), (0, 2, 4), (0, 3, 4), (0, 2, 4)))
+    for exchange in ("gather32", "gather_q", "a2a_q"):
+        fb_multi, stats = render_frame_multichip(
+            sharded, cam.params(cfg.k_sigma), cfg, mesh,
+            strip_rects=rects, exchange=exchange,
+        )
+        assert fb_multi.shape == (3, cfg.height, cfg.width)
+        assert not bool(stats["overflow"]), exchange
+        np.testing.assert_allclose(
+            np.asarray(fb_multi), np.asarray(fb_single), atol=2e-5,
+            err_msg=exchange,
+        )
+
+
+def test_balance_strip_rects_partitions_and_beats_rows_on_pose():
+    """The rect partitioner covers the grid exactly, orders chips
+    band-major, and its calibration-pose slack is <= the row-only
+    partition's (it includes (D, 1) as a candidate)."""
+    from gaussianrenderer_tpu.parallel.multichip import (
+        balance_strip_bounds,
+        balance_strip_rects,
+        rect_geometry,
+    )
+
+    rng = np.random.default_rng(7)
+    loads = (rng.pareto(1.5, size=(34, 60)) * 100).astype(np.int64)
+    for d in (8, 16):
+        spec, slack = balance_strip_rects(loads, d)
+        rects, rows_max, cols_max = rect_geometry(spec, d, 34, 60)
+        cover = np.zeros((34, 60), np.int32)
+        for (y0, rh, x0, cw) in rects:
+            cover[y0 : y0 + rh, x0 : x0 + cw] += 1
+        assert np.all(cover == 1), "rects must tile the grid exactly"
+        rb = balance_strip_bounds(loads.sum(axis=1), d)
+        ideal = loads.sum() / d
+        row_slack = max(
+            loads[rb[i] : rb[i + 1]].sum() for i in range(d)
+        ) / ideal
+        assert slack <= row_slack + 1e-9

@@ -91,8 +91,10 @@ def test_pyramid_sample_is_conservative():
 
 
 def test_same_pose_cull_is_exact_and_nontrivial():
+    # sat_dilate=0: the static-camera configuration — dilation exists
+    # only for inter-frame motion and erodes the cull near every front.
     scene = _overdraw_scene()
-    cfg = RenderConfig(height=128, width=128, sat_cull=True)
+    cfg = RenderConfig(height=128, width=128, sat_cull=True, sat_dilate=0)
     cam = _cam(cfg)
     p = cam.params(cfg.k_sigma)
     fb0, st0 = render_frame(scene, p, cfg)
@@ -107,7 +109,9 @@ def test_same_pose_cull_is_exact_and_nontrivial():
     # Frame 2, same pose: a real cull with an (order-rounding-) exact image.
     fb2, st2, _ = render_frame(scene, p, cfg, sat_state=sat1)
     assert int(st2.sat_culled) > 0.1 * scene.num_gaussians
-    assert int(st2.num_instances) < int(st1.num_instances)
+    # The per-position cull drops far more instances than the per-splat
+    # count alone implies (tile-granular cutoffs inside emission).
+    assert int(st2.num_instances) < 0.7 * int(st1.num_instances)
     assert int(st2.sat_risk) == 0
     np.testing.assert_allclose(
         np.asarray(fb2), np.asarray(fb0), atol=2e-5

@@ -269,7 +269,8 @@ def run_resize(frames, out, tiers=None):
     log(f"[3r] {row}")
 
 
-def run_one(config, frames, out, tiers=None, calibrate_only=False):
+def run_one(config, frames, out, tiers=None, calibrate_only=False,
+            sat_cull=False):
     if config == "3r" and not calibrate_only:
         return run_resize(frames, out, tiers)
     import dataclasses
@@ -319,11 +320,32 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     cam.set_clipping_planes(0.2, 100.0)
     cam.update_camera_matrices()
 
+    if sat_cull:
+        cfg = dataclasses.replace(cfg, sat_cull=True)
+
     # jit wrapper with cfg closed over STATICALLY (a functools.partial with
     # cfg= would make the positional time argument collide with it).
     @jax.jit
     def render_jit(s, p, t=None):
         return _render_impl(s, p, cfg, t)
+
+    sat_box = [None]
+    if sat_cull:
+        from gaussianrenderer_tpu.ops import satcull
+
+        sat_box[0] = satcull.initial_cutoff(
+            cfg.tiles_x, cfg.tiles_y, cfg.tile_w, cfg.tile_h
+        )
+
+        @jax.jit
+        def render_sat(s, p, sat, t=None):
+            return _render_impl(s, p, cfg, t, None, sat)
+
+    def frame_call(s, p, t=None):
+        if sat_box[0] is None:
+            return render_jit(s, p, t)
+        fb, st, sat_box[0] = render_sat(s, p, sat_box[0], t)
+        return fb, st
 
     if calibrate_only:
         # CPU projection-only probe on the FULL scene (main() forced the
@@ -385,9 +407,9 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
 
     t0 = time.time()
     if tvals is None:
-        fb, stats = render_jit(scene, params[0])
+        fb, stats = frame_call(scene, params[0])
     else:
-        fb, stats = render_jit(scene, params[0], tvals[0])
+        fb, stats = frame_call(scene, params[0], tvals[0])
     n_inst = int(stats.num_instances)
     overflow = bool(stats.overflow)
     compile_s = time.time() - t0
@@ -403,9 +425,9 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
     # use the longest chain the frame budget allows.
     t0 = time.perf_counter()
     if tvals is None:
-        fb, _ = render_jit(scene, params[0])
+        fb, _ = frame_call(scene, params[0])
     else:
-        fb, _ = render_jit(scene, params[0], tvals[0])
+        fb, _ = frame_call(scene, params[0], tvals[0])
     float(fb[0, 0, 0])
     est = (time.perf_counter() - t0) * 1e3 - floor
     chain = 4 if est > 50.0 else max(4, min(frames, 16))
@@ -417,15 +439,30 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         t0 = time.perf_counter()
         for i in batch:
             if tvals is None:
-                fb, _ = render_jit(scene, params[i])
+                fb, _ = frame_call(scene, params[i])
             else:
-                fb, _ = render_jit(scene, params[i], tvals[i])
+                fb, _ = frame_call(scene, params[i], tvals[i])
         float(fb[0, 0, 0])
         # One sync per batch: subtract the floor share of THIS batch's
         # length (the last batch may be short).
         walls.append(((time.perf_counter() - t0) * 1e3 - floor) / len(batch))
     ms = max(statistics.median(walls), 0.0)
 
+    sat_info = None
+    if sat_cull:
+        # Post-run honesty probe: final culled counts at the last pose.
+        if tvals is None:
+            _, st_f = frame_call(scene, params[-1])
+        else:
+            _, st_f = frame_call(scene, params[-1], tvals[-1])
+        sat_info = dict(
+            culled_splats=int(st_f.sat_culled),
+            risk_blocks=int(st_f.sat_risk),
+            instances=int(st_f.num_instances),
+            margin=cfg.sat_margin,
+            dilate=cfg.sat_dilate,
+        )
+        log(f"[{config}] sat-cull {sat_info}")
     JsonlWriter(out).write(
         config=f"c{config}",
         resolution=f"{cfg.width}x{cfg.height}",
@@ -436,6 +473,7 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False):
         compile_s=round(compile_s, 1),
         ms_per_frame=round(ms, 3),
         fps=round(1000.0 / ms, 1) if ms > 0 else None,
+        sat_cull=sat_info,
     )
 
 
@@ -447,6 +485,8 @@ def main():
     ap.add_argument("--configs", default=",".join(CONFIGS))
     ap.add_argument("--tiers", default=None)
     ap.add_argument("--calibrate-only", action="store_true")
+    ap.add_argument("--sat-cull", action="store_true",
+                    help="enable frame-coherent saturation culling")
     args = ap.parse_args()
 
     if args.calibrate_only:
@@ -462,6 +502,7 @@ def main():
             args.out,
             tiers=args.tiers,
             calibrate_only=args.calibrate_only,
+            sat_cull=args.sat_cull,
         )
         return
 
@@ -489,7 +530,7 @@ def main():
             [
                 sys.executable, __file__, "--config", c,
                 "--frames", str(args.frames), "--out", args.out,
-            ] + extra,
+            ] + extra + (["--sat-cull"] if args.sat_cull else []),
         ).returncode
         if rc != 0:
             log(f"config {c} FAILED (rc={rc})")

@@ -219,8 +219,7 @@ def make_census_fn(cfg):
         )
         return contrib, valid, dead_sb, dead_tile, sat.reshape(-1)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def census_step(scene, cam, sat_prev):
+    def _proj_pk(scene, cam):
         proj = preprocess_gaussians(
             scene, cam,
             width=cfg.width, height=cfg.height,
@@ -235,10 +234,21 @@ def make_census_fn(cfg):
             proj, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
             tile_w=tw, tile_h=th,
         )
+        return proj, pk
+
+    def _step(cam):
         depth_bits = min(32 - max(int(cfg.num_tiles).bit_length(), 1), 24)
-        step = (jnp.float32(cam.far) - jnp.float32(cam.near)) / float(
+        return (jnp.float32(cam.far) - jnp.float32(cam.near)) / float(
             (1 << depth_bits) - 1
         )
+
+    @jax.jit
+    def census_a(scene, cam, sat_prev):
+        """Unculled render + per-lane census + cutoffs + mechanism
+        counts. (Split from the culled render: one combined executable
+        OOMs HBM at the 3M c4 shape.)"""
+        proj, pk = _proj_pk(scene, cam)
+        step = _step(cam)
 
         # ---- A: unculled render + kernel sat census
         inst = build_packed_instances(
@@ -262,7 +272,7 @@ def make_census_fn(cfg):
             inst.packed_feats, inst.tile_start, inst.tile_count, None
         )
 
-        # ---- mechanism, same pose (ideal) and prev pose (production)
+        # ---- mechanism counts, same pose (ideal) and prev pose
         def mech(cutoff):
             culled = satcull.cull_mask(
                 pk.valid, proj.depth, proj.aabb_px,
@@ -274,25 +284,11 @@ def make_census_fn(cfg):
             )
 
         _, now_splats, now_eff = mech(cutoff_now)
-        culled_prev, prev_splats, prev_eff = mech(sat_prev)
-
-        # ---- B: culled render with prev cutoffs (the production path)
-        proj_c = proj._replace(valid=proj.valid & ~culled_prev)
-        inst_c = build_packed_instances(
-            proj_c, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-            tile_w=tw, tile_h=th, near=cam.near, far=cam.far,
-            tiers=cfg.tiers, want_depth=True,
-        )
-        fb_b = composite_tiles_packed(
-            inst_c.packed_feats, inst_c.tile_start, inst_c.tile_count,
-            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=tw, tile_h=th,
-            width=cfg.width, height=cfg.height, chunk=cfg.packed_chunk,
-        )
-        mse = jnp.mean((fb_a - fb_b) ** 2)
+        sat_eff = satcull.dilate_cutoff(sat_prev, cfg.sat_dilate)
+        _, prev_splats, prev_eff = mech(sat_eff)
 
         return dict(
             instances=inst.total_instances,
-            instances_culled_run=inst_c.total_instances,
             contrib=jnp.sum(contrib),
             valid_lanes=jnp.sum(valid),
             dead_sb=jnp.sum(dead_sb),
@@ -304,10 +300,50 @@ def make_census_fn(cfg):
             now_eff=now_eff,
             prev_splats=prev_splats,
             prev_eff=prev_eff,
-            mse=mse,
-            overflow=inst.overflow | inst_c.overflow,
+            overflow=inst.overflow,
             cutoff=cutoff_now,
+        ), fb_a
+
+    @jax.jit
+    def census_b(scene, cam, sat_prev, fb_a):
+        """The FULL production culled render (per-splat + per-position,
+        dilation + margins) and its on-device MSE vs the unculled frame."""
+        proj, pk = _proj_pk(scene, cam)
+        step = _step(cam)
+        sat_eff = satcull.dilate_cutoff(sat_prev, cfg.sat_dilate)
+        culled_prev = satcull.cull_mask(
+            pk.valid, proj.depth, proj.aabb_px,
+            satcull.build_pyramid(sat_eff), sx=sx, sy=sy,
+            margin=cfg.sat_margin, depth_step=step,
         )
+        proj_c = proj._replace(valid=proj.valid & ~culled_prev)
+        cut_q = satcull.tile_cutoff_q(
+            sat_eff, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+            tile_w=tw, tile_h=th, near=cam.near, depth_step=step,
+            margin=cfg.sat_margin,
+        )
+        inst_c = build_packed_instances(
+            proj_c, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+            tile_w=tw, tile_h=th, near=cam.near, far=cam.far,
+            tiers=cfg.tiers, want_depth=True, sat_cut_q=cut_q,
+        )
+        fb_b = composite_tiles_packed(
+            inst_c.packed_feats, inst_c.tile_start, inst_c.tile_count,
+            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=tw, tile_h=th,
+            width=cfg.width, height=cfg.height, chunk=cfg.packed_chunk,
+        )
+        return dict(
+            instances_culled_run=inst_c.total_instances,
+            mse=jnp.mean((fb_a - fb_b) ** 2),
+            overflow_b=inst_c.overflow,
+        )
+
+    def census_step(scene, cam, sat_prev):
+        ra, fb_a = census_a(scene, cam, sat_prev)
+        rb = census_b(scene, cam, sat_prev, fb_a)
+        ra.update(rb)
+        ra["overflow"] = ra["overflow"] | ra.pop("overflow_b")
+        return ra
 
     return census_step
 
