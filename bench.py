@@ -38,6 +38,17 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--frames", type=int, default=24, help="frames per timed loop")
+    ap.add_argument(
+        "--orbit-deg",
+        type=float,
+        default=None,
+        help="orbit degrees per frame (default 5 — a fast-but-realistic "
+        "interactive drag; rounds 1-4 used 360/frames = 15°/frame, "
+        "which is 360°/s at display rate. The sat-cull coherence "
+        "envelope is speed-dependent: the census reads ≥42 dB at "
+        "5°/frame with default margin/dilation, one 25 dB pose at "
+        "15°/frame — overdraw_census.jsonl)",
+    )
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--compositor", default="packed")
     ap.add_argument("--scene", default=None, help="optional PLY path")
@@ -65,9 +76,14 @@ def main():
     )
     ap.add_argument(
         "--sat-cull",
-        action="store_true",
-        help="frame-coherent saturation culling (ops/satcull.py): cutoff "
-        "state threads through the dispatch chain; reports culled counts",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="frame-coherent saturation culling (ops/satcull.py, ON by "
+        "default — the production interactive path): cutoff state "
+        "threads through the dispatch chain; culled counts and the "
+        "risk flag land in bench_details.json. --no-sat-cull "
+        "reproduces the round-1..4 unculled pipeline (109.5 ms at "
+        "round 4's close vs 90.8 with the cull, BENCH r5).",
     )
     ap.add_argument(
         "--sat-margin",
@@ -310,9 +326,10 @@ def main():
     # feeding host-numpy camera params per frame inflates the measurement
     # by ~1 H2D round-trip/frame (on a directly-attached host this is
     # microseconds and staging changes nothing).
+    orbit_step = args.orbit_deg if args.orbit_deg is not None else 5.0
     frame_params = []
     for _ in range(args.frames):
-        cam.orbit(360.0 / args.frames, 0.0)
+        cam.orbit(orbit_step, 0.0)
         frame_params.append(
             jax.tree_util.tree_map(
                 lambda x: jax.device_put(jnp.asarray(x)),

@@ -270,7 +270,7 @@ def run_resize(frames, out, tiers=None):
 
 
 def run_one(config, frames, out, tiers=None, calibrate_only=False,
-            sat_cull=False):
+            sat_cull=False, orbit_deg=None):
     if config == "3r" and not calibrate_only:
         return run_resize(frames, out, tiers)
     import dataclasses
@@ -393,9 +393,10 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False,
     floor = measure_floor()
     del scene_raw  # keep ONE device copy resident for the measured run
 
+    orbit_step = orbit_deg if orbit_deg is not None else 360.0 / frames
     params = []
     for _ in range(frames):
-        cam.orbit(360.0 / frames, 0.0)
+        cam.orbit(orbit_step, 0.0)
         # Device-staged: per-frame host->device uploads cost a relay
         # round-trip each through the tunnel.
         params.append(
@@ -414,6 +415,58 @@ def run_one(config, frames, out, tiers=None, calibrate_only=False,
     overflow = bool(stats.overflow)
     compile_s = time.time() - t0
     log(f"[{config}] compile+first {compile_s:.0f}s inst={n_inst} overflow={overflow}")
+
+    if sat_cull:
+        # Warm the cutoffs, then recalibrate the ladder against the
+        # CULLED histogram — static windows otherwise keep the uncull
+        # lane count and the cull only helps the compositor (bench.py
+        # has the same step; overflow on disocclusion frames is flagged
+        # and auto-boosts in a make_renderer session).
+        if tvals is None:
+            _, st2 = frame_call(scene, params[0])
+        else:
+            _, st2 = frame_call(scene, params[0], tvals[0])
+        if st2.area_hist is not None and cfg.tiers is not None:
+            import numpy as _np
+
+            from gaussianrenderer_tpu.render import (
+                calibrate_tiers as _ct,
+                ladder_lanes as _ll,
+            )
+            from gaussianrenderer_tpu.config import RenderConfig as _RC
+
+            new_tiers = _ct(
+                _np.asarray(st2.area_hist, dtype=_np.int64),
+                num_tiles=cfg.num_tiles,
+                headroom=1.5,
+                emission_max=int(int(st2.num_instances) * 1.3),
+            )
+            if new_tiers != cfg.tiers:
+                cfg = dataclasses.replace(cfg, tiers=new_tiers)
+                lanes2 = (
+                    int(new_tiers[0][1])
+                    if new_tiers and int(new_tiers[0][0]) == 0
+                    else _ll(new_tiers, num_gaussians)
+                )
+                if cfg.packed_chunk == _RC().packed_chunk:
+                    cfg = dataclasses.replace(
+                        cfg, packed_chunk=_RC.auto_packed_chunk(lanes2)
+                    )
+                log(f"[{config}] sat-cull recalibrated: {new_tiers} "
+                    f"(lanes ~{lanes2/1e6:.2f}M)")
+
+                @jax.jit
+                def render_sat(s, p, sat, t=None):
+                    return _render_impl(s, p, cfg, t, None, sat)
+
+                t0 = time.time()
+                if tvals is None:
+                    _, st3 = frame_call(scene, params[0])
+                else:
+                    _, st3 = frame_call(scene, params[0], tvals[0])
+                log(f"[{config}] recalibrated compile {time.time()-t0:.0f}s "
+                    f"inst={int(st3.num_instances)} "
+                    f"overflow={bool(st3.overflow)}")
 
     # Chained dispatch (N frames per sync): the tunnel charges ~40-60 ms
     # per-execute beyond the sync floor; a pipelined display loop sees the
@@ -487,6 +540,10 @@ def main():
     ap.add_argument("--calibrate-only", action="store_true")
     ap.add_argument("--sat-cull", action="store_true",
                     help="enable frame-coherent saturation culling")
+    ap.add_argument("--orbit-deg", type=float, default=None,
+                    help="degrees per measured frame (default 360/frames; "
+                    "sat-cull runs should use a display-rate-realistic "
+                    "~5°)")
     args = ap.parse_args()
 
     if args.calibrate_only:
@@ -503,6 +560,7 @@ def main():
             tiers=args.tiers,
             calibrate_only=args.calibrate_only,
             sat_cull=args.sat_cull,
+            orbit_deg=args.orbit_deg,
         )
         return
 
@@ -530,7 +588,12 @@ def main():
             [
                 sys.executable, __file__, "--config", c,
                 "--frames", str(args.frames), "--out", args.out,
-            ] + extra + (["--sat-cull"] if args.sat_cull else []),
+            ] + extra + (["--sat-cull"] if args.sat_cull else [])
+            + (
+                ["--orbit-deg", str(args.orbit_deg)]
+                if args.orbit_deg is not None
+                else []
+            ),
         ).returncode
         if rc != 0:
             log(f"config {c} FAILED (rc={rc})")

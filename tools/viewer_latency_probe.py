@@ -114,6 +114,66 @@ def main():
                 f"(p90 {row['p90_ms']} ms, {row['sustained_fps']} fps, "
                 f"{row['frame_bytes']/1e3:.0f} kB) "
                 f"server {row['server_stage_ms']}")
+
+        # ---- the PUSH transport (/stream, VERDICT r4 #5): a drag loop
+        # against the pipelined MJPEG stream — render(t+1) dispatches
+        # before frame t's fetch+encode drains, so the sustained
+        # frame-to-frame interval is max(render, fetch+encode), not
+        # their sum. The reader consumes parts as the browser <img>
+        # does; each /orbit marks the view dirty.
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", f"/stream?frames={args.frames + 1}")
+        resp = conn.getresponse()
+
+        def read_part():
+            # boundary line(s) + headers
+            clen = None
+            while True:
+                line = resp.fp.readline()
+                if not line:
+                    raise EOFError("stream closed")
+                ls = line.strip()
+                if ls.lower().startswith(b"content-length:"):
+                    clen = int(ls.split(b":")[1])
+                if ls == b"" and clen is not None:
+                    break
+            body = resp.fp.read(clen)
+            resp.fp.readline()  # trailing CRLF
+            return body
+
+        urlopen(f"{base}/orbit?dx=2&dy=0").read()
+        read_part()  # pipeline warm-up frame
+        lat, sizes = [], []
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            urlopen(f"{base}/orbit?dx=6&dy=1").read()
+            body = read_part()
+            lat.append((time.perf_counter() - t0) * 1e3)
+            sizes.append(len(body))
+        conn.close()
+        stats = json.loads(urlopen(base + "/stats").read())
+        med = statistics.median(lat)
+        row = dict(
+            ts=time.time(),
+            probe="viewer_latency",
+            platform=jax.default_backend(),
+            scene=scene_tag,
+            resolution=f"{args.width}x{args.height}",
+            fmt="stream",
+            frames=args.frames,
+            orbit_to_frame_ms=round(med, 2),
+            p90_ms=round(sorted(lat)[int(0.9 * len(lat))], 2),
+            sustained_fps=round(1e3 / med, 1),
+            frame_bytes=int(statistics.median(sizes)),
+            server_stage_ms=stats.get("frame"),
+            ema_ms=stats.get("ema_ms"),
+        )
+        with open(out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        log(f"stream: orbit->frame median {med:.1f} ms "
+            f"(p90 {row['p90_ms']} ms, {row['sustained_fps']} fps)")
         print(json.dumps(row))
     finally:
         server.shutdown()
