@@ -414,18 +414,23 @@ def test_web_viewer_stream_and_drop_upload(tmp_path):
         results = {}
 
         def reader():
-            s = urlopen(base + "/stream?frames=2", timeout=60)
+            s = urlopen(base + "/stream?frames=2", timeout=300)
             results["ctype"] = s.headers["Content-Type"]
             results["data"] = s.read()  # server closes after 2 parts
 
         rt = threading.Thread(target=reader)
         rt.start()
-        time.sleep(0.3)
-        urlopen(base + "/orbit?dx=8&dy=0").read()
-        time.sleep(0.3)
-        urlopen(base + "/orbit?dx=-4&dy=2").read()
-        rt.join(timeout=120)
+        # Keep poking input until the stream closes — under a parallel
+        # test run the first renders can take tens of seconds, and a
+        # poke that lands while the pusher is busy must be repeated
+        # (the pusher coalesces dirty generations by design).
+        for _ in range(60):
+            urlopen(base + "/orbit?dx=8&dy=1").read()
+            rt.join(timeout=5)
+            if not rt.is_alive():
+                break
         assert not rt.is_alive(), "stream did not complete"
+        assert "ctype" in results, "stream reader produced no response"
         assert "multipart/x-mixed-replace" in results["ctype"]
         data = results["data"]
         assert data.count(b"--grframe") >= 2
