@@ -52,7 +52,13 @@ def main():
 
     enable_compilation_cache()
 
+    # NOTE: import make_trained_scene ONLY via this guard — its module
+    # top-level forces the CPU backend when "--tpu" is absent from
+    # sys.argv (it cost one probe run 30 CPU-minutes of 2.6M-splat
+    # CPU rendering before this was caught).
+    sys.argv.append("--tpu")
     from make_trained_scene import orbit_cams
+    sys.argv.pop()
     from gaussianrenderer_tpu.config import RenderConfig
     from gaussianrenderer_tpu.render import _render_impl
     from gaussianrenderer_tpu.scene.io import load_scene, make_clustered_scene
