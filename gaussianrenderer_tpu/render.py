@@ -1011,6 +1011,13 @@ def make_renderer(
             first = state["frame"] == 1 and not (
                 state["seeded"] and not bool(out[1].overflow)
             )
+            # With the saturation cull active, frame 2 is the first
+            # CULLED frame: its histogram is the culled population, and
+            # recalibrating against it is what shrinks the static
+            # ladder windows (and so the frame sort) to the culled lane
+            # count — without this the cull only helps the compositor
+            # (measured 121.6 vs 90.8 ms at c4, PERF_NOTES round 5).
+            first |= state["frame"] == 2 and state["cfg"].sat_cull
             periodic = (state["frame"] - 1) % overflow_check_every == 0
             # Calibrate unconditionally on the first frame (the default
             # ladder is rarely lane-optimal); afterwards only when a

@@ -207,3 +207,32 @@ def test_initial_cutoff_never_culls():
         use_pallas=False,
     )
     assert not bool(jnp.any(mask))
+
+
+def test_make_renderer_recalibrates_ladder_after_cull():
+    """Session parity with the bench: frame 2 (the first culled frame)
+    recalibrates the ladder against the culled histogram — without it
+    static windows keep the uncull lane count and the cull only helps
+    the compositor (measured 121.6 vs 90.8 ms at c4, PERF_NOTES r5)."""
+    from gaussianrenderer_tpu.render import ladder_lanes, make_renderer
+
+    scene = _overdraw_scene()
+    cfg = RenderConfig(height=128, width=128, sat_cull=True, sat_dilate=0)
+    cam = _cam(cfg)
+    render = make_renderer(scene, cfg, auto_tier=True)
+    p = cam.params(cfg.k_sigma)
+    _, _ = render(p)
+    t1 = render.current_cfg().tiers
+
+    def lanes(t):
+        return (
+            int(t[0][1]) if t and int(t[0][0]) == 0
+            else ladder_lanes(t, scene.num_gaussians)
+        )
+
+    _, st2 = render(p)
+    t2 = render.current_cfg().tiers
+    assert int(st2.sat_culled) > 0
+    assert lanes(t2) < lanes(t1), (t1, t2)
+    _, st3 = render(p)
+    assert not bool(st3.overflow)
